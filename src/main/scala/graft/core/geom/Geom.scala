@@ -1,0 +1,468 @@
+package graft.core.geom
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Minimal planar computational-geometry kernel over WKB, sufficient for the
+ * reference's PostGIS usage (EPSG:3006 is a projected metric CRS, so all
+ * distance math is planar — see /root/reference/database/migrations/04-osm-base.sql:53).
+ *
+ * Supported: Point, LineString, Polygon (with holes), MultiPolygon,
+ * MultiPoint, MultiLineString, GeometryCollection (read-only passthrough).
+ *
+ * Operations mirror the PostGIS subset the reference uses
+ * (SURVEY.md §1.2 / §2.3): ST_Distance, ST_DWithin, ST_Within (point-in-
+ * polygon via winding number), ST_Centroid, ST_MakeLine, ST_Extent,
+ * ST_Intersects (bbox + exact for point/polygon cases used).
+ *
+ * No external geometry library: the build is offline (build.sbt), so this is
+ * hand-rolled and golden-tested in GeomSpec.
+ */
+sealed trait Geom {
+  def envelope: Envelope
+  def centroid: Pt
+}
+
+final case class Pt(x: Double, y: Double) {
+  def distTo(o: Pt): Double = math.hypot(x - o.x, y - o.y)
+}
+
+final case class Envelope(minX: Double, minY: Double, maxX: Double, maxY: Double) {
+  def expand(d: Double): Envelope = Envelope(minX - d, minY - d, maxX + d, maxY + d)
+  def intersects(o: Envelope): Boolean =
+    minX <= o.maxX && o.minX <= maxX && minY <= o.maxY && o.minY <= maxY
+  def contains(p: Pt): Boolean =
+    p.x >= minX && p.x <= maxX && p.y >= minY && p.y <= maxY
+  def union(o: Envelope): Envelope =
+    Envelope(math.min(minX, o.minX), math.min(minY, o.minY),
+             math.max(maxX, o.maxX), math.max(maxY, o.maxY))
+}
+
+final case class PointG(p: Pt) extends Geom {
+  def envelope: Envelope = Envelope(p.x, p.y, p.x, p.y)
+  def centroid: Pt = p
+}
+
+final case class LineStringG(pts: Array[Pt]) extends Geom {
+  def envelope: Envelope = Geom.envelopeOf(pts)
+  /** Length-weighted centroid (PostGIS ST_Centroid on linework). */
+  def centroid: Pt = {
+    var len = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < pts.length - 1) {
+      val a = pts(i); val b = pts(i + 1)
+      val l = a.distTo(b)
+      cx += (a.x + b.x) / 2 * l; cy += (a.y + b.y) / 2 * l; len += l
+      i += 1
+    }
+    if (len == 0) pts(0) else Pt(cx / len, cy / len)
+  }
+  def length: Double = {
+    var l = 0.0; var i = 0
+    while (i < pts.length - 1) { l += pts(i).distTo(pts(i + 1)); i += 1 }
+    l
+  }
+}
+
+/** rings(0) = exterior shell; rest are holes. Rings are closed (first==last). */
+final case class PolygonG(rings: Array[Array[Pt]]) extends Geom {
+  def shell: Array[Pt] = rings(0)
+  def envelope: Envelope = Geom.envelopeOf(shell)
+  def centroid: Pt = {
+    // Area-weighted centroid; holes subtract (signed areas handle it as long
+    // as hole orientation is opposite — normalize by using signed area per ring).
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    for (ring <- rings) {
+      val (ra, rcx, rcy) = Geom.ringCentroidTerms(ring)
+      // exterior contributes its signed terms; holes must subtract: flip sign
+      // so holes (regardless of stored orientation) reduce the area.
+      val sign = if (ring eq rings(0)) { if (ra < 0) -1.0 else 1.0 }
+                 else { if (ra < 0) 1.0 else -1.0 }
+      a += sign * ra; cx += sign * rcx; cy += sign * rcy
+    }
+    if (a == 0) shell(0) else Pt(cx / (3 * a), cy / (3 * a))
+  }
+  def area: Double = {
+    var a = math.abs(Geom.signedArea(rings(0)))
+    var i = 1
+    while (i < rings.length) { a -= math.abs(Geom.signedArea(rings(i))); i += 1 }
+    a
+  }
+  def containsPoint(p: Pt): Boolean = {
+    if (!envelope.contains(p)) return false
+    if (Geom.windingNumber(p, rings(0)) == 0 && !Geom.onRing(p, rings(0))) return false
+    var i = 1
+    while (i < rings.length) {
+      if (Geom.windingNumber(p, rings(i)) != 0 && !Geom.onRing(p, rings(i))) return false
+      i += 1
+    }
+    true
+  }
+}
+
+final case class MultiPointG(pts: Array[Pt]) extends Geom {
+  def envelope: Envelope = Geom.envelopeOf(pts)
+  def centroid: Pt = Pt(pts.map(_.x).sum / pts.length, pts.map(_.y).sum / pts.length)
+}
+
+final case class MultiLineStringG(lines: Array[LineStringG]) extends Geom {
+  def envelope: Envelope = lines.map(_.envelope).reduce(_ union _)
+  def centroid: Pt = {
+    var len = 0.0; var cx = 0.0; var cy = 0.0
+    for (l <- lines; i <- 0 until l.pts.length - 1) {
+      val a = l.pts(i); val b = l.pts(i + 1)
+      val d = a.distTo(b)
+      cx += (a.x + b.x) / 2 * d; cy += (a.y + b.y) / 2 * d; len += d
+    }
+    if (len == 0) lines(0).pts(0) else Pt(cx / len, cy / len)
+  }
+}
+
+final case class MultiPolygonG(polys: Array[PolygonG]) extends Geom {
+  def envelope: Envelope = polys.map(_.envelope).reduce(_ union _)
+  def centroid: Pt = {
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    for (p <- polys) {
+      val pa = p.area
+      val c = p.centroid
+      a += pa; cx += c.x * pa; cy += c.y * pa
+    }
+    if (a == 0) polys(0).shell(0) else Pt(cx / a, cy / a)
+  }
+  def containsPoint(p: Pt): Boolean = polys.exists(_.containsPoint(p))
+}
+
+object Geom {
+  // ---- construction helpers -------------------------------------------------
+  def point(x: Double, y: Double): PointG = PointG(Pt(x, y))
+  def line(pts: (Double, Double)*): LineStringG =
+    LineStringG(pts.map { case (x, y) => Pt(x, y) }.toArray)
+  /** Axis-aligned rectangle polygon, like ST_MakeEnvelope. */
+  def envelopePoly(minX: Double, minY: Double, maxX: Double, maxY: Double): PolygonG =
+    PolygonG(Array(Array(Pt(minX, minY), Pt(maxX, minY), Pt(maxX, maxY), Pt(minX, maxY), Pt(minX, minY))))
+
+  def envelopeOf(pts: Array[Pt]): Envelope = {
+    var mnx = Double.MaxValue; var mny = Double.MaxValue
+    var mxx = Double.MinValue; var mxy = Double.MinValue
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      if (p.x < mnx) mnx = p.x; if (p.x > mxx) mxx = p.x
+      if (p.y < mny) mny = p.y; if (p.y > mxy) mxy = p.y
+      i += 1
+    }
+    Envelope(mnx, mny, mxx, mxy)
+  }
+
+  // ---- low-level predicates -------------------------------------------------
+  def signedArea(ring: Array[Pt]): Double = {
+    var a = 0.0; var i = 0
+    while (i < ring.length - 1) {
+      a += ring(i).x * ring(i + 1).y - ring(i + 1).x * ring(i).y
+      i += 1
+    }
+    a / 2
+  }
+
+  /** (2*signedArea, 6*area-weighted-cx, 6*area-weighted-cy) terms for centroid. */
+  private[geom] def ringCentroidTerms(ring: Array[Pt]): (Double, Double, Double) = {
+    var a = 0.0; var cx = 0.0; var cy = 0.0; var i = 0
+    while (i < ring.length - 1) {
+      val cross = ring(i).x * ring(i + 1).y - ring(i + 1).x * ring(i).y
+      a += cross
+      cx += (ring(i).x + ring(i + 1).x) * cross
+      cy += (ring(i).y + ring(i + 1).y) * cross
+      i += 1
+    }
+    (a / 2, cx / 2, cy / 2)
+  }
+
+  /** Winding number of p wrt closed ring; nonzero = inside. */
+  def windingNumber(p: Pt, ring: Array[Pt]): Int = {
+    var wn = 0; var i = 0
+    while (i < ring.length - 1) {
+      val a = ring(i); val b = ring(i + 1)
+      if (a.y <= p.y) {
+        if (b.y > p.y && isLeft(a, b, p) > 0) wn += 1
+      } else {
+        if (b.y <= p.y && isLeft(a, b, p) < 0) wn -= 1
+      }
+      i += 1
+    }
+    wn
+  }
+
+  @inline private def isLeft(a: Pt, b: Pt, p: Pt): Double =
+    (b.x - a.x) * (p.y - a.y) - (p.x - a.x) * (b.y - a.y)
+
+  def onRing(p: Pt, ring: Array[Pt]): Boolean = {
+    var i = 0
+    while (i < ring.length - 1) {
+      if (distPointSegment(p, ring(i), ring(i + 1)) < 1e-9) return true
+      i += 1
+    }
+    false
+  }
+
+  def distPointSegment(p: Pt, a: Pt, b: Pt): Double = {
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val l2 = dx * dx + dy * dy
+    if (l2 == 0) return p.distTo(a)
+    var t = ((p.x - a.x) * dx + (p.y - a.y) * dy) / l2
+    if (t < 0) t = 0 else if (t > 1) t = 1
+    p.distTo(Pt(a.x + t * dx, a.y + t * dy))
+  }
+
+  def segSegDistance(a1: Pt, a2: Pt, b1: Pt, b2: Pt): Double = {
+    if (segmentsIntersect(a1, a2, b1, b2)) 0.0
+    else math.min(
+      math.min(distPointSegment(a1, b1, b2), distPointSegment(a2, b1, b2)),
+      math.min(distPointSegment(b1, a1, a2), distPointSegment(b2, a1, a2)))
+  }
+
+  def segmentsIntersect(a1: Pt, a2: Pt, b1: Pt, b2: Pt): Boolean = {
+    val d1 = isLeft(b1, b2, a1); val d2 = isLeft(b1, b2, a2)
+    val d3 = isLeft(a1, a2, b1); val d4 = isLeft(a1, a2, b2)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    if (d1 == 0 && onSeg(b1, b2, a1)) return true
+    if (d2 == 0 && onSeg(b1, b2, a2)) return true
+    if (d3 == 0 && onSeg(a1, a2, b1)) return true
+    if (d4 == 0 && onSeg(a1, a2, b2)) return true
+    false
+  }
+
+  @inline private def onSeg(a: Pt, b: Pt, p: Pt): Boolean =
+    math.min(a.x, b.x) <= p.x && p.x <= math.max(a.x, b.x) &&
+    math.min(a.y, b.y) <= p.y && p.y <= math.max(a.y, b.y)
+
+  // ---- boundary extraction (for distance between extended geoms) -----------
+  private def boundarySegments(g: Geom): Array[(Pt, Pt)] = g match {
+    case PointG(_)          => Array.empty
+    case LineStringG(pts)   => pts.sliding(2).collect { case Array(a, b) => (a, b) }.toArray
+    case PolygonG(rings)    => rings.flatMap(r => r.sliding(2).collect { case Array(a, b) => (a, b) })
+    case MultiPointG(_)     => Array.empty
+    case MultiLineStringG(ls) => ls.flatMap(l => boundarySegments(l))
+    case MultiPolygonG(ps)  => ps.flatMap(p => boundarySegments(p))
+  }
+
+  private def vertices(g: Geom): Array[Pt] = g match {
+    case PointG(p)            => Array(p)
+    case LineStringG(pts)     => pts
+    case PolygonG(rings)      => rings.flatten
+    case MultiPointG(pts)     => pts
+    case MultiLineStringG(ls) => ls.flatMap(_.pts)
+    case MultiPolygonG(ps)    => ps.flatMap(_.rings.flatten)
+  }
+
+  private def containsPt(g: Geom, p: Pt): Boolean = g match {
+    case pg: PolygonG      => pg.containsPoint(p)
+    case mp: MultiPolygonG => mp.containsPoint(p)
+    case _                 => false
+  }
+
+  /** PostGIS ST_Distance semantics: 0 when geometries intersect/contain. */
+  def distance(a: Geom, b: Geom): Double = (a, b) match {
+    case (PointG(p), PointG(q)) => p.distTo(q)
+    case (PointG(p), _) =>
+      if (containsPt(b, p)) 0.0
+      else {
+        val segs = boundarySegments(b)
+        if (segs.isEmpty) vertices(b).map(p.distTo).min
+        else segs.map { case (s, e) => distPointSegment(p, s, e) }.min
+      }
+    case (_, PointG(_)) => distance(b, a)
+    case _ =>
+      // areal/lineal vs areal/lineal: 0 if any vertex inside the other,
+      // else min over boundary segment pairs.
+      if (vertices(a).exists(containsPt(b, _)) || vertices(b).exists(containsPt(a, _))) 0.0
+      else {
+        val sa = boundarySegments(a); val sb = boundarySegments(b)
+        if (sa.isEmpty || sb.isEmpty) {
+          val va = vertices(a); val vb = vertices(b)
+          va.flatMap(p => vb.map(p.distTo)).min
+        } else {
+          var d = Double.MaxValue
+          for ((a1, a2) <- sa; (b1, b2) <- sb) {
+            val s = segSegDistance(a1, a2, b1, b2)
+            if (s < d) d = s
+          }
+          d
+        }
+      }
+  }
+
+  def dwithin(a: Geom, b: Geom, d: Double): Boolean = {
+    if (!a.envelope.expand(d).intersects(b.envelope)) false
+    else distance(a, b) <= d
+  }
+
+  /** ST_Within(point-ish, polygon) — the only Within shape the reference uses. */
+  def within(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (PointG(p), pg: PolygonG)      => pg.containsPoint(p)
+    case (PointG(p), mp: MultiPolygonG) => mp.containsPoint(p)
+    case (_, pg: PolygonG)              => vertices(a).forall(pg.containsPoint)
+    case (_, mp: MultiPolygonG)         => vertices(a).forall(mp.containsPoint)
+    case _                              => false
+  }
+
+  def intersectsEnvelope(g: Geom, env: Envelope): Boolean = {
+    if (!g.envelope.intersects(env)) return false
+    g match {
+      case PointG(p) => env.contains(p)
+      case _ =>
+        val rect = envelopePoly(env.minX, env.minY, env.maxX, env.maxY)
+        distance(g, rect) == 0.0 || vertices(g).exists(env.contains) ||
+          containsPt(g, Pt((env.minX + env.maxX) / 2, (env.minY + env.maxY) / 2))
+    }
+  }
+
+  // ---- WKB codec (ISO WKB, little-endian on write; both endians on read) ---
+  private final val PointT = 1
+  private final val LineT = 2
+  private final val PolyT = 3
+  private final val MPointT = 4
+  private final val MLineT = 5
+  private final val MPolyT = 6
+  private final val CollT = 7
+
+  def toWkb(g: Geom): Array[Byte] = {
+    val buf = ByteBuffer.allocate(wkbSize(g)).order(ByteOrder.LITTLE_ENDIAN)
+    writeGeom(buf, g)
+    buf.array()
+  }
+
+  private def wkbSize(g: Geom): Int = g match {
+    case PointG(_)            => 5 + 16
+    case LineStringG(pts)     => 9 + 16 * pts.length
+    case PolygonG(rings)      => 9 + rings.map(r => 4 + 16 * r.length).sum
+    case MultiPointG(pts)     => 9 + pts.length * (5 + 16)
+    case MultiLineStringG(ls) => 9 + ls.map(wkbSize(_)).sum
+    case MultiPolygonG(ps)    => 9 + ps.map(wkbSize(_)).sum
+  }
+
+  private def writeGeom(buf: ByteBuffer, g: Geom): Unit = g match {
+    case PointG(p) =>
+      buf.put(1.toByte).putInt(PointT).putDouble(p.x).putDouble(p.y)
+    case LineStringG(pts) =>
+      buf.put(1.toByte).putInt(LineT).putInt(pts.length)
+      pts.foreach(p => buf.putDouble(p.x).putDouble(p.y))
+    case PolygonG(rings) =>
+      buf.put(1.toByte).putInt(PolyT).putInt(rings.length)
+      rings.foreach { r =>
+        buf.putInt(r.length)
+        r.foreach(p => buf.putDouble(p.x).putDouble(p.y))
+      }
+    case MultiPointG(pts) =>
+      buf.put(1.toByte).putInt(MPointT).putInt(pts.length)
+      pts.foreach(p => writeGeom(buf, PointG(p)))
+    case MultiLineStringG(ls) =>
+      buf.put(1.toByte).putInt(MLineT).putInt(ls.length)
+      ls.foreach(writeGeom(buf, _))
+    case MultiPolygonG(ps) =>
+      buf.put(1.toByte).putInt(MPolyT).putInt(ps.length)
+      ps.foreach(writeGeom(buf, _))
+  }
+
+  def fromWkb(bytes: Array[Byte]): Geom = {
+    val buf = ByteBuffer.wrap(bytes)
+    readGeom(buf)
+  }
+
+  private def readGeom(buf: ByteBuffer): Geom = {
+    val byteOrder = buf.get()
+    buf.order(if (byteOrder == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var typ = buf.getInt()
+    // tolerate EWKB SRID flag (0x20000000) and Z flag absence
+    val hasSrid = (typ & 0x20000000) != 0
+    typ &= 0xFF
+    if (hasSrid) buf.getInt() // skip srid
+    typ match {
+      case PointT => PointG(Pt(buf.getDouble(), buf.getDouble()))
+      case LineT =>
+        val n = buf.getInt()
+        val pts = Array.fill(n)(Pt(buf.getDouble(), buf.getDouble()))
+        LineStringG(pts)
+      case PolyT =>
+        val nr = buf.getInt()
+        val rings = Array.fill(nr) {
+          val n = buf.getInt()
+          Array.fill(n)(Pt(buf.getDouble(), buf.getDouble()))
+        }
+        PolygonG(rings)
+      case MPointT =>
+        val n = buf.getInt()
+        MultiPointG(Array.fill(n)(readGeom(buf).asInstanceOf[PointG].p))
+      case MLineT =>
+        val n = buf.getInt()
+        MultiLineStringG(Array.fill(n)(readGeom(buf).asInstanceOf[LineStringG]))
+      case MPolyT =>
+        val n = buf.getInt()
+        MultiPolygonG(Array.fill(n)(readGeom(buf).asInstanceOf[PolygonG]))
+      case CollT =>
+        val n = buf.getInt()
+        val parts = Array.fill(n)(readGeom(buf))
+        // flatten to multipolygon/multiline where possible; else first part
+        if (parts.forall(_.isInstanceOf[PolygonG]))
+          MultiPolygonG(parts.map(_.asInstanceOf[PolygonG]))
+        else parts(0)
+      case other => throw new IllegalArgumentException(s"unsupported WKB type $other")
+    }
+  }
+
+  // ---- WKT (fixture convenience; subset) ------------------------------------
+  def fromWkt(wkt: String): Geom = {
+    val s = wkt.trim
+    val open = s.indexOf('(')
+    val name = s.substring(0, open).trim.toUpperCase
+    val body = s.substring(open)
+    def parsePts(str: String): Array[Pt] =
+      str.split(",").map { t =>
+        val parts = t.trim.split("\\s+")
+        Pt(parts(0).toDouble, parts(1).toDouble)
+      }
+    def stripOuter(str: String): String = {
+      val t = str.trim
+      require(t.startsWith("(") && t.endsWith(")"), s"bad WKT body: $t")
+      t.substring(1, t.length - 1)
+    }
+    def splitTop(str: String): Seq[String] = {
+      val out = ArrayBuffer.empty[String]
+      var depth = 0; var start = 0
+      for (i <- str.indices) str(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += str.substring(start, i); start = i + 1
+        case _ =>
+      }
+      out += str.substring(start)
+      out.toSeq
+    }
+    name match {
+      case "POINT" => PointG(parsePts(stripOuter(body))(0))
+      case "LINESTRING" => LineStringG(parsePts(stripOuter(body)))
+      case "POLYGON" =>
+        PolygonG(splitTop(stripOuter(body)).map(r => parsePts(stripOuter(r))).toArray)
+      case "MULTIPOLYGON" =>
+        MultiPolygonG(splitTop(stripOuter(body)).map { p =>
+          PolygonG(splitTop(stripOuter(p)).map(r => parsePts(stripOuter(r))).toArray)
+        }.toArray)
+      case other => throw new IllegalArgumentException(s"unsupported WKT: $other")
+    }
+  }
+
+  def toWkt(g: Geom): String = g match {
+    case PointG(p) => s"POINT(${fmt(p.x)} ${fmt(p.y)})"
+    case LineStringG(pts) => s"LINESTRING(${pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(",")})"
+    case PolygonG(rings) =>
+      s"POLYGON(${rings.map(r => "(" + r.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(",") + ")").mkString(",")})"
+    case MultiPolygonG(ps) =>
+      s"MULTIPOLYGON(${ps.map(p => toWkt(p).stripPrefix("POLYGON")).mkString(",")})"
+    case MultiPointG(pts) => s"MULTIPOINT(${pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString(",")})"
+    case MultiLineStringG(ls) =>
+      s"MULTILINESTRING(${ls.map(l => toWkt(l).stripPrefix("LINESTRING")).mkString(",")})"
+  }
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+}

@@ -1,0 +1,147 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.geom._
+import graft.core.cell.Grid
+
+class GeomSpec extends AnyFunSuite {
+  // seeded property loops (scalatestplus bridge is not in the offline cache)
+  private def forRandom(n: Int)(body: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (1 to n).foreach(_ => body(rnd))
+  }
+
+  test("WKB round-trip for all geometry types") {
+    val geoms: Seq[Geom] = Seq(
+      Geom.point(1000.5, -2000.25),
+      Geom.line((0, 0), (10, 0), (10, 10)),
+      Geom.envelopePoly(1000, 2000, 1025, 2025),
+      PolygonG(Array(
+        Array(Pt(0, 0), Pt(100, 0), Pt(100, 100), Pt(0, 100), Pt(0, 0)),
+        Array(Pt(40, 40), Pt(60, 40), Pt(60, 60), Pt(40, 60), Pt(40, 40)))),
+      MultiPolygonG(Array(
+        Geom.envelopePoly(0, 0, 10, 10), Geom.envelopePoly(20, 20, 30, 30))),
+      MultiPointG(Array(Pt(1, 2), Pt(3, 4))),
+      MultiLineStringG(Array(Geom.line((0, 0), (1, 1)), Geom.line((2, 2), (3, 3)))))
+    // Array fields make case-class == reference-based; compare via WKT text.
+    for (g <- geoms)
+      assert(Geom.toWkt(Geom.fromWkb(Geom.toWkb(g))) == Geom.toWkt(g), s"roundtrip $g")
+  }
+
+  test("WKB equality is structural (arrays)") {
+    val a = Geom.toWkb(Geom.point(1, 2))
+    val b = Geom.toWkb(Geom.point(1, 2))
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("distance point-point / point-segment / point-polygon") {
+    assert(Geom.distance(Geom.point(0, 0), Geom.point(3, 4)) == 5.0)
+    assert(Geom.distance(Geom.point(5, 5), Geom.line((0, 0), (10, 0))) == 5.0)
+    val poly = Geom.envelopePoly(0, 0, 10, 10)
+    assert(Geom.distance(Geom.point(5, 5), poly) == 0.0)       // inside
+    assert(Geom.distance(Geom.point(15, 5), poly) == 5.0)      // outside
+    assert(Geom.distance(Geom.point(13, 14), poly) == 5.0)     // corner
+  }
+
+  test("distance polygon-polygon: 0 when overlapping, gap when disjoint") {
+    val a = Geom.envelopePoly(0, 0, 10, 10)
+    val b = Geom.envelopePoly(5, 5, 15, 15)
+    val c = Geom.envelopePoly(20, 0, 30, 10)
+    assert(Geom.distance(a, b) == 0.0)
+    assert(Geom.distance(a, c) == 10.0)
+  }
+
+  test("within: point in polygon with hole, multipolygon") {
+    val donut = PolygonG(Array(
+      Array(Pt(0, 0), Pt(100, 0), Pt(100, 100), Pt(0, 100), Pt(0, 0)),
+      Array(Pt(40, 40), Pt(60, 40), Pt(60, 60), Pt(40, 60), Pt(40, 40))))
+    assert(Geom.within(Geom.point(10, 10), donut))
+    assert(!Geom.within(Geom.point(50, 50), donut)) // in hole
+    assert(!Geom.within(Geom.point(150, 50), donut))
+    val mp = MultiPolygonG(Array(Geom.envelopePoly(0, 0, 10, 10), Geom.envelopePoly(20, 20, 30, 30)))
+    assert(Geom.within(Geom.point(25, 25), mp))
+    assert(!Geom.within(Geom.point(15, 15), mp))
+  }
+
+  test("centroid: point, rectangle, L-polygon, line") {
+    assert(Geom.envelopePoly(0, 0, 10, 10).centroid == Pt(5, 5))
+    assert(Geom.line((0, 0), (10, 0)).centroid == Pt(5, 0))
+    // L-shape: union of [0,10]x[0,10] and [10,20]x[0,5] -> area 100+50
+    val l = PolygonG(Array(Array(
+      Pt(0, 0), Pt(20, 0), Pt(20, 5), Pt(10, 5), Pt(10, 10), Pt(0, 10), Pt(0, 0))))
+    val c = l.centroid
+    val ex = (5.0 * 100 + 15.0 * 50) / 150
+    val ey = (5.0 * 100 + 2.5 * 50) / 150
+    assert(math.abs(c.x - ex) < 1e-9 && math.abs(c.y - ey) < 1e-9)
+  }
+
+  test("WKT parse round-trip") {
+    val g = Geom.fromWkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    assert(Geom.toWkt(g) == Geom.toWkt(Geom.envelopePoly(0, 0, 10, 10)))
+    assert(Geom.toWkt(Geom.fromWkt(Geom.toWkt(g))) == Geom.toWkt(g))
+    val mp = Geom.fromWkt("MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))")
+    assert(mp.isInstanceOf[MultiPolygonG])
+  }
+
+  test("property: cell cover has no false negatives for dwithin pairs") {
+    val cellSize = 1000.0
+    val d = 800.0
+    forRandom(2000) { rnd =>
+      val x1 = rnd.between(-50000.0, 50000.0); val y1 = rnd.between(-50000.0, 50000.0)
+      // generate the second point near the first so pairs actually hit d
+      val x2 = x1 + rnd.between(-1200.0, 1200.0); val y2 = y1 + rnd.between(-1200.0, 1200.0)
+      val a = Pt(x1, y1); val b = Pt(x2, y2)
+      if (a.distTo(b) <= d) {
+        val cellsA = Grid.coverEnvelope(Envelope(x1, y1, x1, y1), 0, cellSize)
+        val cellsB = Grid.coverEnvelope(Envelope(x2, y2, x2, y2), d, cellSize)
+        assert(cellsA.exists(cellsB.contains),
+          s"pair within $d m must share a cell: $a $b")
+      }
+    }
+  }
+
+  test("property: winding-number PiP agrees with bbox check on rectangles") {
+    forRandom(2000) { rnd =>
+      val px = rnd.between(0.0, 1000.0); val py = rnd.between(0.0, 1000.0)
+      val poly = Geom.envelopePoly(200, 200, 800, 800)
+      val inside = px > 200 && px < 800 && py > 200 && py < 800
+      val onEdge = (px == 200 || px == 800) && py >= 200 && py <= 800 ||
+                   (py == 200 || py == 800) && px >= 200 && px <= 800
+      if (!onEdge) assert(poly.containsPoint(Pt(px, py)) == inside)
+    }
+  }
+
+  test("grid kRing and cell packing") {
+    val c = Grid.cellOf(1500, -2500, 1000)
+    assert(Grid.cellX(c) == 1 && Grid.cellY(c) == -3)
+    assert(Grid.kRing(c, 1).length == 9)
+    assert(Grid.kRing(c, 1).contains(c))
+  }
+
+  test("SWEREF99 TM round-trip and known point") {
+    // Gävle city center approx: lat 60.6749, lon 17.1413
+    val (x, y) = Proj.wgs84ToSweref(17.1413, 60.6749)
+    // Expected around E 617,000 N 6,728,000 (SWEREF99 TM)
+    assert(math.abs(x - 617000) < 2000, s"easting $x")
+    assert(math.abs(y - 6728000) < 3000, s"northing $y")
+    val (lon, lat) = Proj.swerefToWgs84(x, y)
+    assert(math.abs(lon - 17.1413) < 1e-7)
+    assert(math.abs(lat - 60.6749) < 1e-7)
+  }
+
+  test("property: projection round-trip within Sweden < 1e-6 deg") {
+    forRandom(500) { rnd =>
+      val lon = rnd.between(11.0, 24.0); val lat = rnd.between(55.0, 69.0)
+      val (x, y) = Proj.wgs84ToSweref(lon, lat)
+      val (lon2, lat2) = Proj.swerefToWgs84(x, y)
+      assert(math.abs(lon - lon2) < 1e-6 && math.abs(lat - lat2) < 1e-6)
+    }
+  }
+
+  test("z14 tile assignment is stable and in range") {
+    val (tx, ty) = Proj.tileOfSweref(617000, 6728000, 14)
+    assert(tx >= 0 && tx < (1 << 14) && ty >= 0 && ty < (1 << 14))
+    // Gävle is ~17.14E — z14 tile x ≈ (17.14+180)/360*16384 ≈ 8972
+    assert(math.abs(tx - 8972) <= 2, s"tile x $tx")
+  }
+}
