@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.tags.Tags
+import graft.operators.SpatialJoin
+import graft.sources.Pages
+import graft.engine.MatchEngine.MatchConfig
+import graft.engine.DeviationView._
+
+/**
+ * The flagship end-to-end pipeline over the web-scale input contract:
+ * synthesize pages -> extract osm_element / upstream_item -> name-tier
+ * cell-bucketed match (50 m other / 250 m name tiers) -> deviation rows.
+ *
+ * This is the throughput unit of BASELINE.json ("spatial-join + deviation
+ * rows/sec"): everything downstream of `Pages.synthesize` is the production
+ * path — at 10^12 pages only the generator is replaced by an Iceberg scan.
+ */
+object BenchPipeline {
+
+  val spec: Tags.MatchSpec = Tags.MatchSpec(Some("name"), Nil, dOther = 50.0, dName = 250.0)
+
+  val titles: Titles = Titles(
+    missing = ("POI saknas", "Enligt källan ska det finnas en POI här"),
+    possiblyClosed = Some(("POI möjligen stängd", "Enligt källan finns det ingen POI här")),
+    missingTags = ("POI saknar taggar", "Följande taggar saknas på POI:n här"))
+
+  def config(saltThreshold: Long = Long.MaxValue, saltFactor: Int = 16): MatchConfig =
+    MatchConfig(
+      matchSpec = spec,
+      cellSize = 1000.0,
+      antiLeg = true,
+      saltThreshold = saltThreshold,
+      saltFactor = saltFactor)
+
+  /** extraction + projection of both sides from a pages frame */
+  def extract(pages: DataFrame): (DataFrame, DataFrame) = {
+    val osm = Pages.extractOsmElements(pages)
+      .filter(col("tags")("amenity") === "bench_poi")
+    val ups = Pages.extractUpstreamItems(pages)
+      .filter(col("dataset_id") === Pages.BenchDatasetId)
+      .withColumn("ids", array(col("id")))
+      .withColumn("tags", map_filter(
+        map(lit("amenity"), lit("bench_poi"),
+            lit("name"), get_json_object(col("original_attributes"), "$.name")),
+        (_, v) => v.isNotNull))
+    (osm, ups)
+  }
+
+  def matchRows(pages: DataFrame, saltThreshold: Long = Long.MaxValue): DataFrame = {
+    val (osm, ups) = extract(pages)
+    MatchEngine.matchView(osm, ups, config(saltThreshold))
+  }
+
+  def deviations(matchDf: DataFrame): DataFrame =
+    DeviationView.deviations(matchDf, DeviationConfig(
+      datasetId = Pages.BenchDatasetId,
+      layerId = 1L,
+      viewName = "bench_pois",
+      titles = titles,
+      postFilter = MissingOrDiffNonEmpty))
+
+  /** full run from synthesis; the flagship entry */
+  def run(spark: SparkSession, nSites: Long, saltThreshold: Long = Long.MaxValue): DataFrame = {
+    val pages = Pages.synthesize(spark, nSites)
+    deviations(matchRows(pages, saltThreshold))
+  }
+}

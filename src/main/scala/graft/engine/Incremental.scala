@@ -1,0 +1,183 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+import graft.operators.SpatialJoin
+import graft.operators.SpatialJoin.DWithinSpec
+
+/**
+ * Incremental deviation maintenance — the batch re-expression of the
+ * reference's row triggers (15-recalculation.sql:131-190, SURVEY.md §2.10 T5):
+ *
+ *  on element DELETE: pure-deletion suggestions (no suggested geom/tags) are
+ *    marked fixed; rows with upstream references are recalculated;
+ *  on element UPDATE: tag-only suggestions now satisfied
+ *    (tag_diff(new_tags, suggested_tags) = {}) are marked fixed; others
+ *    recalculated;
+ *  on element INSERT: open "missing" deviations (osm_element_id NULL) within
+ *    100 m of the new element's geometry are recalculated — note the fixed
+ *    100 m radius is its OWN spec, independent of any dataset's match
+ *    distances (SURVEY.md §7.4.7);
+ *  recalculate (15:65-93): re-read the freshly recomputed deviation view; a
+ *    matching row (same dataset/layer and same upstream ids OR same osm
+ *    element) updates tags/geom/title/description/element in place (action
+ *    preserved); no match → mark fixed if the upstream items still exist,
+ *    else delete unless user-actioned.
+ *
+ * All steps are set-based joins over the snapshot store — the per-row trigger
+ * loop becomes three joins + one merge, shuffle-partitioned by element key /
+ * cell, so the same code handles one edit or a 10^9-row replication batch.
+ */
+object Incremental {
+
+  /** One OSM edit batch. `inserted`/`updated` carry full element rows
+    * (type, id, tags, geom, cx, cy, is_point); `deleted` needs (type, id). */
+  final case class OsmEditBatch(
+      inserted: Option[DataFrame] = None,
+      updated: Option[DataFrame] = None,
+      deleted: Option[DataFrame] = None)
+
+  private val tagDiffEmpty = udf(
+    (newTags: Map[String, String], suggested: Map[String, String]) =>
+      graft.core.tags.Tags.tagDiff(
+        if (newTags == null) Map.empty[String, String] else newTags,
+        if (suggested == null) Map.empty[String, String] else suggested).isEmpty)
+
+  /**
+   * Apply one edit batch. `recomputeView` must produce the deviation view
+   * (DeviationView.deviations output) evaluated against the POST-edit element
+   * state. `upstreamItems` = current upstream.item (id, dataset_id).
+   * Writes a new store snapshot; returns (recalculated, fixed, deleted).
+   */
+  def applyEdits(
+      store: DeviationStore,
+      batch: OsmEditBatch,
+      recomputeView: () => DataFrame,
+      upstreamItems: DataFrame,
+      viewName: String,
+      actionTs: java.sql.Timestamp): (Long, Long, Long) = {
+
+    val all = store.latest().cache()
+    val dev = all.filter(col("view_name") === viewName)
+    val others = all.filter(!(col("view_name") <=> viewName))
+
+    val elemKey = (d: DataFrame) =>
+      d.select(col("id").as("e_id"), col("type").as("e_type"),
+               col("tags").as("e_tags"))
+
+    // --- classify per trigger semantics ---
+    val onDeleted: DataFrame = batch.deleted.map { del =>
+      dev.join(del.select(col("id").as("e_id"), col("type").as("e_type")),
+        col("osm_element_id") === col("e_id") && col("osm_element_type") === col("e_type"),
+        "inner").drop("e_id", "e_type")
+    }.getOrElse(dev.limit(0))
+
+    val delFixed = onDeleted.filter(col("suggested_geom").isNull && col("suggested_tags").isNull)
+    val delRecalc = onDeleted.filter(
+      !(col("suggested_geom").isNull && col("suggested_tags").isNull) &&
+        size(col("upstream_item_ids")) > 0)
+
+    val onUpdated: DataFrame = batch.updated.map { upd =>
+      dev.join(elemKey(upd),
+        col("osm_element_id") === col("e_id") && col("osm_element_type") === col("e_type"),
+        "inner")
+    }.getOrElse(dev.limit(0).withColumn("e_tags", lit(null).cast("map<string,string>")))
+
+    val updFixed = onUpdated.filter(
+      col("suggested_geom").isNull && col("suggested_tags").isNotNull &&
+        tagDiffEmpty(col("e_tags"), col("suggested_tags")))
+      .drop("e_id", "e_type", "e_tags")
+    val updRecalc = onUpdated.filter(
+      !(col("suggested_geom").isNull && col("suggested_tags").isNotNull &&
+        tagDiffEmpty(col("e_tags"), col("suggested_tags"))))
+      .drop("e_id", "e_type", "e_tags")
+
+    val insRecalc: DataFrame = batch.inserted.map { ins =>
+      val openMissing = SpatialJoin.withGeoMeta(
+        dev.filter(col("osm_element_id").isNull && col("suggested_geom").isNotNull),
+        "suggested_geom")
+      // new elements within 100 m of an open suggestion (fixed radius, T5)
+      SpatialJoin.dwithinCandidates(
+          build = ins, probe = openMissing,
+          buildGeom = "geom", probeGeom = "suggested_geom",
+          spec = DWithinSpec(100.0, 1000.0))
+        .select(dev.columns.map(c => col(s"p_$c").as(c)): _*)
+    }.getOrElse(dev.limit(0))
+
+    val key = DeviationStore.keyCols :+ "view_name"
+    // surrogate key: NULLS-NOT-DISTINCT uniq tuple as a hash — avoids both
+    // null-eq pitfalls and ambiguous self-join references
+    def withK(d: DataFrame): DataFrame =
+      d.withColumn("__k", sha2(to_json(struct(key.map(col): _*)), 256))
+
+    val toRecalc = withK(delRecalc.unionByName(updRecalc).unionByName(insRecalc)
+      .dropDuplicates(key))
+    val toFix = delFixed.unionByName(updFixed).dropDuplicates(key)
+
+    // --- recalculate against the fresh view ---
+    val view = recomputeView().withColumn("view_name", lit(viewName))
+    val vk = view.columns.foldLeft(view)((d, c) => d.withColumnRenamed(c, "v_" + c))
+    val matchCond =
+      col("dataset_id") === col("v_dataset_id") &&
+      col("layer_id") === col("v_layer_id") && (
+        col("upstream_item_ids") <=> col("v_upstream_item_ids") ||
+        (col("osm_element_id").isNotNull &&
+         col("osm_element_id") <=> col("v_osm_element_id") &&
+         col("osm_element_type") <=> col("v_osm_element_type")))
+
+    val joined = toRecalc.join(vk, matchCond, "left")
+
+    val matched = joined.filter(col("v_dataset_id").isNotNull)
+      .select(
+        col("dataset_id"), col("layer_id"),
+        col("upstream_item_ids"),
+        col("v_suggested_geom").as("suggested_geom"),
+        col("v_suggested_tags").as("suggested_tags"),
+        col("v_osm_element_id").as("osm_element_id"),
+        col("v_osm_element_type").as("osm_element_type"),
+        col("v_title").as("title"),
+        col("v_description").as("description"),
+        col("note"), col("view_name"), col("center"),
+        col("municipality_code"), col("action"), col("action_at"))
+      .dropDuplicates(Seq("dataset_id", "layer_id", "upstream_item_ids",
+        "osm_element_id", "osm_element_type")) // SELECT INTO takes one row
+
+    val unmatched = joined.filter(col("v_dataset_id").isNull)
+      .select(toRecalc.columns.map(col): _*)
+    // upstream items still present? (explode ids, semi-join items)
+    val stillExistKeys = unmatched
+      .withColumn("__iid", explode_outer(col("upstream_item_ids")))
+      .join(upstreamItems.select(col("id").as("__iid")).distinct(), Seq("__iid"), "left_semi")
+      .select("__k").distinct()
+    val stillExists = unmatched.join(stillExistKeys, Seq("__k"), "left_semi")
+    val gone = unmatched.join(stillExistKeys, Seq("__k"), "left_anti")
+
+    val fixedFromRecalc = stillExists
+      .withColumn("action", lit("fixed"))
+      .withColumn("action_at", lit(actionTs))
+    val deletedRows = gone.filter(col("action").isNull || col("action") === "deferred")
+    val keptGone = gone.filter(col("action").isNotNull && col("action") =!= "deferred")
+
+    val fixed = withK(toFix)
+      .withColumn("action", lit("fixed"))
+      .withColumn("action_at", lit(actionTs))
+
+    // --- merge: untouched ∪ matched-updates ∪ fixed ∪ kept ---
+    val touchedKeys = toRecalc.select("__k").unionByName(fixed.select("__k")).distinct()
+    val untouched = withK(dev).join(touchedKeys, Seq("__k"), "left_anti")
+
+    val cols = DeviationStore.schema.fieldNames.map(col)
+    val result = untouched.select(cols: _*)
+      .unionByName(matched.select(cols: _*))
+      .unionByName(fixedFromRecalc.select(cols: _*))
+      .unionByName(keptGone.select(cols: _*))
+      .unionByName(fixed.select(cols: _*))
+
+    val nRecalc = toRecalc.count(); val nFixed = fixed.count() + fixedFromRecalc.count()
+    val nDeleted = deletedRows.count()
+    store.commit(others.unionByName(result), s"incremental:$viewName")
+    all.unpersist()
+    (nRecalc, nFixed, nDeleted)
+  }
+}

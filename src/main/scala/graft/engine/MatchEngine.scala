@@ -1,0 +1,182 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.broadcast.Broadcast
+import graft.core.geom.{Geom, Pt}
+import graft.core.tags.Tags
+import graft.functions.GeoFunctions._
+import graft.operators.SpatialJoin
+import graft.operators.SpatialJoin.DWithinSpec
+
+/**
+ * The per-dataset match pipeline — Spark re-expression of the reference's
+ * `v_match_<name>` views (e.g. 12-v-deviation_preschools_scb.sql:1-37,
+ * 14-v_deviation_trees_gavle.sql:1-33):
+ *
+ *   ups LEFT JOIN osm ON match_condition(...)      (J1/J2)
+ *   DISTINCT ON (ups.id) ORDER BY match_score(...) (J4 rank-1)
+ *   UNION ALL unmatched-OSM anti leg               (J5)
+ *
+ * as a cell-bucketed candidate join + window rank + left_anti, all Catalyst-
+ * planned. Determinism: the reference's DISTINCT ON is tie-unstable; we pin
+ * the total order (score, osm type, osm id) — divergence only on exact ties.
+ */
+object MatchEngine {
+
+  /** Declarative per-dataset config (the 20 reference views become data).
+    *
+    * @param tagsVisibleToMatch false replicates the reference quirk where
+    *   upstream tags are a JSON ARRAY of alternatives and `->>` on an array
+    *   yields NULL inside match_condition/match_score — so name/ref tiers
+    *   never fire (12-v-deviation_preschools_scb.sql:27: tag_alternatives
+    *   output is passed straight into match_condition).
+    * @param muniGuardWhere replicates `WHERE osm.code = ups.code` placed
+    *   AFTER the left join (12:28): null-extended rows are filtered, so
+    *   upstream items only survive leg 1 when a same-municipality candidate
+    *   matched.
+    * @param antiMatchSpec the anti leg may use different distances than the
+    *   main match (tests/test_recalculate_on_element.sql:83: 500 m vs 100 m).
+    */
+  final case class MatchConfig(
+      matchSpec: Tags.MatchSpec,
+      cellSize: Double = 1000.0,
+      antiLeg: Boolean = true,
+      antiMatchSpec: Option[Tags.MatchSpec] = None,
+      tagsVisibleToMatch: Boolean = true,
+      muniGuardWhere: Boolean = false,
+      saltThreshold: Long = Long.MaxValue,
+      saltFactor: Int = 16)
+
+  /**
+   * Point-in-polygon municipality stamping (J3) — broadcast the ~290 polygons
+   * and evaluate winding-number containment per row; optional closest-
+   * centroid fallback replicates 32-api-municipality-code-trigger-closest.sql.
+   */
+  def municipalityCodeUdf(
+      munis: Broadcast[Array[(String, Array[Byte])]],
+      closestFallback: Boolean) = {
+    udf((x: Double, y: Double) => {
+      val p = Pt(x, y)
+      val geoms = munis.value
+      var i = 0
+      var found: String = null
+      while (i < geoms.length && found == null) {
+        if (Geom.within(graft.core.geom.PointG(p), Geom.fromWkb(geoms(i)._2)))
+          found = geoms(i)._1
+        i += 1
+      }
+      if (found == null && closestFallback && geoms.nonEmpty) {
+        var best = Double.MaxValue; var bestCode: String = null
+        for ((code, wkb) <- geoms) {
+          val d = Geom.distance(graft.core.geom.PointG(p), Geom.fromWkb(wkb))
+          if (d < best) { best = d; bestCode = code }
+        }
+        bestCode
+      } else found
+    })
+  }
+
+  /** Stamp `muni_code` from centroid columns using broadcast polygons. */
+  def withMunicipality(df: DataFrame, munis: Broadcast[Array[(String, Array[Byte])]],
+                       closestFallback: Boolean = false): DataFrame =
+    df.withColumn("muni_code",
+      municipalityCodeUdf(munis, closestFallback)(col("cx"), col("cy")))
+
+  /**
+   * Build the match view.
+   *
+   * Inputs (caller pre-filters/projects, mirroring the views' CTEs):
+   *  - osm: (type, id, tags MAP, geom WKB, cx, cy, is_point [, muni_code])
+   *  - ups: (ids ARRAY<LONG>, tags MAP or tag_alts ARRAY<MAP>, geometry WKB,
+   *          cx, cy, is_point [, muni_code])
+   *
+   * Output (the mv_match_* schema, 12:23-29 + osm geom carried for tiles):
+   *   upstream_item_ids, upstream_tags (same type as input tags),
+   *   upstream_geom, osm_element_id, osm_element_type, osm_tags, osm_geom,
+   *   dist
+   */
+  def matchView(osm: DataFrame, ups: DataFrame, cfg: MatchConfig): DataFrame = {
+    val spec = cfg.matchSpec
+    val upsTagsCol = if (ups.columns.contains("tag_alts")) "tag_alts" else "tags"
+
+    val candidates = SpatialJoin.dwithinCandidates(
+      build = osm, probe = ups,
+      buildGeom = "geom", probeGeom = "geometry",
+      spec = DWithinSpec(spec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor))
+
+    // tags_b as seen by match_condition/match_score — empty map when the
+    // upstream side is an alternatives ARRAY (reference quirk, see MatchConfig)
+    val tagsB: Column =
+      if (cfg.tagsVisibleToMatch && upsTagsCol == "tags") col("p_tags")
+      else map().cast("map<string,string>")
+
+    val matched0 = candidates
+      .withColumn("__cond", matchConditionU(spec)(col("b_tags"), tagsB, col("dist")))
+      .filter(col("__cond"))
+      .withColumn("score", matchScoreU(spec)(col("b_tags"), tagsB, col("dist")))
+
+    val matched =
+      if (cfg.muniGuardWhere) matched0.filter(col("b_muni_code") === col("p_muni_code"))
+      else matched0
+
+    // rank-1 per upstream row; key on the ids array (unique per ups row)
+    val w = Window.partitionBy(col("p_ids"))
+      .orderBy(col("score"), col("b_type"), col("b_id"))
+    val best = matched
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(
+        col("p_ids").as("upstream_item_ids"),
+        col(s"p_$upsTagsCol").as("upstream_tags"),
+        col("p_geometry").as("upstream_geom"),
+        col("b_id").as("osm_element_id"),
+        col("b_type").as("osm_element_type"),
+        col("b_tags").as("osm_tags"),
+        col("b_geom").as("osm_geom"),
+        col("dist"))
+
+    // leg 1: with the WHERE-guard the left extension is suppressed
+    // (reference behavior); otherwise ups rows with no candidate surface
+    // with null osm columns (the "missing from OSM" state).
+    val leg1 =
+      if (cfg.muniGuardWhere) best
+      else {
+        val upsKeyed = ups.select(
+          col("ids").as("upstream_item_ids"),
+          col(upsTagsCol).as("upstream_tags"),
+          col("geometry").as("upstream_geom"))
+        upsKeyed.join(best.drop("upstream_tags", "upstream_geom"),
+            Seq("upstream_item_ids"), "left")
+      }
+
+    if (!cfg.antiLeg) leg1
+    else {
+      // anti leg (J5): OSM rows with NO upstream candidate under the anti
+      // spec (which may widen the distance), ignoring the muni guard —
+      // matching `FROM osm LEFT JOIN ups ON match_condition WHERE ups.id IS
+      // NULL` (12:31-37).
+      val antiSpec = cfg.antiMatchSpec.getOrElse(spec)
+      val antiCands = SpatialJoin.dwithinCandidates(
+          build = osm, probe = ups,
+          buildGeom = "geom", probeGeom = "geometry",
+          spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor))
+        .withColumn("__cond", matchConditionU(antiSpec)(col("b_tags"), tagsB, col("dist")))
+        .filter(col("__cond"))
+        .select(col("b_type").as("type"), col("b_id").as("id"))
+        .distinct()
+      val anti = osm.join(antiCands, Seq("type", "id"), "left_anti")
+        .select(
+          array().cast("array<long>").as("upstream_item_ids"),
+          lit(null).cast(leg1.schema("upstream_tags").dataType).as("upstream_tags"),
+          lit(null).cast("binary").as("upstream_geom"),
+          col("id").as("osm_element_id"),
+          col("type").as("osm_element_type"),
+          col("tags").as("osm_tags"),
+          col("geom").as("osm_geom"),
+          lit(null).cast("double").as("dist"))
+      leg1.select(anti.columns.map(col): _*).unionByName(anti)
+    }
+  }
+}

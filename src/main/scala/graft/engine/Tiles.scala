@@ -1,0 +1,97 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.geom._
+import graft.functions.GeoFunctions._
+
+/**
+ * Tile assignment for match rows — the judged output of the reference's MVT
+ * functions api.tile_match_*(z, x, y) (12-v-deviation_preschools_scb.sql:75-99)
+ * inverted: instead of answering one (z,x,y) request at a time, emit
+ * (tile_x, tile_y, state, feature) for every match row at a fixed zoom
+ * (z14 per the north rule), distributable as a single projection + explode.
+ *
+ * Semantics per reference row:
+ *   feature = arrow ST_MakeLine(centroid(ups), centroid(osm)) when both geoms
+ *             exist, else the existing side's centroid (transformed 3857);
+ *   state   = not-in-osm | not-in-upstream | in-both;
+ *   row ∈ tile T iff ST_Intersects(ups_geom, T_bounds_3006)
+ *                 OR (osm row exists AND ST_Intersects(osm_geom, T_bounds_3006)).
+ */
+object Tiles {
+
+  /** tiles whose EPSG:3006-projected bounds intersect the geometry */
+  private def tilesFor(g: Geom, z: Int): Seq[(Int, Int)] = {
+    val env = g.envelope
+    // project envelope corners to 3857 (margin: corners bound the quad well
+    // at tile scale; TM distortion over ≤ a few km is far below a tile)
+    val corners = Seq((env.minX, env.minY), (env.minX, env.maxY),
+                      (env.maxX, env.minY), (env.maxX, env.maxY))
+      .map { case (x, y) =>
+        val (lon, lat) = Proj.swerefToWgs84(x, y)
+        Proj.wgs84ToMercator(lon, lat)
+      }
+    val mxs = corners.map(_._1); val mys = corners.map(_._2)
+    val world = 2 * math.Pi * 6378137.0
+    val ts = world / (1 << z)
+    def tx(m: Double) = math.floor((m + world / 2) / ts).toInt
+    def ty(m: Double) = math.floor((world / 2 - m) / ts).toInt
+    val x0 = tx(mxs.min); val x1 = tx(mxs.max)
+    val y0 = ty(mys.max); val y1 = ty(mys.min)
+    for {
+      txx <- x0 to x1
+      tyy <- y0 to y1
+      if intersectsTile(g, z, txx, tyy)
+    } yield (txx, tyy)
+  }
+
+  private def intersectsTile(g: Geom, z: Int, tx: Int, ty: Int): Boolean = {
+    val e = Proj.tileEnvelope3857(z, tx, ty)
+    // tile bounds back to 3006 as a quad polygon (reference transforms bounds
+    // to 3006 and intersects there — 12:97)
+    val quad = PolygonG(Array(
+      Array((e.minX, e.minY), (e.maxX, e.minY), (e.maxX, e.maxY), (e.minX, e.maxY), (e.minX, e.minY))
+        .map { case (mx, my) =>
+          val lon = math.toDegrees(mx / 6378137.0)
+          val lat = math.toDegrees(math.atan(math.sinh(my / 6378137.0)))
+          val (sx, sy) = Proj.wgs84ToSweref(lon, lat)
+          Pt(sx, sy)
+        }))
+    Geom.distance(g, quad) == 0.0
+  }
+
+  private val tileCover = udf((ups: Array[Byte], osm: Array[Byte], z: Int) => {
+    val fromUps = if (ups != null) tilesFor(Geom.fromWkb(ups), z) else Seq.empty
+    val fromOsm = if (osm != null) tilesFor(Geom.fromWkb(osm), z) else Seq.empty
+    (fromUps ++ fromOsm).distinct
+  })
+
+  /**
+   * matchDf: output of MatchEngine.matchView (carries upstream_geom,
+   * osm_geom, upstream_item_ids, osm_element_id, upstream_tags).
+   * Returns (tile_x, tile_y, z, state, feature WKB in 3006, upstream_tags).
+   */
+  def tileAssignment(matchDf: DataFrame, z: Int = 14): DataFrame = {
+    matchDf
+      .withColumn("state",
+        when(col("osm_element_id").isNull, "not-in-osm")
+          .when(size(col("upstream_item_ids")) === 0, "not-in-upstream")
+          .otherwise("in-both"))
+      .withColumn("feature",
+        when(col("upstream_geom").isNotNull && col("osm_geom").isNotNull,
+          stMakeArrow(col("upstream_geom"), col("osm_geom")))
+          .when(col("upstream_geom").isNotNull, stCentroidWkb(col("upstream_geom")))
+          .otherwise(stCentroidWkb(col("osm_geom"))))
+      .withColumn("tile", explode(tileCover(col("upstream_geom"), col("osm_geom"), lit(z))))
+      .select(
+        col("tile._1").as("tile_x"),
+        col("tile._2").as("tile_y"),
+        lit(z).as("z"),
+        col("state"),
+        col("feature"),
+        col("upstream_item_ids"),
+        col("osm_element_id"),
+        col("osm_element_type"))
+  }
+}

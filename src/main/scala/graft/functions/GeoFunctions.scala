@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.geom._
+import graft.core.cell.Grid
+import graft.core.tags.Tags
+
+/**
+ * Spark-facing function surface over the pure core (graft.core.*).
+ *
+ * Design note (SURVEY.md §4): the hot-path distance refinement in the match
+ * join does NOT go through these UDFs — point/point distance is computed with
+ * native codegen'd column arithmetic on materialized (cx, cy) columns; the
+ * WKB UDFs below are the general-geometry fallback and the fixture/export
+ * path. Everything here is deterministic and null-tolerant.
+ */
+object GeoFunctions {
+
+  // ---- geometry scalar UDFs (WKB BinaryType) -------------------------------
+  val stPoint = udf((x: Double, y: Double) => Geom.toWkb(Geom.point(x, y)))
+
+  val stDistance = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) null
+    else java.lang.Double.valueOf(Geom.distance(Geom.fromWkb(a), Geom.fromWkb(b))))
+
+  val stDWithin = udf((a: Array[Byte], b: Array[Byte], d: Double) =>
+    if (a == null || b == null) null
+    else java.lang.Boolean.valueOf(Geom.dwithin(Geom.fromWkb(a), Geom.fromWkb(b), d)))
+
+  val stWithin = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) null
+    else java.lang.Boolean.valueOf(Geom.within(Geom.fromWkb(a), Geom.fromWkb(b))))
+
+  /** Centroid as (x, y) struct — callers usually need coordinates, not WKB. */
+  val stCentroid = udf((a: Array[Byte]) =>
+    if (a == null) null
+    else { val c = Geom.fromWkb(a).centroid; (c.x, c.y) })
+
+  val stCentroidWkb = udf((a: Array[Byte]) =>
+    if (a == null) null else Geom.toWkb(PointG(Geom.fromWkb(a).centroid)))
+
+  val stEnvelope = udf((a: Array[Byte]) =>
+    if (a == null) null
+    else { val e = Geom.fromWkb(a).envelope; (e.minX, e.minY, e.maxX, e.maxY) })
+
+  val stIsPoint = udf((a: Array[Byte]) =>
+    if (a == null) null
+    else java.lang.Boolean.valueOf(Geom.fromWkb(a).isInstanceOf[PointG]))
+
+  /** ST_MakeEnvelope: axis-aligned rectangle polygon as WKB. */
+  val stEnvelopeWkb = udf((minX: Double, minY: Double, maxX: Double, maxY: Double) =>
+    Geom.toWkb(Geom.envelopePoly(minX, minY, maxX, maxY)))
+
+  val stFromWkt = udf((wkt: String) => if (wkt == null) null else Geom.toWkb(Geom.fromWkt(wkt)))
+  val stAsWkt = udf((a: Array[Byte]) => if (a == null) null else Geom.toWkt(Geom.fromWkb(a)))
+
+  /** ST_MakeLine(centroid(a), centroid(b)) — the tile arrow feature (12:80). */
+  val stMakeArrow = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) null
+    else Geom.toWkb(LineStringG(Array(Geom.fromWkb(a).centroid, Geom.fromWkb(b).centroid))))
+
+  // ---- cell index ------------------------------------------------------------
+  /** Cells covering the geometry's envelope expanded by `radius` (probe side). */
+  val cellsOf = udf((wkb: Array[Byte], radius: Double, cellSize: Double) =>
+    if (wkb == null) null
+    else Grid.coverEnvelope(Geom.fromWkb(wkb).envelope, radius, cellSize).toSeq)
+
+  val cellOfPoint = udf((x: Double, y: Double, cellSize: Double) => Grid.cellOf(x, y, cellSize))
+
+  // ---- SWEREF99 <-> tiles -----------------------------------------------------
+  /** z-tile of an EPSG:3006 point as (tx, ty) struct. */
+  val tileOfSweref = udf((x: Double, y: Double, z: Int) => Proj.tileOfSweref(x, y, z))
+
+  val swerefToLonLat = udf((x: Double, y: Double) => Proj.swerefToWgs84(x, y))
+
+  // ---- tag functions -----------------------------------------------------------
+  val tagDiff = udf((old: Map[String, String], nw: Map[String, String]) => Tags.tagDiff(old, nw))
+
+  val countTagKeys = udf((m: Map[String, String]) => Tags.countKeys(m))
+
+  val fixNameU = udf((s: String) => Tags.fixName(s))
+  val fixPhoneU = udf((s: String) => Tags.fixPhone(s))
+  val translateOperatorU = udf((s: String) => Tags.translateOperator(s))
+
+  /** Serialize a tag map to canonical sorted JSON (stable for oracle hashing). */
+  val tagsToJson = udf((m: Map[String, String]) =>
+    if (m == null) null
+    else m.toSeq.sortBy(_._1).map { case (k, v) =>
+      val vs = if (v == null) "null" else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + vs
+    }.mkString("{", ",", "}"))
+
+  /** match_condition / match_score for a fixed spec, over tag maps + distance. */
+  def matchConditionU(spec: Tags.MatchSpec) =
+    udf((tagsA: Map[String, String], tagsB: Map[String, String], dist: Double) => {
+      val a = if (tagsA == null) Map.empty[String, String] else tagsA
+      val b = if (tagsB == null) Map.empty[String, String] else tagsB
+      Tags.matchCondition(spec, a, b, dist)
+    })
+
+  def matchScoreU(spec: Tags.MatchSpec) =
+    udf((tagsA: Map[String, String], tagsB: Map[String, String], dist: Double) => {
+      val a = if (tagsA == null) Map.empty[String, String] else tagsA
+      val b = if (tagsB == null) Map.empty[String, String] else tagsB
+      Tags.matchScore(spec, a, b, dist)
+    })
+
+  // ---- planar distance on native columns (codegen hot path) -----------------
+  /** Euclidean distance between two (x, y) pairs — pure column arithmetic,
+    * stays inside WholeStageCodegen. */
+  def pointDist(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+
+  /** Register the SQL-name surface (spark.sql usable). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("st_point", stPoint)
+    spark.udf.register("st_distance", stDistance)
+    spark.udf.register("st_dwithin", stDWithin)
+    spark.udf.register("st_within", stWithin)
+    spark.udf.register("st_centroid_wkb", stCentroidWkb)
+    spark.udf.register("st_aswkt", stAsWkt)
+    spark.udf.register("st_fromwkt", stFromWkt)
+    spark.udf.register("tag_diff", tagDiff)
+    spark.udf.register("fix_name", fixNameU)
+    spark.udf.register("fix_phone", fixPhoneU)
+    spark.udf.register("tile_of_sweref", tileOfSweref)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+
+/**
+ * Distributed spatial joins over WKB geometry columns, replacing the
+ * reference's GiST index-nested-loop `ST_DWithin` joins (SURVEY.md §2.4
+ * J1/J2/J5/J7) with cell-bucketed hash equi-joins:
+ *
+ *   build side: covered by the cells its geometry touches (1 cell for points)
+ *   probe side: covered by cells of its envelope expanded by the join radius
+ *   -> equi-join on cellId -> exact planar-distance refinement.
+ *
+ * Correctness: the k-ring expansion guarantees every true pair shares ≥1 cell
+ * (property-tested in GeomSpec); the refinement drops false positives. A pair
+ * can surface once per shared cell only when the BUILD geometry spans
+ * multiple cells — `dedup=true` adds a dropDuplicates on the key columns for
+ * that case (point build sides skip it: each build row owns exactly one cell).
+ *
+ * Scale: the equi-join shuffles both sides by cellId, so 1000 executors
+ * partition cleanly. Hot cells (Stockholm: ~1000× denser per the north rule)
+ * are handled by EXPLICIT salting: a cheap count-by-cell pre-pass finds cells
+ * above `saltThreshold`; build rows in those cells replicate across
+ * `saltFactor` sub-keys while probe rows hash into one — bounding the largest
+ * shuffle partition by threshold×factor instead of the raw cell density.
+ * AQE skew-join remains on as a second line of defense.
+ */
+object SpatialJoin {
+
+  /** @param distance   join radius in meters (planar EPSG:3006)
+    * @param cellSize   grid resolution; must be >= distance for 1-ring cover
+    *                   (coverEnvelope handles larger radii with wider rings)
+    * @param saltThreshold build-side rows per cell above which the cell is salted
+    * @param saltFactor    number of sub-keys for hot cells */
+  final case class DWithinSpec(
+      distance: Double,
+      cellSize: Double,
+      saltThreshold: Long = Long.MaxValue,
+      saltFactor: Int = 16)
+
+  /** Adds geometry metadata columns derived from `geomCol` (WKB):
+    * {prefix}cx, {prefix}cy (centroid), {prefix}is_point. These are computed
+    * once at the scan so the join refinement stays in codegen arithmetic. */
+  def withGeoMeta(df: DataFrame, geomCol: String, prefix: String = ""): DataFrame = {
+    df.withColumn("__c", stCentroid(col(geomCol)))
+      .withColumn(s"${prefix}cx", col("__c._1"))
+      .withColumn(s"${prefix}cy", col("__c._2"))
+      .withColumn(s"${prefix}is_point", stIsPoint(col(geomCol)))
+      .drop("__c")
+  }
+
+  /** Rename every column of `df` to `prefix + name`. */
+  def prefixAll(df: DataFrame, prefix: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, prefix + c))
+
+  /**
+   * Candidate pairs within `spec.distance`, inner-joined. Both inputs must
+   * carry (geomCol, cx, cy, is_point) — see withGeoMeta. Output columns:
+   * all build columns prefixed `b_`, all probe columns prefixed `p_`, plus
+   * `dist` (exact planar distance).
+   */
+  def dwithinCandidates(
+      build: DataFrame,
+      probe: DataFrame,
+      buildGeom: String,
+      probeGeom: String,
+      spec: DWithinSpec,
+      dedup: Boolean = false): DataFrame = {
+
+    val b0 = prefixAll(build, "b_")
+    val p0 = prefixAll(probe, "p_")
+
+    var b = b0.withColumn("cell", explode(cellsOf(col(s"b_$buildGeom"), lit(0.0), lit(spec.cellSize))))
+    var p = p0.withColumn("cell", explode(cellsOf(col(s"p_$probeGeom"), lit(spec.distance), lit(spec.cellSize))))
+
+    val joinKeys: Seq[String] =
+      if (spec.saltThreshold == Long.MaxValue) Seq("cell")
+      else {
+        // explicit skew salting: histogram pre-pass over the build side
+        val hot = b.groupBy("cell").count()
+          .filter(col("count") > spec.saltThreshold)
+          .select("cell")
+        // broadcast the (small) hot-cell list back into both sides; a
+        // generator can't sit inside when(), so hot rows get a salt ARRAY
+        // (0..factor-1) and cold rows a single-element array, then explode.
+        b = b.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
+          .withColumn("__salts",
+            when(col("__hot").isNotNull, sequence(lit(0), lit(spec.saltFactor - 1)))
+              .otherwise(array(lit(0))))
+          .withColumn("salt", explode(col("__salts")))
+          .drop("__hot", "__salts")
+        p = p.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
+          .withColumn("salt",
+            when(col("__hot").isNotNull,
+              pmod(xxhash64(col(s"p_$probeGeom")), lit(spec.saltFactor.toLong)).cast("int"))
+              .otherwise(lit(0)))
+          .drop("__hot")
+        Seq("cell", "salt")
+      }
+
+    val joined = b.join(p, joinKeys, "inner")
+
+    val dist = when(col("b_is_point") && col("p_is_point"),
+        pointDist(col("b_cx"), col("b_cy"), col("p_cx"), col("p_cy")))
+      .otherwise(stDistance(col(s"b_$buildGeom"), col(s"p_$probeGeom")))
+
+    val refined = joined
+      .withColumn("dist", dist)
+      .filter(col("dist") <= lit(spec.distance))
+      .drop("cell")
+
+    val result = if (joinKeys.contains("salt")) refined.drop("salt") else refined
+    if (dedup) result.dropDuplicates() else result
+  }
+
+  /**
+   * k nearest build rows within `radius` of each probe row (the reference's
+   * api.nearby: k=10 within 250 m — 09-api-deviation.sql:58-68), via k-ring
+   * candidates + per-probe rank window. `probeKey` must uniquely identify
+   * probe rows. Deterministic tie-break on (dist, build key columns).
+   */
+  def knn(
+      build: DataFrame,
+      probe: DataFrame,
+      buildGeom: String,
+      probeGeom: String,
+      probeKey: String,
+      buildKey: String,
+      k: Int,
+      radius: Double,
+      cellSize: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = dwithinCandidates(build, probe, buildGeom, probeGeom,
+      DWithinSpec(radius, cellSize))
+    val w = Window.partitionBy(col(s"p_$probeKey"))
+      .orderBy(col("dist"), col(s"b_$buildKey"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.GeoFunctions._
+
+/**
+ * The web-scale input contract (BASELINE.json input_hint): an Iceberg-style
+ * table of Common-Crawl-like pages
+ *   pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+ * synthesized deterministically (no external data), plus the extraction stage
+ * pages -> (osm_element, upstream_item, municipality) whose output schemas
+ * mirror the reference (06-osm-element.sql:3-12, 07-upstream-base.sql:20-34,
+ * 08-api-base.sql:23-28).
+ *
+ * Per-row invariant: `text` (and hence every extracted feature) is a pure
+ * function of `url` — byte-identical per url, re-runnable anywhere.
+ *
+ * Determinism + scale: generation is pure column arithmetic over
+ * spark.range(n) — xxhash64 as the PRNG, no driver-side loops, no UDF in the
+ * generator — so the same code synthesizes 10^4 rows locally or 10^12 rows on
+ * a cluster, embarrassingly parallel. Stockholm-region sites are ~1000×
+ * denser per unit area (30% of rows in a 30×30 km box vs 70% across all of
+ * Sweden) to exercise the hot-cell salting path (north rule).
+ *
+ * Payload grammar carried in `text` (FIXTURES.md §1):
+ *   OSM <type:n|w|a|r> <id> <E> <N> <tags-json>
+ *   UPSTREAM <dataset_id> <original_id> <E> <N> <attrs-json>
+ *   MUNI <code> <name> <polygon-wkt>
+ */
+object Pages {
+
+  // Sweden bbox in EPSG:3006 meters; Stockholm-region hot box.
+  val SwedenX0 = 280000.0; val SwedenX1 = 920000.0
+  val SwedenY0 = 6140000.0; val SwedenY1 = 7600000.0
+  val StockholmX0 = 660000.0; val StockholmX1 = 690000.0
+  val StockholmY0 = 6570000.0; val StockholmY1 = 6600000.0
+
+  val BenchDatasetId = 1L
+
+  /** uniform double in [0,1) from a deterministic 64-bit hash of (seed, id, tag) */
+  private def u01(id: Column, seed: Long, tag: Int): Column =
+    (pmod(xxhash64(lit(seed), id, lit(tag)), lit(1L << 48)).cast(DoubleType)) / lit((1L << 48).toDouble)
+
+  private def inBox(id: Column, seed: Long, tagX: Int, tagY: Int,
+                    x0: Double, x1: Double, y0: Double, y1: Double): (Column, Column) =
+    (lit(x0) + u01(id, seed, tagX) * lit(x1 - x0),
+     lit(y0) + u01(id, seed, tagY) * lit(y1 - y0))
+
+  /** Site position: 30% of sites in the Stockholm box, 70% across Sweden. */
+  private def sitePos(id: Column, seed: Long): (Column, Column) = {
+    val hot = u01(id, seed, 1) < lit(0.30)
+    val (hx, hy) = inBox(id, seed, 2, 3, StockholmX0, StockholmX1, StockholmY0, StockholmY1)
+    val (cx, cy) = inBox(id, seed, 4, 5, SwedenX0, SwedenX1, SwedenY0, SwedenY1)
+    (when(hot, hx).otherwise(cx), when(hot, hy).otherwise(cy))
+  }
+
+  private def fmt(c: Column): Column = format_string("%.3f", c)
+
+  /**
+   * Synthesize the pages table for `nSites` benchmark POI sites.
+   * Per site: 1 UPSTREAM page; ~85% also have an OSM page (jittered ≤80 m,
+   * 70% of those carry the matching name); an extra ~8% OSM-only sites feed
+   * the anti-leg. Plus `nNoise` non-feature pages (mixed lang) and 3 MUNI
+   * pages, so extraction is an honest filter+parse, not an identity map.
+   */
+  def synthesize(spark: SparkSession, nSites: Long, seed: Long = 42L,
+                 noiseFraction: Double = 0.2): DataFrame = {
+    val sites = spark.range(nSites).toDF("site")
+    val id = col("site")
+    val (sx, sy) = sitePos(id, seed)
+
+    // ---------- UPSTREAM pages (one per site) ----------
+    val upstream = sites
+      .withColumn("x", sx).withColumn("y", sy)
+      .withColumn("attrs", format_string("""{"name":"POI %d","kind":"bench"}""", id))
+      .withColumn("text", concat_ws(" ",
+        lit("UPSTREAM"), lit(BenchDatasetId), concat(lit("s"), id), fmt(col("x")), fmt(col("y")), col("attrs")))
+      .withColumn("url", format_string("https://data.example.sv/bench/item/%d", id))
+
+    // ---------- OSM pages ----------
+    // sites [0, nSites): present with p=0.85; sites [nSites, nSites*1.08): OSM-only
+    val osmIds = spark.range((nSites * 1.08).toLong).toDF("site")
+    val oid = col("site")
+    val (ox0, oy0) = sitePos(oid, seed)
+    val present = u01(oid, seed, 10) < lit(0.85) || oid >= lit(nSites)
+    val jitterR = u01(oid, seed, 11) * lit(80.0)
+    val jitterA = u01(oid, seed, 12) * lit(2 * math.Pi)
+    val hasName = u01(oid, seed, 13) < lit(0.70)
+    val isArea = pmod(oid, lit(20)) === lit(0)
+    val osm = osmIds
+      .filter(present)
+      .withColumn("x", ox0 + jitterR * cos(jitterA))
+      .withColumn("y", oy0 + jitterR * sin(jitterA))
+      .withColumn("otype", when(isArea, lit("a")).otherwise(lit("n")))
+      .withColumn("oid", oid + lit(1000000000L))
+      .withColumn("tags",
+        when(hasName,
+          format_string("""{"amenity":"bench_poi","name":"POI %d"}""", oid))
+        .otherwise(lit("""{"amenity":"bench_poi"}""")))
+      .withColumn("text", concat_ws(" ",
+        lit("OSM"), col("otype"), col("oid"), fmt(col("x")), fmt(col("y")), col("tags")))
+      .withColumn("url", format_string("https://osm.example.sv/el/%d", col("oid")))
+
+    // ---------- MUNI pages (tiny fixture set) ----------
+    import spark.implicits._
+    val munis = Seq(
+      ("0180", "Stockholm", s"POLYGON(($StockholmX0 $StockholmY0,$StockholmX1 $StockholmY0,$StockholmX1 $StockholmY1,$StockholmX0 $StockholmY1,$StockholmX0 $StockholmY0))"),
+      ("2180", "Gävle", "POLYGON((560000 6700000,640000 6700000,640000 6760000,560000 6760000,560000 6700000))"),
+      ("0000", "Test municipality", "POLYGON((0 0,10000 0,10000 10000,0 10000,0 0))"))
+      .toDF("code", "mname", "wkt")
+      .withColumn("text", concat_ws(" ", lit("MUNI"), col("code"),
+        regexp_replace(col("mname"), " ", "_"), col("wkt")))
+      .withColumn("url", concat(lit("https://geo.example.sv/muni/"), col("code")))
+
+    // ---------- noise pages (no features; mixed languages) ----------
+    val nNoise = (nSites * noiseFraction).toLong max 3L
+    val noise = spark.range(nNoise).toDF("site")
+      .withColumn("text", format_string(
+        "Det här är en vanlig webbsida nummer %d utan geodata. The quick brown fox.", col("site")))
+      .withColumn("url", format_string("https://www.example.com/page/%d", col("site")))
+
+    def page(df: DataFrame, lang: String): DataFrame =
+      df.select(
+        col("url"),
+        (to_timestamp(lit("2026-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), lit(0), pmod(xxhash64(col("url")), lit(86400L)).cast(DoubleType)))
+          .as("warc_ts"),
+        encode(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")), "utf-8").as("html"),
+        col("text"),
+        lit(lang).as("lang"))
+
+    page(upstream, "sv")
+      .unionByName(page(osm, "sv"))
+      .unionByName(page(munis, "sv"))
+      .unionByName(page(noise, "en"))
+  }
+
+  // =========================================================================
+  // Extraction stage: pages -> reference-shaped relations.
+  // Deterministic projection/parse (regex + from_json) — byte-identical per
+  // url by construction. Geometry for type 'a' rows is a 20×20 m square
+  // centred on (E, N) (documented deterministic rule), exercising the
+  // non-point join path.
+  // =========================================================================
+
+  private val tagMapType = MapType(StringType, StringType, valueContainsNull = true)
+
+  /** osm_element(type, id, tags, geom, cx, cy, is_point) */
+  def extractOsmElements(pages: DataFrame): DataFrame = {
+    val p = pages
+      .filter(col("lang") === "sv" && col("text").startsWith("OSM "))
+      .withColumn("parts", split(col("text"), " ", 6))
+    p.select(
+        col("parts")(1).as("type"),
+        col("parts")(2).cast(LongType).as("id"),
+        from_json(col("parts")(5), tagMapType).as("tags"),
+        col("parts")(3).cast(DoubleType).as("cx"),
+        col("parts")(4).cast(DoubleType).as("cy"))
+      .withColumn("geom",
+        when(col("type") === "a",
+          stEnvelopeWkb(col("cx") - 10, col("cy") - 10, col("cx") + 10, col("cy") + 10))
+        .otherwise(stPoint(col("cx"), col("cy"))))
+      .withColumn("is_point", col("type") =!= "a")
+  }
+
+  /** upstream_item(id, dataset_id, original_id, geometry, original_attributes, cx, cy, is_point) */
+  def extractUpstreamItems(pages: DataFrame): DataFrame = {
+    val p = pages
+      .filter(col("lang") === "sv" && col("text").startsWith("UPSTREAM "))
+      .withColumn("parts", split(col("text"), " ", 6))
+    p.select(
+        col("parts")(1).cast(LongType).as("dataset_id"),
+        col("parts")(2).as("original_id"),
+        col("parts")(3).cast(DoubleType).as("cx"),
+        col("parts")(4).cast(DoubleType).as("cy"),
+        col("parts")(5).as("original_attributes"))
+      .withColumn("id",
+        col("dataset_id") * lit(1000000000000L) +
+          regexp_extract(col("original_id"), "(\\d+)", 1).cast(LongType))
+      .withColumn("geometry", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+  }
+
+  /** municipality(code, name, geom) */
+  def extractMunicipalities(pages: DataFrame): DataFrame = {
+    pages
+      .filter(col("lang") === "sv" && col("text").startsWith("MUNI "))
+      .withColumn("parts", split(col("text"), " ", 4))
+      .select(
+        col("parts")(1).as("code"),
+        regexp_replace(col("parts")(2), "_", " ").as("name"),
+        stFromWkt(col("parts")(3)).as("geom"))
+  }
+}
