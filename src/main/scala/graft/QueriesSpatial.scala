@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GeoFunctions._
+import graft.operators.SpatialJoin
+import graft.operators.SpatialJoin.DWithinSpec
+
+/**
+ * Spatial operators exposed through the correctness gate. Point sets are
+ * synthesized DETERMINISTICALLY from the driver's parquet keys with modular
+ * arithmetic that DuckDB reproduces verbatim, so the cell-bucketed joins /
+ * kNN / PiP / tiling are oracle-checked end to end (coordinates are integral
+ * doubles -> distance arithmetic is bit-exact in both engines).
+ *
+ * q_sp_dwithin deliberately runs with a LOW salt threshold so the hot-cell
+ * salting path itself sits behind the oracle.
+ */
+object QueriesSpatial {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** orders-derived side "a" (upstream analog) */
+  private def ptsA(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("a_id"),
+      (pmod(col("o_orderkey") * 48271L, lit(1000000L))).cast("double").as("cx"),
+      (pmod(col("o_orderkey") * 69621L, lit(1000000L))).cast("double").as("cy"),
+      concat(lit("POI "), pmod(col("o_orderkey"), lit(100L)).cast("string")).as("aname"))
+      .withColumn("geometry", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+
+  /** customer-derived side "b" (OSM analog) */
+  private def ptsB(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("b_id"),
+      (pmod(col("c_custkey") * 94261L, lit(1000000L))).cast("double").as("cx"),
+      (pmod(col("c_custkey") * 57301L, lit(1000000L))).cast("double").as("cy"),
+      concat(lit("POI "), pmod(col("c_custkey"), lit(100L)).cast("string")).as("bname"))
+      .withColumn("geom", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+
+  private val sqlPts =
+    """a AS (SELECT o_orderkey AS a_id,
+      |  CAST((o_orderkey*48271)%1000000 AS DOUBLE) AS ax,
+      |  CAST((o_orderkey*69621)%1000000 AS DOUBLE) AS ay,
+      |  'POI ' || CAST(o_orderkey%100 AS VARCHAR) AS aname FROM orders),
+      |b AS (SELECT c_custkey AS b_id,
+      |  CAST((c_custkey*94261)%1000000 AS DOUBLE) AS bx,
+      |  CAST((c_custkey*57301)%1000000 AS DOUBLE) AS byy,
+      |  'POI ' || CAST(c_custkey%100 AS VARCHAR) AS bname FROM customer)""".stripMargin
+
+  private def candidates(s: SparkSession, dir: String, d: Double,
+                         saltThreshold: Long = Long.MaxValue): DataFrame =
+    SpatialJoin.dwithinCandidates(
+      build = ptsB(s, dir), probe = ptsA(s, dir),
+      buildGeom = "geom", probeGeom = "geometry",
+      spec = DWithinSpec(d, cellSize = math.max(d, 1000.0), saltThreshold = saltThreshold))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: distance join through the cell-bucketed path WITH salting engaged
+    "q_sp_dwithin" -> ((s, dir) =>
+      candidates(s, dir, 5000.0, saltThreshold = 500L)
+        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"),
+                round(col("dist"), 3).as("dist"))),
+
+    // J4: rank-1 best match per probe row (pinned tie order)
+    "q_sp_bestmatch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_a_id")).orderBy(col("dist"), col("b_b_id"))
+      candidates(s, dir, 5000.0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"),
+                round(col("dist"), 3).as("dist"))
+    }),
+
+    // J5: spatial anti join (no neighbor within d)
+    "q_sp_antijoin" -> ((s, dir) => {
+      val matchedA = candidates(s, dir, 5000.0).select(col("p_a_id").as("a_id")).distinct()
+      ptsA(s, dir).join(matchedA, Seq("a_id"), "left_anti").select("a_id")
+    }),
+
+    // J7: kNN (k=3 within 20 km) for a probe subset
+    "q_sp_knn" -> ((s, dir) => {
+      val probe = ptsA(s, dir).filter(pmod(col("a_id"), lit(10L)) === 0)
+      SpatialJoin.knn(
+          build = ptsB(s, dir), probe = probe,
+          buildGeom = "geom", probeGeom = "geometry",
+          probeKey = "a_id", buildKey = "b_id",
+          k = 3, radius = 20000.0, cellSize = 20000.0)
+        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"), col("rank"))
+    }),
+
+    // J3: point-in-polygon against a broadcast polygon grid (winding-number
+    // PiP over real WKB polygons on the Spark side; intervals in the oracle)
+    "q_sp_pip" -> ((s, dir) => {
+      val boxes = t(s, dir, "nation").select(
+        col("n_nationkey").as("box_id"),
+        stEnvelopeWkb(
+          (pmod(col("n_nationkey"), lit(5L)) * 200000L).cast("double"),
+          (floor(col("n_nationkey") / 5) * 200000L).cast("double"),
+          (pmod(col("n_nationkey"), lit(5L)) * 200000L + 200000L).cast("double"),
+          (floor(col("n_nationkey") / 5) * 200000L + 200000L).cast("double")).as("poly"))
+      ptsB(s, dir).join(broadcast(boxes),
+          stWithin(col("geom"), col("poly")), "inner")
+        .select("b_id", "box_id")
+    }),
+
+    // S6 analog: z14 slippy-tile assignment from lon/lat (pure column math)
+    "q_sp_tile" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("b_id"),
+        (lit(11.0) + pmod(col("c_custkey") * 7919L, lit(10000L)) / 1000.0).as("lon"),
+        (lit(55.0) + pmod(col("c_custkey") * 104729L, lit(12000L)) / 1000.0).as("lat"))
+      val n = lit((1 << 14).toDouble)
+      pts.select(
+        col("b_id"),
+        floor((col("lon") + 180.0) / 360.0 * n).cast("long").as("tile_x"),
+        floor((lit(1.0) - log(tan(radians(col("lat"))) + lit(1.0) / cos(radians(col("lat")))) / lit(math.Pi)) / 2.0 * n)
+          .cast("long").as("tile_y"))
+    }),
+
+    // the deviation shape end-to-end on oracle-checkable data:
+    // best-match left join + name-diff titles (Missing / Incomplete)
+    "q_sp_deviation" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_a_id")).orderBy(col("dist"), col("b_b_id"))
+      val best = candidates(s, dir, 2000.0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"), col("b_bname").as("bname"))
+      ptsA(s, dir).select("a_id", "aname")
+        .join(best, Seq("a_id"), "left")
+        .filter(col("b_id").isNull || col("aname") =!= col("bname"))
+        .select(col("a_id"), col("b_id"),
+          when(col("b_id").isNull, "Missing").otherwise("Incomplete").as("title"))
+    }))
+
+  private val distExpr = "SQRT((ax-bx)*(ax-bx)+(ay-byy)*(ay-byy))"
+
+  val oracle: Map[String, String] = Map(
+    "q_sp_dwithin" ->
+      s"""WITH $sqlPts
+         |SELECT a_id, b_id, ROUND($distExpr, 3) AS dist
+         |FROM a, b
+         |WHERE ABS(ax-bx) <= 5000 AND ABS(ay-byy) <= 5000 AND $distExpr <= 5000""".stripMargin,
+    "q_sp_bestmatch" ->
+      s"""WITH $sqlPts,
+         |cand AS (SELECT a_id, b_id, $distExpr AS dist FROM a, b
+         |  WHERE ABS(ax-bx) <= 5000 AND ABS(ay-byy) <= 5000 AND $distExpr <= 5000)
+         |SELECT a_id, b_id, ROUND(dist, 3) AS dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rn FROM cand)
+         |WHERE rn = 1""".stripMargin,
+    "q_sp_antijoin" ->
+      s"""WITH $sqlPts
+         |SELECT a_id FROM a WHERE NOT EXISTS (
+         |  SELECT 1 FROM b WHERE ABS(ax-bx) <= 5000 AND ABS(ay-byy) <= 5000
+         |    AND $distExpr <= 5000)""".stripMargin,
+    "q_sp_knn" ->
+      s"""WITH $sqlPts,
+         |cand AS (SELECT a_id, b_id, $distExpr AS dist FROM a, b
+         |  WHERE a_id % 10 = 0 AND ABS(ax-bx) <= 20000 AND ABS(ay-byy) <= 20000
+         |    AND $distExpr <= 20000)
+         |SELECT a_id, b_id, rank FROM (
+         |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rank
+         |  FROM cand) WHERE rank <= 3""".stripMargin,
+    "q_sp_pip" ->
+      s"""WITH $sqlPts
+         |SELECT b_id, n_nationkey AS box_id FROM b, nation
+         |WHERE bx >= (n_nationkey%5)*200000 AND bx <= (n_nationkey%5)*200000+200000
+         |  AND byy >= CAST(FLOOR(n_nationkey/5) AS BIGINT)*200000
+         |  AND byy <= CAST(FLOOR(n_nationkey/5) AS BIGINT)*200000+200000""".stripMargin,
+    "q_sp_tile" ->
+      """WITH pts AS (SELECT c_custkey AS b_id,
+        |  11.0 + ((c_custkey*7919)%10000)/1000.0 AS lon,
+        |  55.0 + ((c_custkey*104729)%12000)/1000.0 AS lat FROM customer)
+        |SELECT b_id,
+        | CAST(FLOOR((lon+180.0)/360.0*16384.0) AS BIGINT) AS tile_x,
+        | CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))/PI())/2.0*16384.0) AS BIGINT) AS tile_y
+        |FROM pts""".stripMargin,
+    "q_sp_deviation" ->
+      s"""WITH $sqlPts,
+         |cand AS (SELECT a_id, b_id, bname, $distExpr AS dist FROM a, b
+         |  WHERE ABS(ax-bx) <= 2000 AND ABS(ay-byy) <= 2000 AND $distExpr <= 2000),
+         |best AS (SELECT a_id, b_id, bname FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rn FROM cand)
+         |  WHERE rn = 1)
+         |SELECT a.a_id, best.b_id,
+         |  CASE WHEN best.b_id IS NULL THEN 'Missing' ELSE 'Incomplete' END AS title
+         |FROM a LEFT JOIN best ON a.a_id = best.a_id
+         |WHERE best.b_id IS NULL OR a.aname <> best.bname""".stripMargin)
+}

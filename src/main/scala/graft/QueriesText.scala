@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Training-data pipeline operators (dedup / similarity / text analysis /
+ * multimodal) over the driver's `documents` and `embeddings` tables.
+ * Hash-based methods (minhash/simhash/LSH-ANN/fingerprint) have no
+ * SQL-expressible oracle -> rows-only gate; everything else is DuckDB-checked.
+ */
+object QueriesText {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** corpus with injected exact duplicates (doc_id%10==0 re-keyed +1e6) —
+    * reproduced verbatim in the oracle so groups are non-trivial. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_tokens" -> ((s, dir) =>
+      TextAnalysis.withTokenStats(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "uniq_tokens", "ttr")),
+
+    "q_txt_quality" -> ((s, dir) =>
+      TextAnalysis.withQuality(docs(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "mean_token_len")),
+
+    "q_txt_langid" -> ((s, dir) =>
+      TextAnalysis.withLangId(docs(s, dir), "text")
+        .select("doc_id", "en_hits", "sv_hits", "pred_lang")),
+
+    "q_txt_fingerprint" -> ((s, dir) => // rows-only (JVM hash)
+      TextAnalysis.withFingerprint(docs(s, dir), "text")
+        .select("doc_id", "n_fps", "min_fp")),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) => // rows-only (xxhash64 signatures)
+      Dedup.minhashLshPairs(dupCorpus(s, dir), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) => // rows-only (hash signatures)
+      Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    "q_emb_cospairs" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.cosinePairs(e, e.filter(pmod(col("vec_id"), lit(50L)) === 0),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
+
+    "q_emb_topk" -> ((s, dir) => { // rows-only (fp rank ties)
+      val e = embs(s, dir)
+      Similarity.topK(e, e.filter(pmod(col("vec_id"), lit(50L)) === 0),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_emb_ann" -> ((s, dir) => { // rows-only (LSH buckets)
+      val e = embs(s, dir)
+      Similarity.annTopK(e, e.filter(pmod(col("vec_id"), lit(50L)) === 0),
+        "vec_id", "embedding", k = 5, nBits = 8)
+    }),
+
+    "q_mm_meta" -> ((s, dir) =>
+      Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))),
+
+    "q_mm_decode" -> ((s, dir) => // rows-only (stubbed decoder output)
+      Multimodal.decodeStub(
+        Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text")).toDF()))
+
+  val oracle: Map[String, String] = Map(
+    "q_txt_tokens" ->
+      """SELECT doc_id,
+        | CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS uniq_tokens,
+        | ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+        |   / LEN(STRING_SPLIT(text, ' ')), 4) AS ttr
+        |FROM documents""".stripMargin,
+    "q_txt_quality" ->
+      """SELECT doc_id,
+        | CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        | CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        | ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text), 4) AS alpha_ratio,
+        | ROUND(CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
+        |   / LEN(STRING_SPLIT(text, ' ')), 4) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "q_txt_langid" ->
+      """WITH p AS (SELECT doc_id, ' ' || LOWER(text) || ' ' AS pt FROM documents)
+        |SELECT doc_id,
+        | CAST((LENGTH(pt)-LENGTH(REPLACE(pt,' the ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' a ','')))/3
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' and ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' of ','')))/4 AS BIGINT) AS en_hits,
+        | CAST((LENGTH(pt)-LENGTH(REPLACE(pt,' och ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' att ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' det ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' en ','')))/4 AS BIGINT) AS sv_hits,
+        | CASE WHEN CAST((LENGTH(pt)-LENGTH(REPLACE(pt,' och ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' att ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' det ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' en ','')))/4 AS BIGINT)
+        |    > CAST((LENGTH(pt)-LENGTH(REPLACE(pt,' the ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' a ','')))/3
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' and ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' of ','')))/4 AS BIGINT) THEN 'sv'
+        |  WHEN CAST((LENGTH(pt)-LENGTH(REPLACE(pt,' the ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' a ','')))/3
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' and ','')))/5
+        |    + (LENGTH(pt)-LENGTH(REPLACE(pt,' of ','')))/4 AS BIGINT) > 0 THEN 'en'
+        |  ELSE 'und' END AS pred_lang
+        |FROM p""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT MD5(text) AS fingerprint, COUNT(*) AS cnt, MIN(doc_id) AS min_id
+        |FROM corpus GROUP BY MD5(text) HAVING COUNT(*) > 1""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+        |           WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-2)) AS i) t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |          GROUP BY x.doc_id, y.doc_id)
+        |SELECT a_id, b_id,
+        |  ROUND(CAST(shared AS DOUBLE)/(sa.n + sb.n - shared), 4) AS jac
+        |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.5""".stripMargin,
+    "q_emb_cospairs" ->
+      """WITH ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |            FROM embeddings, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i) t),
+        |norms AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ev GROUP BY vec_id),
+        |qv AS (SELECT * FROM ev WHERE vec_id % 50 = 0),
+        |dots AS (SELECT qv.vec_id AS qid, ev.vec_id AS nid, SUM(qv.v*ev.v) AS dot
+        |         FROM qv JOIN ev ON qv.i = ev.i WHERE qv.vec_id <> ev.vec_id
+        |         GROUP BY qv.vec_id, ev.vec_id)
+        |SELECT qid, nid, ROUND(dot/(nq.nrm*nc.nrm), 4) AS cos
+        |FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = nid
+        |WHERE dot/(nq.nrm*nc.nrm) >= 0.4""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        | CAST(OCTET_LENGTH(ENCODE('IMG|' || CAST(doc_id % 63 + 1 AS VARCHAR)
+        |   || '|' || CAST(doc_id % 47 + 1 AS VARCHAR) || '|' || text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin)
+}

@@ -1,17 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship: full pages -> extract -> spatial match -> deviations pipeline
     * on deterministically synthesized web pages (sf0.001-scale). */
   def entry(spark: SparkSession): DataFrame = {
-    import graft.functions.GeoFunctions
-    GeoFunctions.registerAll(spark)
+    graft.functions.GeoFunctions.registerAll(spark)
     graft.engine.BenchPipeline.run(spark, nSites = 2000L)
   }
+
+  /** Geospatial engine exposed through the gate on synthesized pages.
+    * xxhash-seeded synthesis isn't reproducible in DuckDB -> rows-only. */
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipe_extract" -> ((s, _) => {
+      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      graft.sources.Pages.extractOsmElements(pages)
+        .select(col("type"), col("id"), col("cx"), col("cy"),
+          graft.functions.GeoFunctions.tagsToJson(col("tags")).as("tags_json"))
+    }),
+    "q_pipe_match" -> ((s, _) => {
+      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      graft.engine.BenchPipeline.matchRows(pages, saltThreshold = 200L)
+        .select(col("upstream_item_ids"), col("osm_element_id"),
+          col("osm_element_type"), round(col("dist"), 3).as("dist"))
+    }),
+    "q_pipe_deviations" -> ((s, _) => {
+      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      graft.engine.BenchPipeline
+        .deviations(graft.engine.BenchPipeline.matchRows(pages))
+        .select(col("dataset_id"), col("layer_id"), col("upstream_item_ids"),
+          col("osm_element_id"), col("osm_element_type"), col("title"),
+          graft.functions.GeoFunctions.tagsToJson(col("suggested_tags")).as("suggested_tags_json"))
+    }),
+    "q_pipe_tiles" -> ((s, _) => {
+      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      graft.engine.Tiles
+        .tileAssignment(graft.engine.BenchPipeline.matchRows(pages), z = 14)
+        .select("tile_x", "tile_y", "z", "state", "osm_element_id", "upstream_item_ids")
+    }))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesRelational.queries ++ QueriesSpatial.queries ++
+      QueriesText.queries ++ pipelineQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-based / synthesized-input
+    * operators -> driver records a rows-only check. */
+  def oracleSql: Map[String, String] =
+    QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data pipelines.
+ * All shuffle-friendly: exact dedup is one hash groupBy; near-dup methods
+ * block candidates (LSH bands / simhash chunks / shared shingles) so the
+ * pairwise verification never goes quadratic — the only joins are equi-joins
+ * on block keys, which partition cleanly at 10^12-row scale.
+ */
+object Dedup {
+
+  /** word n-gram shingles, distinct per doc. Output: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    docs
+      .withColumn("__ws", split(col(textCol), " "))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("__ws"), i + k)): _*))))
+          .as("shingle"))
+  }
+
+  /** exact duplicate groups by content hash (md5 over UTF-8 bytes). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(encode(col(textCol), "UTF-8")).as("fingerprint"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
+      .filter(col("cnt") > 1)
+
+  /** exact n-gram Jaccard similarity pairs (a < b) above `threshold` —
+    * blocked by shared shingle, so only docs sharing ≥1 shingle ever pair. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs: `numHashes` xxhash64 min-signatures,
+   * banded into `bands` buckets; bucket-collision candidates verified with
+   * exact Jaccard ≥ threshold. Candidate generation is linear in corpus size
+   * (explode bands -> groupBy bucket), never all-pairs.
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.4): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, n)
+    val hashCols: Seq[Column] =
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sig = sh.groupBy("id").agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}"))): _*).as("bh"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    // verify candidates with exact jaccard
+    val verified = jaccardPairs(docs, idCol, textCol, n, threshold)
+    cands.join(verified, Seq("a_id", "b_id"), "inner")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (deterministic, hash = xxhash64
+    * of the token via Spark's own function for engine-wide consistency). */
+  def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit vote: sum(+1/-1), sign -> bit
+    val bitCols: Seq[Column] = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    tok.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** near-dup pairs with simhash Hamming distance <= maxHamming (must be < 4:
+    * pigeonhole over four 16-bit chunks guarantees one equal chunk). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk blocking guarantees recall only for hamming <= 3")
+    val sig = withSimhash(docs, idCol, textCol).cache()
+    val chunks = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.c"), col("ch.v"))
+    val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        popcnt(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

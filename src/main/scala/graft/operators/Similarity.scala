@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (ARRAY<FLOAT>).
+ *
+ * Brute-force cosine is the exact baseline: broadcast the (small) query set,
+ * one codegen'd pass over the corpus — O(corpus × queries), embarrassingly
+ * parallel, no shuffle until the final per-query top-k window.
+ *
+ * The scale path is hyperplane LSH: a `nBits`-bit signature from fixed
+ * pseudo-random hyperplanes (deterministic, seeded) bucket-joins corpus and
+ * queries, so each query only scores its bucket — the 10^12-row design point
+ * shuffles by bucket key instead of broadcasting the corpus.
+ */
+object Similarity {
+
+  /** dot product of two double arrays as a column expression (codegen). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** add `vnorm` + `vd` (double vector) columns */
+  def withNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("vd", toDouble(col(embCol)))
+      .withColumn("vnorm", norm(col("vd")))
+
+  /** all (query, candidate) pairs with cosine >= threshold, qid != nid. */
+  def cosinePairs(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val c = withNorm(corpus, embCol).select(col(idCol).as("nid"),
+      col("vd").as("cvd"), col("vnorm").as("cn"))
+    val q = withNorm(queries, embCol).select(col(idCol).as("qid"),
+      col("vd").as("qvd"), col("vnorm").as("qn"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qvd"), col("cvd")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= threshold)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** exact top-k neighbors per query by cosine (brute force baseline). */
+  def topK(corpus: DataFrame, queries: DataFrame,
+           idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, embCol).select(col(idCol).as("nid"),
+      col("vd").as("cvd"), col("vnorm").as("cn"))
+    val q = withNorm(queries, embCol).select(col(idCol).as("qid"),
+      col("vd").as("qvd"), col("vnorm").as("qn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qvd"), col("cvd")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** deterministic pseudo-random hyperplanes: plane p, dim d in [-1, 1). */
+  private def planeCoef(p: Int, d: Int): Double = {
+    // splitmix64 over (p, d) — pure, seed-stable
+    var z = (p.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** add an LSH `bucket` column: sign pattern against nBits hyperplanes. */
+  def withLshBucket(df: DataFrame, embCol: String, nBits: Int = 12): DataFrame = {
+    val dims = 64 // embedding dimension of the corpus (documented invariant)
+    val sigUdf = udf((v: Seq[Float]) => {
+      var sig = 0L
+      var p = 0
+      while (p < nBits) {
+        var s = 0.0
+        var d = 0
+        val n = math.min(dims, v.length)
+        while (d < n) { s += v(d) * planeCoef(p, d); d += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    })
+    df.withColumn("bucket", sigUdf(col(embCol)))
+  }
+
+  /** approximate top-k: score only same-bucket candidates (IVF/LSH path). */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int, nBits: Int = 10): DataFrame = {
+    val c = withLshBucket(withNorm(corpus, embCol), embCol, nBits)
+      .select(col(idCol).as("nid"), col("vd").as("cvd"), col("vnorm").as("cn"), col("bucket"))
+    val q = withLshBucket(withNorm(queries, embCol), embCol, nBits)
+      .select(col(idCol).as("qid"), col("vd").as("qvd"), col("vnorm").as("qn"), col("bucket"))
+    val scored = c.join(q, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qvd"), col("cvd")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+}

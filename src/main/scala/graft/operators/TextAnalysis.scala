@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation: token stats, quality
+ * scoring, n-gram language ID, rolling-hash document fingerprints. All pure
+ * column expressions except the fingerprint (one deterministic UDF), so they
+ * stay inside WholeStageCodegen on the 10^12-row scan.
+ */
+object TextAnalysis {
+
+  /** non-overlapping occurrence count of `w` in padded lower text —
+    * the replace-length trick, reproducible in any SQL engine. */
+  def occurrences(padded: Column, w: String): Column =
+    ((length(padded) - length(replace(padded, lit(w), lit("")))) / w.length).cast("long")
+
+  def withTokenStats(docs: DataFrame, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("uniq_tokens", size(array_distinct(ws)).cast("long"))
+      .withColumn("ttr", round(col("uniq_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** quality heuristics: length, alpha ratio, mean token length. */
+  def withQuality(docs: DataFrame, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+          length(col(textCol)), 4))
+      .withColumn("mean_token_len",
+        round((length(col(textCol)) - (size(ws) - 1)).cast("double") / size(ws), 4))
+  }
+
+  private val enMarkers = Seq(" the ", " a ", " and ", " of ")
+  private val svMarkers = Seq(" och ", " att ", " det ", " en ")
+
+  /** stopword-ratio language ID (en vs sv vs und) — the oracle-checkable
+    * heuristic; richer n-gram profiles would slot in the same shape. */
+  def withLangId(docs: DataFrame, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val en = enMarkers.map(occurrences(padded, _)).reduce(_ + _)
+    val sv = svMarkers.map(occurrences(padded, _)).reduce(_ + _)
+    docs
+      .withColumn("en_hits", en)
+      .withColumn("sv_hits", sv)
+      .withColumn("pred_lang",
+        when(col("sv_hits") > col("en_hits"), "sv")
+          .when(col("en_hits") > 0, "en")
+          .otherwise("und"))
+  }
+
+  /** winnowing-style fingerprint: rolling hash over k-char windows, keep the
+    * min hash of each `win`-sized window of hashes (deterministic). */
+  val fingerprintUdf = udf((text: String) => {
+    if (text == null) Array.empty[Long]
+    else {
+      val k = 8; val win = 16
+      val n = text.length - k + 1
+      if (n <= 0) Array.empty[Long]
+      else {
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < k) { h = 31 * h + text.charAt(i + j); j += 1 }
+          hs(i) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var s = 0
+        while (s <= n - win) {
+          var m = Long.MaxValue
+          var j = s
+          while (j < s + win) { if (hs(j) < m) m = hs(j); j += 1 }
+          out += m
+          s += win
+        }
+        out.toArray
+      }
+    }
+  })
+
+  def withFingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fps", fingerprintUdf(col(textCol)))
+      .withColumn("n_fps", size(col("fps")).cast("long"))
+      .withColumn("min_fp", array_min(col("fps")))
+}
