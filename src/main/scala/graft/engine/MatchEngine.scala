@@ -46,6 +46,7 @@ object MatchEngine {
       antiMatchSpec: Option[Tags.MatchSpec] = None,
       tagsVisibleToMatch: Boolean = true,
       muniGuardWhere: Boolean = false,
+      extraJoinKeys: Seq[String] = Nil,
       saltThreshold: Long = Long.MaxValue,
       saltFactor: Int = 16)
 
@@ -104,7 +105,8 @@ object MatchEngine {
     val candidates = SpatialJoin.dwithinCandidates(
       build = osm, probe = ups,
       buildGeom = "geom", probeGeom = "geometry",
-      spec = DWithinSpec(spec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor))
+      spec = DWithinSpec(spec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
+      extraKeys = cfg.extraJoinKeys)
 
     // tags_b as seen by match_condition/match_score — empty map when the
     // upstream side is an alternatives ARRAY (reference quirk, see MatchConfig)
@@ -112,10 +114,11 @@ object MatchEngine {
       if (cfg.tagsVisibleToMatch && upsTagsCol == "tags") col("p_tags")
       else map().cast("map<string,string>")
 
+    // native codegen'd condition/score (semantics-equivalence vs the Scala
+    // reference functions is property-tested in MatchEngineSpec)
     val matched0 = candidates
-      .withColumn("__cond", matchConditionU(spec)(col("b_tags"), tagsB, col("dist")))
-      .filter(col("__cond"))
-      .withColumn("score", matchScoreU(spec)(col("b_tags"), tagsB, col("dist")))
+      .filter(matchConditionCol(spec, col("b_tags"), tagsB, col("dist")))
+      .withColumn("score", matchScoreCol(spec, col("b_tags"), tagsB, col("dist")))
 
     val matched =
       if (cfg.muniGuardWhere) matched0.filter(col("b_muni_code") === col("p_muni_code"))
@@ -161,9 +164,9 @@ object MatchEngine {
       val antiCands = SpatialJoin.dwithinCandidates(
           build = osm, probe = ups,
           buildGeom = "geom", probeGeom = "geometry",
-          spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor))
-        .withColumn("__cond", matchConditionU(antiSpec)(col("b_tags"), tagsB, col("dist")))
-        .filter(col("__cond"))
+          spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
+          extraKeys = cfg.extraJoinKeys)
+        .filter(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist")))
         .select(col("b_type").as("type"), col("b_id").as("id"))
         .distinct()
       val anti = osm.join(antiCands, Seq("type", "id"), "left_anti")

@@ -112,6 +112,50 @@ object GeoFunctions {
   def pointDist(ax: Column, ay: Column, bx: Column, by: Column): Column =
     sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
 
+  // ---- match condition / score as NATIVE column expressions -----------------
+  // The hot-path versions of matchConditionU/matchScoreU: pure Catalyst
+  // expressions (map_contains_key / arrays_overlap / lower), so the candidate
+  // refinement stays inside WholeStageCodegen. Overload quirks match
+  // 03a-match.sql exactly (see Tags.matchScore scaladoc).
+  import graft.core.tags.Tags.MatchSpec
+
+  private def refsAgreeCol(spec: MatchSpec, tagsA: Column, tagsB: Column): Column =
+    spec.refKeys.map { k =>
+      map_contains_key(tagsA, lit(k)) &&
+        arrays_overlap(split(tagsA(k), ";"), split(tagsB(k), ";"))
+    }.reduceOption(_ && _).getOrElse(lit(false))
+
+  private def namesAgreeCol(spec: MatchSpec, tagsA: Column, tagsB: Column): Column =
+    spec.nameKey.map { nk =>
+      map_contains_key(tagsA, lit(nk)) && (lower(tagsA(nk)) === lower(tagsB(nk)))
+    }.getOrElse(lit(false))
+
+  def matchConditionCol(spec: MatchSpec, tagsA: Column, tagsB: Column, dist: Column): Column =
+    (refsAgreeCol(spec, tagsA, tagsB) && dist <= spec.dRef) ||
+      (namesAgreeCol(spec, tagsA, tagsB) && dist <= spec.dName) ||
+      dist <= spec.dOther
+
+  def matchScoreCol(spec: MatchSpec, tagsA: Column, tagsB: Column, dist: Column): Column = {
+    val refTier: Column = spec.refKeys match {
+      case Seq(r1) =>
+        map_contains_key(tagsA, lit(r1)) &&
+          arrays_overlap(split(tagsA(r1), ";"), split(tagsB(r1), ";"))
+      case Seq(r1, r2) => // score compares ref2 by equality, not overlap (03a:58)
+        map_contains_key(tagsA, lit(r1)) && map_contains_key(tagsA, lit(r2)) &&
+          arrays_overlap(split(tagsA(r1), ";"), split(tagsB(r1), ";")) &&
+          (tagsA(r2) === tagsB(r2))
+      case _ => lit(false)
+    }
+    val nameTier: Column = spec.nameKey.map { nk =>
+      if (spec.refKeys.nonEmpty)
+        map_contains_key(tagsA, lit(nk)) && (lower(tagsA(nk)) === lower(tagsB(nk)))
+      else tagsA(nk) === tagsB(nk) // name-only overload: case-sensitive (03a:70)
+    }.getOrElse(lit(false))
+    when(refTier, lit(spec.dRef) + dist)
+      .when(nameTier, lit(spec.dName) + dist)
+      .otherwise(lit(spec.dOther) + dist)
+  }
+
   /** Register the SQL-name surface (spark.sql usable). */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("st_point", stPoint)

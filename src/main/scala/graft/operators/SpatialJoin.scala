@@ -55,25 +55,65 @@ object SpatialJoin {
   def prefixAll(df: DataFrame, prefix: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, prefix + c))
 
+  // ---- native (codegen) cell ids for point rows ----------------------------
+  // Mirrors graft.core.cell.Grid.cellOf exactly: both use floor(x/s).toLong,
+  // so mixed native/UDF covers land in identical cells.
+  private val OFF = 1L << 30
+
+  private def cellCol(x: Column, y: Column, s: Double): Column =
+    shiftleft(floor(x / s).cast("long") + OFF, 32)
+      .bitwiseOR(floor(y / s).cast("long") + OFF)
+
+  /** cells covering a point's radius-d envelope, valid for d <= cellSize:
+    * the envelope (width 2d <= 2s) spans at most 3 cells per axis, so the
+    * 3x3 sample grid {x-d, x, x+d} x {y-d, y, y+d} covers every one. */
+  private def pointCoverCol(cx: Column, cy: Column, d: Double, s: Double): Column =
+    if (d == 0.0) array(cellCol(cx, cy, s))
+    else {
+      val xs = Seq(cx - d, cx, cx + d)
+      val ys = Seq(cy - d, cy, cy + d)
+      array_distinct(array(
+        (for (x <- xs; y <- ys) yield cellCol(x, y, s)): _*))
+    }
+
   /**
    * Candidate pairs within `spec.distance`, inner-joined. Both inputs must
    * carry (geomCol, cx, cy, is_point) — see withGeoMeta. Output columns:
    * all build columns prefixed `b_`, all probe columns prefixed `p_`, plus
    * `dist` (exact planar distance).
    */
+  /** @param extraKeys additional equi-join keys (columns present on BOTH
+    *   inputs, un-prefixed) — e.g. a municipality code to decorrelate the
+    *   reference's per-municipality LATERAL (J6): keying the shuffle by
+    *   (cell, muni) scopes the join without a second pass. */
   def dwithinCandidates(
       build: DataFrame,
       probe: DataFrame,
       buildGeom: String,
       probeGeom: String,
       spec: DWithinSpec,
-      dedup: Boolean = false): DataFrame = {
+      dedup: Boolean = false,
+      extraKeys: Seq[String] = Nil): DataFrame = {
 
     val b0 = prefixAll(build, "b_")
     val p0 = prefixAll(probe, "p_")
 
-    var b = b0.withColumn("cell", explode(cellsOf(col(s"b_$buildGeom"), lit(0.0), lit(spec.cellSize))))
-    var p = p0.withColumn("cell", explode(cellsOf(col(s"p_$probeGeom"), lit(spec.distance), lit(spec.cellSize))))
+    // point rows take the codegen'd arithmetic path; non-point geometries
+    // fall back to the WKB-envelope UDF. Native probe cover requires
+    // d <= cellSize (4 corner cells); wider radii use the UDF everywhere.
+    val nativeProbe = spec.distance <= spec.cellSize
+    val bCells =
+      when(coalesce(col("b_is_point"), lit(false)),
+        pointCoverCol(col("b_cx"), col("b_cy"), 0.0, spec.cellSize))
+      .otherwise(cellsOf(col(s"b_$buildGeom"), lit(0.0), lit(spec.cellSize)))
+    val pCells =
+      if (nativeProbe)
+        when(coalesce(col("p_is_point"), lit(false)),
+          pointCoverCol(col("p_cx"), col("p_cy"), spec.distance, spec.cellSize))
+        .otherwise(cellsOf(col(s"p_$probeGeom"), lit(spec.distance), lit(spec.cellSize)))
+      else cellsOf(col(s"p_$probeGeom"), lit(spec.distance), lit(spec.cellSize))
+    var b = b0.withColumn("cell", explode(bCells))
+    var p = p0.withColumn("cell", explode(pCells))
 
     val joinKeys: Seq[String] =
       if (spec.saltThreshold == Long.MaxValue) Seq("cell")
@@ -100,7 +140,11 @@ object SpatialJoin {
         Seq("cell", "salt")
       }
 
-    val joined = b.join(p, joinKeys, "inner")
+    val joined0 = b.join(p, joinKeys, "inner")
+    // extra equi-keys (J6 decorrelation): cell already localizes the pair
+    // stream, so a post-join filter is equivalent and avoids a wider key
+    val joined = extraKeys.foldLeft(joined0)((d, k) =>
+      d.filter(col(s"b_$k") === col(s"p_$k")))
 
     val dist = when(col("b_is_point") && col("p_is_point"),
         pointDist(col("b_cx"), col("b_cy"), col("p_cx"), col("p_cy")))

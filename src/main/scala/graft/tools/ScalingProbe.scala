@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Experiment harness: pipeline wall-clock at several (cores, nSites) points
+  * to pick the bench operating point where scaling efficiency is honest
+  * (overhead-amortized) — results feed Bench defaults + BASELINE.md. */
+object ScalingProbe {
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"probe-$cores")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def run(s: SparkSession, n: Long): (Double, Long, Long) = {
+    val pages = graft.sources.Pages.synthesize(s, n)
+    val m = graft.engine.BenchPipeline.matchRows(pages).cache()
+    val d = graft.engine.BenchPipeline.deviations(m)
+    val t0 = System.nanoTime()
+    val mr = m.count(); val dr = d.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    m.unpersist(); s.sharedState.cacheManager.clearCache()
+    (sec, mr, dr)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(200000L, 1000000L)
+    for (cores <- Seq(8, 32)) {
+      val s = session(cores)
+      run(s, 20000L) // warm-up
+      for (n <- sizes) {
+        val (sec, mr, dr) = run(s, n)
+        println(f"PROBE cores=$cores n=$n sec=$sec%.2f match=$mr dev=$dr rows_per_sec=${(mr + dr) / sec}%.0f")
+      }
+      s.stop()
+    }
+  }
+}
