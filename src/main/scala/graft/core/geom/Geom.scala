@@ -318,6 +318,59 @@ object Geom {
     }
   }
 
+  // ---- polygon assembly from way soup (ST_BuildArea analog) ----------------
+  /**
+   * Assemble a MultiPolygon from a bag of linestrings (OSM multipolygon
+   * relation members — build_geometries.py:107: role-insensitive):
+   * chain lines end-to-end into closed rings (exact coordinate equality, as
+   * OSM ways share nodes), then classify shells vs holes by containment
+   * parity. Returns None when no closed ring can be formed (matches
+   * HAVING ST_BuildArea(...) IS NOT NULL).
+   */
+  def buildArea(lines: Seq[LineStringG]): Option[MultiPolygonG] = {
+    // 1. chain into rings
+    val pool = scala.collection.mutable.ArrayBuffer(
+      lines.filter(_.pts.length >= 2).map(_.pts.toVector): _*)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Pt]]
+    while (pool.nonEmpty) {
+      var cur = pool.remove(0)
+      var closed = cur.head == cur.last && cur.length > 3
+      var progress = true
+      while (!closed && progress) {
+        progress = false
+        val i = pool.indexWhere(l =>
+          l.head == cur.last || l.last == cur.last ||
+          l.head == cur.head || l.last == cur.head)
+        if (i >= 0) {
+          val nxt = pool.remove(i)
+          cur =
+            if (nxt.head == cur.last) cur ++ nxt.tail
+            else if (nxt.last == cur.last) cur ++ nxt.reverse.tail
+            else if (nxt.last == cur.head) nxt ++ cur.tail
+            else cur.reverse ++ nxt.tail
+          progress = true
+          closed = cur.head == cur.last && cur.length > 3
+        }
+      }
+      if (closed) rings += cur.toArray
+    }
+    if (rings.isEmpty) return None
+    // 2. nesting parity: a ring inside an odd number of other rings is a hole
+    val byArea = rings.sortBy(r => -math.abs(signedArea(r)))
+    def inside(inner: Array[Pt], outer: Array[Pt]): Boolean = {
+      val p = inner.find(q => !outer.contains(q)).getOrElse(inner(0))
+      windingNumber(p, outer) != 0
+    }
+    val depth = byArea.map(r => byArea.count(o => (o ne r) && inside(r, o)))
+    val shells = byArea.zip(depth).filter(_._2 % 2 == 0).map(_._1)
+    val holes = byArea.zip(depth).filter(_._2 % 2 == 1).map(_._1)
+    val polys = shells.map { shell =>
+      val myHoles = holes.filter(h => inside(h, shell))
+      PolygonG((shell +: myHoles).toArray)
+    }
+    Some(MultiPolygonG(polys.toArray))
+  }
+
   // ---- WKB codec (ISO WKB, little-endian on write; both endians on read) ---
   private final val PointT = 1
   private final val LineT = 2

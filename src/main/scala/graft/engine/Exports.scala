@@ -1,0 +1,211 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.geom._
+
+/**
+ * XML export sinks (SURVEY.md §2.1 S7/S8/S9): osmChange (.osc), JOSM .osm and
+ * GPX renderings of deviation rows, ported from 19-osmChange.sql,
+ * 33-josmChange.sql and 11-api-gpx.sql. Exports are driver-side by design:
+ * the reference caps them at 1000 rows per request (19:36), so a collect()
+ * after the distributed filter is the correct shape at any input scale.
+ */
+object Exports {
+
+  /** osm.real_element_type/real_element_id (04-osm-base.sql:8-24): 'a' areas
+    * map back to the way (< 3.6e9) or relation (id - 3.6e9) they came from. */
+  def realElementType(t: String, id: Long): String = t match {
+    case "n" => "node"
+    case "w" => "way"
+    case "r" => "relation"
+    case "a" => if (id < 3600000000L) "way" else "relation"
+    case _   => null
+  }
+  def realElementId(t: String, id: Long): Long =
+    if (t == "a" && id >= 3600000000L) id - 3600000000L else id
+
+  final case class DevFilter(
+      datasetIds: Option[Seq[Long]] = None,
+      municipalities: Option[Seq[String]] = None,
+      layerIds: Option[Seq[Long]] = None,
+      titles: Option[Seq[String]] = None)
+
+  /** public.filtered_deviations (19:1-37): filters + ROW_NUMBER index +
+    * LIMIT 1000. The reference's ROW_NUMBER() OVER () is scan-order; we pin
+    * a total order for determinism. */
+  def filteredDeviations(devs: DataFrame, f: DevFilter): DataFrame = {
+    var d = devs
+    f.datasetIds.foreach(v => d = d.filter(col("dataset_id").isin(v: _*)))
+    f.municipalities.foreach(v => d = d.filter(col("municipality_code").isin(v: _*)))
+    f.layerIds.foreach(v => d = d.filter(col("layer_id").isin(v: _*)))
+    f.titles.foreach(v => d = d.filter(col("title").isin(v: _*)))
+    val w = Window.orderBy(col("dataset_id"), col("layer_id"), col("title"),
+      col("osm_element_id").asc_nulls_first, col("upstream_item_ids"))
+    d.withColumn("index", row_number().over(w)).limit(1000)
+  }
+
+  private def esc(s: String): String =
+    if (s == null) ""
+    else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def tagXml(tags: Map[String, String], includeNulls: Boolean): String =
+    if (tags == null) ""
+    else tags.toSeq.sortBy(_._1).collect {
+      case (k, v) if v != null => s"""<tag k="${esc(k)}" v="${esc(v)}"/>"""
+      case (k, _) if includeNulls => s"""<tag k="${esc(k)}"/>"""
+    }.mkString
+
+  private def lonLat(wkb: Array[Byte]): (Double, Double) = {
+    val c = Geom.fromWkb(wkb).centroid
+    Proj.swerefToWgs84(c.x, c.y)
+  }
+
+  private def geomType(wkb: Array[Byte]): String =
+    if (wkb == null) null
+    else Geom.fromWkb(wkb) match {
+      case _: PointG        => "Point"
+      case _: LineStringG   => "LineString"
+      case _: PolygonG      => "Polygon"
+      case _: MultiPolygonG => "MultiPolygon"
+      case _                => "Other"
+    }
+
+  private def fmt(d: Double): String = d.toString
+
+  /**
+   * api.osmchange (19:39-189). `elements` provides current tags (and an
+   * optional `version` column; missing -> 1) for the <modify> merge.
+   * Reference quirks preserved: only type-'n' rows are modified (the
+   * way/relation branches are unreachable behind `osm_element_type = 'n'`),
+   * and <delete> requires BOTH suggested_geom and suggested_tags non-null.
+   */
+  def osmChange(devs: DataFrame, elements: DataFrame, f: DevFilter = DevFilter()): String = {
+    val rows = collectWithElementTags(devs, elements, f)
+
+    val create = rows.filter(r => r.osmId.isEmpty && r.sgType.contains("Point") && r.sTags != null)
+      .map { r =>
+        val (lon, lat) = lonLat(r.sGeom)
+        s"""<node id="-${r.index}" version="0" lon="${fmt(lon)}" lat="${fmt(lat)}">""" +
+          tagXml(r.sTags, includeNulls = true) + "</node>"
+      }.mkString
+
+    val modify = rows.filter(r => r.osmId.isDefined && r.osmType.contains("n") &&
+        (r.sgType.contains("Point") || r.sTags != null))
+      .map { r =>
+        val merged = tagXml(r.sTags.filter(_._2 != null), includeNulls = false) +
+          tagXml(r.elemTags.filter { case (k, _) => r.sTags == null || !r.sTags.contains(k) },
+            includeNulls = false)
+        s"""<node id="${realElementId(r.osmType.get, r.osmId.get)}" version="${r.version}">$merged</node>"""
+      }.mkString
+
+    val delete = rows.filter(r => r.osmId.isDefined && r.sGeom != null && r.sTags != null)
+      .map { r =>
+        val t = realElementType(r.osmType.get, r.osmId.get)
+        s"""<$t id="${realElementId(r.osmType.get, r.osmId.get)}"/>"""
+      }.mkString
+
+    s"""<osmChange version="0.6" generator="graft"><create>$create</create>""" +
+      s"""<modify>$modify</modify><delete if-unused="true">$delete</delete></osmChange>"""
+  }
+
+  /** 33-josmChange.sql: single <osm upload=false> doc with <bounds> from the
+    * extent of deviation centers (transformed to 4326). */
+  def josmChange(devs: DataFrame, elements: DataFrame, f: DevFilter = DevFilter()): String = {
+    val rows = collectWithElementTags(devs, elements, f)
+    val centers = rows.flatMap(r => Option(r.center)).map(lonLat)
+    val bounds =
+      if (centers.isEmpty) ""
+      else {
+        val lons = centers.map(_._1); val lats = centers.map(_._2)
+        s"""<bounds minlat="${fmt(lats.min)}" minlon="${fmt(lons.min)}" maxlat="${fmt(lats.max)}" maxlon="${fmt(lons.max)}"/>"""
+      }
+    val create = rows.filter(r => r.osmId.isEmpty && r.sgType.contains("Point") && r.sTags != null)
+      .map { r =>
+        val (lon, lat) = lonLat(r.sGeom)
+        s"""<node id="-${r.index}" version="0" lon="${fmt(lon)}" lat="${fmt(lat)}">""" +
+          tagXml(r.sTags, includeNulls = true) + "</node>"
+      }.mkString
+    val modify = rows.filter(r => r.osmId.isDefined && r.osmType.contains("n") &&
+        (r.sgType.contains("Point") || r.sTags != null))
+      .map { r =>
+        val merged = tagXml(r.sTags.filter(_._2 != null), includeNulls = false) +
+          tagXml(r.elemTags.filter { case (k, _) => r.sTags == null || !r.sTags.contains(k) },
+            includeNulls = false)
+        s"""<node id="${realElementId(r.osmType.get, r.osmId.get)}" version="${r.version}" action="modify">$merged</node>"""
+      }.mkString
+    s"""<osm version="0.6" upload="false" generator="graft">$bounds$create$modify</osm>"""
+  }
+
+  /** api.gpx (11-api-gpx.sql): one deviation -> wpt (points) or trk/trkseg
+    * (linework/polygons, via the ST_DumpPoints analog). */
+  def gpx(dev: Row, itemAttrs: Seq[Map[String, String]], fetchedAt: String): String = {
+    val sGeom = dev.getAs[Array[Byte]]("suggested_geom")
+    if (sGeom == null) return null
+    val title = dev.getAs[String]("title")
+    val desc = dev.getAs[String]("description")
+    val sTags = Option(dev.getAs[Map[String, String]]("suggested_tags")).getOrElse(Map.empty)
+    val keywords = sTags.toSeq.sortBy(_._1).collect {
+      case (k, v) if v != null => s"$k=$v"
+    }.mkString("  -  ")
+    val cmt = itemAttrs.flatMap(_.toSeq).sortBy(_._1).collect {
+      case (k, v) if v != null => s"$k=$v"
+    }.mkString("  -  ")
+    val header = """<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="graft">"""
+    val meta = s"<desc>${esc(title)}</desc><name>${esc(desc)}</name>" +
+      s"<time>${esc(fetchedAt)}</time><keywords>${esc(keywords)}</keywords><cmt>${esc(cmt)}</cmt>"
+    val g = Geom.fromWkb(sGeom)
+    val body = g match {
+      case PointG(p) =>
+        val (lon, lat) = Proj.swerefToWgs84(p.x, p.y)
+        s"""<wpt lat="${fmt(lat)}" lon="${fmt(lon)}">$meta</wpt>"""
+      case _ =>
+        val pts = dumpPoints(g).map { p =>
+          val (lon, lat) = Proj.swerefToWgs84(p.x, p.y)
+          s"""<trkpt lat="${fmt(lat)}" lon="${fmt(lon)}"/>"""
+        }.mkString
+        s"<trk>$meta<trkseg>$pts</trkseg></trk>"
+    }
+    header + body + "</gpx>"
+  }
+
+  private def dumpPoints(g: Geom): Seq[Pt] = g match {
+    case PointG(p)            => Seq(p)
+    case LineStringG(pts)     => pts.toSeq
+    case PolygonG(rings)      => rings.toSeq.flatten
+    case MultiPolygonG(ps)    => ps.toSeq.flatMap(p => p.rings.toSeq.flatten)
+    case MultiPointG(pts)     => pts.toSeq
+    case MultiLineStringG(ls) => ls.toSeq.flatMap(_.pts)
+  }
+
+  // ---- shared collection ----------------------------------------------------
+  private case class Dev(
+      index: Long, osmId: Option[Long], osmType: Option[String],
+      sGeom: Array[Byte], sgType: Option[String], sTags: Map[String, String],
+      elemTags: Map[String, String], version: Long, center: Array[Byte])
+
+  private def collectWithElementTags(devs: DataFrame, elements: DataFrame,
+                                     f: DevFilter): Seq[Dev] = {
+    val filtered = filteredDeviations(devs, f)
+    val elemCols = elements.select(
+      col("type").as("osm_element_type"), col("id").as("osm_element_id"),
+      col("tags").as("__etags"),
+      (if (elements.columns.contains("version")) col("version") else lit(1L)).as("__ever"))
+    filtered
+      .join(elemCols, Seq("osm_element_type", "osm_element_id"), "left")
+      .collect().toSeq.map { r =>
+        Dev(
+          index = r.getAs[Number]("index").longValue(),
+          osmId = Option(r.getAs[Any]("osm_element_id")).map(_.asInstanceOf[Long]),
+          osmType = Option(r.getAs[String]("osm_element_type")),
+          sGeom = r.getAs[Array[Byte]]("suggested_geom"),
+          sgType = Option(r.getAs[Array[Byte]]("suggested_geom")).map(geomType),
+          sTags = r.getAs[Map[String, String]]("suggested_tags"),
+          elemTags = Option(r.getAs[Map[String, String]]("__etags")).getOrElse(Map.empty),
+          version = Option(r.getAs[Any]("__ever")).map(_.asInstanceOf[Number].longValue()).getOrElse(1L),
+          center = if (r.schema.fieldNames.contains("center")) r.getAs[Array[Byte]]("center") else null)
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.geom._
+import graft.functions.GeoFunctions._
+
+/**
+ * OSM topology -> geometry assembly (SURVEY.md §2.10 T2/T3), the Spark
+ * re-expression of dags/osm_bjk/replication/build_geometries.py:
+ *
+ *  - way geom    = ST_MakeLine(node.geom ORDER BY sequence_order)
+ *                  -> groupBy(way_id) + sort_array(collect_list) + line UDF;
+ *  - closed ways (first == last, > 3 points) -> areas (id = way_id);
+ *  - type=multipolygon relations -> ST_BuildArea(ST_Collect(member ways))
+ *    (role-insensitive, id = relation_id + 3_600_000_000);
+ *  - osm.element = union of nodes ('n'), ways ('w'), areas ('a')
+ *    (06-osm-element.sql:3-12);
+ *  - dirty propagation: node -> containing ways -> containing relations.
+ *
+ * Everything is a shuffle-by-key groupBy — the topology join partitions by
+ * way_id / relation_id and scales linearly with the replication batch.
+ */
+object GeometryAssembly {
+
+  private val makeLineU = udf((xs: Seq[Double], ys: Seq[Double]) =>
+    if (xs == null || xs.isEmpty) null
+    else Geom.toWkb(LineStringG(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toArray)))
+
+  private val closedWayAreaU = udf((wkb: Array[Byte]) => {
+    if (wkb == null) null
+    else Geom.fromWkb(wkb) match {
+      case l: LineStringG if l.pts.length > 3 && l.pts.head == l.pts.last =>
+        // ST_Multi(ST_MakePolygon(...)): multipolygon of the single ring
+        Geom.toWkb(MultiPolygonG(Array(PolygonG(Array(l.pts)))))
+      case _ => null
+    }
+  })
+
+  private val buildAreaU = udf((wkbs: Seq[Array[Byte]]) => {
+    val lines = wkbs.filter(_ != null).map(Geom.fromWkb).collect {
+      case l: LineStringG => l
+    }
+    Geom.buildArea(lines).map(Geom.toWkb).orNull
+  })
+
+  /** ways(id, tags[, ts]) x wayNodes(way_id, node_id, sequence_order) x
+    * nodes(id, cx, cy) -> ways + geom (LineString WKB). Ways with no nodes
+    * get a null geom (reference behavior: the subquery yields NULL). */
+  def buildWayGeoms(ways: DataFrame, wayNodes: DataFrame, nodes: DataFrame): DataFrame = {
+    val pts = wayNodes
+      .join(nodes.select(col("id").as("node_id"), col("cx"), col("cy")), Seq("node_id"))
+      .groupBy(col("way_id"))
+      .agg(sort_array(collect_list(struct(
+        col("sequence_order").as("seq"), col("cx"), col("cy")))).as("ordered"))
+      .select(col("way_id").as("id"),
+        makeLineU(expr("transform(ordered, p -> p.cx)"),
+                  expr("transform(ordered, p -> p.cy)")).as("geom"))
+    ways.drop("geom").join(pts, Seq("id"), "left")
+  }
+
+  /** closed ways -> osm.area rows (id = way_id). */
+  def areasFromWays(waysWithGeom: DataFrame): DataFrame =
+    waysWithGeom
+      .withColumn("ageom", closedWayAreaU(col("geom")))
+      .filter(col("ageom").isNotNull)
+      .select(col("id"), col("tags"), col("ageom").as("geom"),
+        col("id").as("way_id"), lit(null).cast("long").as("relation_id"))
+
+  /** multipolygon relations -> osm.area rows (id = relation_id + 3.6e9). */
+  def areasFromRelations(relations: DataFrame, relationMemberWays: DataFrame,
+                         waysWithGeom: DataFrame): DataFrame =
+    relations.filter(col("tags")("type") === "multipolygon")
+      .select(col("id").as("relation_id"), col("tags"))
+      .join(relationMemberWays.select(col("relation_id"), col("member_id")), Seq("relation_id"))
+      .join(waysWithGeom.select(col("id").as("member_id"), col("geom").as("wgeom")), Seq("member_id"))
+      .groupBy(col("relation_id"), col("tags"))
+      .agg(collect_list(col("wgeom")).as("wgeoms"))
+      .withColumn("geom", buildAreaU(col("wgeoms")))
+      .filter(col("geom").isNotNull) // HAVING ST_BuildArea(...) IS NOT NULL
+      .select((col("relation_id") + 3600000000L).as("id"), col("tags"), col("geom"),
+        lit(null).cast("long").as("way_id"), col("relation_id"))
+
+  /** the unified osm.element table: nodes 'n' ∪ ways 'w' ∪ areas 'a'. */
+  def elements(nodes: DataFrame, waysWithGeom: DataFrame, areas: DataFrame): DataFrame = {
+    val n = nodes.select(lit("n").as("type"), col("id"), col("tags"), col("geom"))
+    val w = waysWithGeom.select(lit("w").as("type"), col("id"), col("tags"), col("geom"))
+    val a = areas.select(lit("a").as("type"), col("id"), col("tags"), col("geom"))
+    graft.operators.SpatialJoin.withGeoMeta(
+      n.unionByName(w).unionByName(a).filter(col("geom").isNotNull), "geom")
+  }
+
+  /** dirty propagation (T2): changed nodes dirty their ways; changed ways
+    * dirty their multipolygon relations. Returns (dirtyWayIds, dirtyRelIds). */
+  def propagateDirty(dirtyNodeIds: DataFrame, dirtyWayIds: DataFrame,
+                     wayNodes: DataFrame, relationMemberWays: DataFrame): (DataFrame, DataFrame) = {
+    val waysFromNodes = wayNodes
+      .join(dirtyNodeIds.select(col("id").as("node_id")), Seq("node_id"))
+      .select(col("way_id").as("id")).distinct()
+    val allDirtyWays = dirtyWayIds.select("id").unionByName(waysFromNodes).distinct()
+    val relsFromWays = relationMemberWays
+      .join(allDirtyWays.select(col("id").as("member_id")), Seq("member_id"))
+      .select(col("relation_id").as("id")).distinct()
+    (allDirtyWays, relsFromWays)
+  }
+}
