@@ -58,7 +58,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nSites = sys.env.getOrElse("SPARK_GRAFT_SITES", "1000000").toLong
+    // 2M sites makes the pipeline compute-bound (fixed overheads < 10%), the
+    // regime where parallel scaling is honestly measurable (see BASELINE.md)
+    val nSites = sys.env.getOrElse("SPARK_GRAFT_SITES", "2000000").toLong
 
     // --- headline queries at full parallelism ---
     var spark = session(cpus)
@@ -69,31 +71,31 @@ object Bench {
       name -> sec
     }
 
-    // --- pipeline throughput at full parallelism (min of 2: the host VM
-    // shows heavy CPU-steal bursts, so min-of-trials is the honest number) ---
-    pipeline(spark, 10000L) // warm-up
-    val runs = Seq(pipeline(spark, nSites), pipeline(spark, nSites))
-    val (pSec, matchRows, devRows) = runs.minBy(_._1)
-    val rowsPerSec = (matchRows + devRows) / pSec
     spark.stop()
 
-    // --- scaling: same job, same input, two parallelism levels.
-    // Trials are INTERLEAVED (low, high, low, high) and each level takes its
-    // min, so hypervisor steal storms don't land on one level only. ---
+    // --- pipeline throughput + N->4N scaling: same job, same input, two
+    // parallelism levels. Trials are INTERLEAVED (low, high, low, high) and
+    // each level takes its MIN — the host VM shows heavy CPU-steal bursts
+    // (~50% of user time historically), so single-shot timings are not
+    // credible. The high-parallelism runs double as the throughput metric. ---
     val coresLow = 8; val coresHigh = 32
     val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "2").toInt
-    var lows = List.empty[Double]; var highs = List.empty[Double]
+    var lows = List.empty[Double]
+    var highs = List.empty[(Double, Long, Long)]
     for (_ <- 1 to trials) {
       spark = session(coresLow)
-      pipeline(spark, 10000L)
+      pipeline(spark, 10000L) // warm-up (codegen/JIT)
       lows ::= pipeline(spark, nSites)._1
       spark.stop()
       spark = session(coresHigh)
       pipeline(spark, 10000L)
-      highs ::= pipeline(spark, nSites)._1
+      highs ::= pipeline(spark, nSites)
       spark.stop()
     }
-    val tLow = lows.min; val tHigh = highs.min
+    val tLow = lows.min
+    val (pSec, matchRows, devRows) = highs.minBy(_._1)
+    val tHigh = pSec
+    val rowsPerSec = (matchRows + devRows) / pSec
     val efficiency = (tLow / tHigh) / (coresHigh.toDouble / coresLow)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -121,6 +121,30 @@ object QueriesSpatial {
           .cast("long").as("tile_y"))
     }),
 
+    // A5: ST_Extent analog — bbox aggregate per polygon-grid box
+    "q_sp_extent" -> ((s, dir) => {
+      ptsB(s, dir)
+        .withColumn("box_id",
+          (floor(col("cy") / 200000) * 5 + floor(col("cx") / 200000)).cast("long"))
+        .groupBy("box_id")
+        .agg(min(col("cx")).as("min_x"), min(col("cy")).as("min_y"),
+             max(col("cx")).as("max_x"), max(col("cy")).as("max_y"),
+             count(lit(1)).as("n"))
+    }),
+
+    // A4: deviation_title counts over the deviation-shaped output
+    "q_sp_title_counts" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_a_id")).orderBy(col("dist"), col("b_b_id"))
+      val best = candidates(s, dir, 2000.0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"), col("b_bname").as("bname"))
+      ptsA(s, dir).select("a_id", "aname")
+        .join(best, Seq("a_id"), "left")
+        .filter(col("b_id").isNull || col("aname") =!= col("bname"))
+        .select(when(col("b_id").isNull, "Missing").otherwise("Incomplete").as("title"))
+        .groupBy("title").agg(count(lit(1)).as("n"))
+    }),
+
     // the deviation shape end-to-end on oracle-checkable data:
     // best-match left join + name-diff titles (Missing / Incomplete)
     "q_sp_deviation" -> ((s, dir) => {
@@ -177,6 +201,24 @@ object QueriesSpatial {
         | CAST(FLOOR((lon+180.0)/360.0*16384.0) AS BIGINT) AS tile_x,
         | CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))/PI())/2.0*16384.0) AS BIGINT) AS tile_y
         |FROM pts""".stripMargin,
+    "q_sp_extent" ->
+      s"""WITH $sqlPts
+         |SELECT CAST(FLOOR(byy/200000)*5 + FLOOR(bx/200000) AS BIGINT) AS box_id,
+         |  MIN(bx) AS min_x, MIN(byy) AS min_y, MAX(bx) AS max_x, MAX(byy) AS max_y,
+         |  COUNT(*) AS n
+         |FROM b GROUP BY 1""".stripMargin,
+    "q_sp_title_counts" ->
+      s"""WITH $sqlPts,
+         |cand AS (SELECT a_id, b_id, bname, $distExpr AS dist FROM a, b
+         |  WHERE ABS(ax-bx) <= 2000 AND ABS(ay-byy) <= 2000 AND $distExpr <= 2000),
+         |best AS (SELECT a_id, b_id, bname FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rn FROM cand)
+         |  WHERE rn = 1)
+         |SELECT CASE WHEN best.b_id IS NULL THEN 'Missing' ELSE 'Incomplete' END AS title,
+         |  COUNT(*) AS n
+         |FROM a LEFT JOIN best ON a.a_id = best.a_id
+         |WHERE best.b_id IS NULL OR a.aname <> best.bname
+         |GROUP BY 1""".stripMargin,
     "q_sp_deviation" ->
       s"""WITH $sqlPts,
          |cand AS (SELECT a_id, b_id, bname, $distExpr AS dist FROM a, b

@@ -66,8 +66,8 @@ object Pages {
    * pages, so extraction is an honest filter+parse, not an identity map.
    */
   def synthesize(spark: SparkSession, nSites: Long, seed: Long = 42L,
-                 noiseFraction: Double = 0.2): DataFrame = {
-    val sites = spark.range(nSites).toDF("site")
+                 noiseFraction: Double = 0.2, siteOffset: Long = 0L): DataFrame = {
+    val sites = spark.range(siteOffset, siteOffset + nSites).toDF("site")
     val id = col("site")
     val (sx, sy) = sitePos(id, seed)
 
@@ -81,10 +81,10 @@ object Pages {
 
     // ---------- OSM pages ----------
     // sites [0, nSites): present with p=0.85; sites [nSites, nSites*1.08): OSM-only
-    val osmIds = spark.range((nSites * 1.08).toLong).toDF("site")
+    val osmIds = spark.range(siteOffset, siteOffset + (nSites * 1.08).toLong).toDF("site")
     val oid = col("site")
     val (ox0, oy0) = sitePos(oid, seed)
-    val present = u01(oid, seed, 10) < lit(0.85) || oid >= lit(nSites)
+    val present = u01(oid, seed, 10) < lit(0.85) || oid >= lit(siteOffset + nSites)
     val jitterR = u01(oid, seed, 11) * lit(80.0)
     val jitterA = u01(oid, seed, 12) * lit(2 * math.Pi)
     val hasName = u01(oid, seed, 13) < lit(0.70)

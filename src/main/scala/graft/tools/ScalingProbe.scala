@@ -30,8 +30,9 @@ object ScalingProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(200000L, 1000000L)
-    for (cores <- Seq(8, 32)) {
+    val sizes = if (args.nonEmpty) args.head.split(",").map(_.toLong).toSeq else Seq(2000000L)
+    val coreList = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq else Seq(4, 8, 16, 32)
+    for (cores <- coreList) {
       val s = session(cores)
       run(s, 20000L) // warm-up
       for (n <- sizes) {
