@@ -124,10 +124,33 @@ object MatchEngine {
       if (cfg.muniGuardWhere) matched0.filter(col("b_muni_code") === col("p_muni_code"))
       else matched0
 
-    // rank-1 per upstream row; key on the ids array (unique per ups row)
+    // rank-1 per upstream row; key on the ids array (unique per ups row).
+    // The left extension ("missing from OSM") is NOT a join back to ups:
+    // every ups row contributes one synthetic null-candidate with +inf score,
+    // so rank-1 over (candidates ∪ sentinels) IS the left outer best-match —
+    // one shuffle instead of a window plus an extra shuffle join. With the
+    // WHERE-guard (reference behavior, 12:28) the sentinel is omitted and
+    // guard-filtered ups rows vanish from leg 1.
+    val candCols = Seq(
+      col("p_ids"), col(s"p_$upsTagsCol"), col("p_geometry"),
+      col("b_id"), col("b_type"), col("b_tags"), col("b_geom"),
+      col("dist"), col("score"))
+    val ranked0 = matched.select(candCols: _*)
+    val ranked =
+      if (cfg.muniGuardWhere) ranked0
+      else ranked0.unionByName(ups.select(
+        col("ids").as("p_ids"),
+        col(upsTagsCol).as(s"p_$upsTagsCol"),
+        col("geometry").as("p_geometry"),
+        lit(null).cast("long").as("b_id"),
+        lit(null).cast("string").as("b_type"),
+        lit(null).cast("map<string,string>").as("b_tags"),
+        lit(null).cast("binary").as("b_geom"),
+        lit(null).cast("double").as("dist"),
+        lit(Double.MaxValue).as("score")))
     val w = Window.partitionBy(col("p_ids"))
       .orderBy(col("score"), col("b_type"), col("b_id"))
-    val best = matched
+    val leg1 = ranked
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(
@@ -139,20 +162,6 @@ object MatchEngine {
         col("b_tags").as("osm_tags"),
         col("b_geom").as("osm_geom"),
         col("dist"))
-
-    // leg 1: with the WHERE-guard the left extension is suppressed
-    // (reference behavior); otherwise ups rows with no candidate surface
-    // with null osm columns (the "missing from OSM" state).
-    val leg1 =
-      if (cfg.muniGuardWhere) best
-      else {
-        val upsKeyed = ups.select(
-          col("ids").as("upstream_item_ids"),
-          col(upsTagsCol).as("upstream_tags"),
-          col("geometry").as("upstream_geom"))
-        upsKeyed.join(best.drop("upstream_tags", "upstream_geom"),
-            Seq("upstream_item_ids"), "left")
-      }
 
     if (!cfg.antiLeg) leg1
     else {

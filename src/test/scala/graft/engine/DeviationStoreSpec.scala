@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.geom.Geom
+
+/** sync_deviations merge semantics in isolation (15-recalculation.sql:95-124):
+  * upsert updates only geom/tags/description/note; user-actioned rows survive
+  * deletion; deferred rows do not; counts; snapshot/metrics protocol. */
+class DeviationStoreSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def pt(x: Double, y: Double) = Geom.toWkb(Geom.point(x, y))
+
+  private def dev(ids: Seq[Long], title: String, desc: String = "d",
+                  tags: Map[String, String] = Map("k" -> "v")) =
+    (1L, 1L, ids, pt(1000, 1000), tags,
+      null.asInstanceOf[java.lang.Long], null.asInstanceOf[String],
+      title, desc, "", pt(1000, 1000))
+
+  private def toDf(rows: Seq[(Long, Long, Seq[Long], Array[Byte], Map[String, String],
+      java.lang.Long, String, String, String, String, Array[Byte])]) =
+    rows.toDF("dataset_id", "layer_id", "upstream_item_ids", "suggested_geom",
+      "suggested_tags", "osm_element_id", "osm_element_type", "title",
+      "description", "note", "center")
+
+  test("sync preserves actions, deletes unactioned, updates in place") {
+    val dir = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new DeviationStore(spark, dir)
+
+    val (i1, d1) = store.sync("v", toDf(Seq(
+      dev(Seq(1L), "T A"), dev(Seq(2L), "T B"), dev(Seq(3L), "T C"), dev(Seq(4L), "T D"))))
+    assert(i1 == 4 && d1 == 0)
+
+    // user actions: row 2 fixed, row 3 deferred
+    val withActions = store.latest()
+      .withColumn("action",
+        when(array_contains(col("upstream_item_ids"), 2L), "fixed")
+          .when(array_contains(col("upstream_item_ids"), 3L), "deferred")
+          .otherwise(col("action")))
+      .withColumn("action_at",
+        when(col("action").isNotNull, lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+          .otherwise(col("action_at")))
+    store.commit(withActions, "test:actions")
+
+    // second sync: row 1 updated (new description), rows 2/3/4 vanish from view
+    val (i2, d2) = store.sync("v", toDf(Seq(dev(Seq(1L), "T A", desc = "updated"))))
+    assert(i2 == 1)
+    assert(d2 == 2, s"unactioned row 4 and deferred row 3 deleted, got $d2")
+
+    val rows = store.latest().collect()
+    val byIds = rows.map(r => r.getAs[scala.collection.Seq[Long]]("upstream_item_ids").head -> r).toMap
+    assert(byIds.keySet == Set(1L, 2L), s"fixed row survives, got ${byIds.keySet}")
+    assert(byIds(1L).getAs[String]("description") == "updated")
+    assert(byIds(2L).getAs[String]("action") == "fixed", "action preserved through sync")
+    // updated row keeps its original center (insert-only trigger semantics)
+    assert(byIds(1L).getAs[Array[Byte]]("center") != null)
+
+    // snapshot protocol: three versions + metrics files
+    assert(store.currentVersion == 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_metrics", "3.json")))
+
+    // idempotence: replay the same sync -> same row set
+    store.sync("v", toDf(Seq(dev(Seq(1L), "T A", desc = "updated"))))
+    assert(store.latest().count() == 2)
+  }
+
+  test("sync scopes to its view_name") {
+    val dir = java.nio.file.Files.createTempDirectory("store2").toString
+    val store = new DeviationStore(spark, dir)
+    store.sync("v1", toDf(Seq(dev(Seq(10L), "T"))))
+    store.sync("v2", toDf(Seq(dev(Seq(20L), "T"))))
+    assert(store.latest().count() == 2)
+    // emptying v1 must not touch v2
+    store.sync("v1", toDf(Seq.empty))
+    val left = store.latest().collect()
+    assert(left.length == 1 && left(0).getAs[String]("view_name") == "v2")
+  }
+}

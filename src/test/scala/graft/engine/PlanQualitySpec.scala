@@ -46,9 +46,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val m = BenchPipeline.matchRows(pages, cacheInputs = false)
     val p = finalPlan(m)
     // the dist refinement + match condition must appear as native SQRT /
-    // map_contains_key expressions, not as opaque UDF calls in the filter
+    // map-key expressions (Catalyst rewrites map_contains_key to
+    // array_contains(map_keys)); the only allowed UDF is the non-point
+    // distance fallback branch inside the CASE
     assert(p.contains("SQRT"), "point distance should be native arithmetic")
-    assert(p.contains("map_contains_key") || p.contains("arrays_overlap") ||
-      !p.contains("UDF"), "match condition should be native")
+    assert(p.contains("array_contains(map_keys") || p.contains("map_contains_key"),
+      "tag predicate should be native map access")
+    assert(p.contains("lower("), "name tier should be native lower() equality")
   }
 }
