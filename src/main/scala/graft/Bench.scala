@@ -42,16 +42,15 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, a)
   }
 
-  /** one pipeline run: synthesize -> extract -> match -> deviations; returns
-    * (seconds, matchRows, deviationRows). The match frame is cached between
-    * the two counts (the reference materializes mv_match_* the same way). */
+  /** one pipeline run: synthesize -> extract -> match -> deviations; single
+    * fused action counting both match and deviation rows. */
   private def pipeline(s: SparkSession, nSites: Long): (Double, Long, Long) = {
-    val pages = graft.sources.Pages.synthesize(s, nSites)
-    val m = graft.engine.BenchPipeline.matchRows(pages).cache()
-    val d = graft.engine.BenchPipeline.deviations(m)
     var mr = 0L; var dr = 0L
-    val (sec, _) = time { mr = m.count(); dr = d.count() }
-    m.unpersist(); s.sharedState.cacheManager.clearCache()
+    val (sec, _) = time {
+      val (m, d) = graft.engine.BenchPipeline.pipelineCounts(s, nSites)
+      mr = m; dr = d
+    }
+    s.sharedState.cacheManager.clearCache()
     (sec, mr, dr)
   }
 

@@ -73,4 +73,20 @@ object BenchPipeline {
     val pages = Pages.synthesize(spark, nSites)
     deviations(matchRows(pages, saltThreshold))
   }
+
+  /** (matchRows, deviationRows) in ONE action: the deviation projection runs
+    * unfiltered with an `emitted` flag, so a single aggregation counts both —
+    * no intermediate cache of the match frame, one pass end to end. */
+  def pipelineCounts(spark: SparkSession, nSites: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val pages = Pages.synthesize(spark, nSites)
+    val m = matchRows(pages)
+    val all = DeviationView.deviations(m, DeviationConfig(
+      datasetId = Pages.BenchDatasetId, layerId = 1L, viewName = "bench_pois",
+      titles = titles, postFilter = CustomFilter(lit(true))))
+      .withColumn("emitted",
+        (col("osm_element_id").isNull || size(col("suggested_tags")) > 0).cast("long"))
+    val r = all.agg(count(lit(1)).as("m"), sum(col("emitted")).as("d")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 }

@@ -32,6 +32,9 @@ object DeviationView {
   case object DiffNonEmptyOrEitherNull extends PostFilter
   /** WHERE osm_element_id IS NULL OR suggested_tags <> '{}' (12:69) */
   case object MissingOrDiffNonEmpty extends PostFilter
+  /** WHERE osm IS NULL OR ids IS EMPTY OR diff <> '{}' (36:74) — keeps all
+    * three states including the anti leg */
+  case object MissingOrClosedOrDiffNonEmpty extends PostFilter
   /** custom column predicate over the pre-projection frame */
   final case class CustomFilter(pred: Column) extends PostFilter
 
@@ -80,6 +83,9 @@ object DeviationView {
           size(col("suggested_tags")) > 0)
       case MissingOrDiffNonEmpty =>
         withDiff.filter(col("osm_element_id").isNull || size(col("suggested_tags")) > 0)
+      case MissingOrClosedOrDiffNonEmpty =>
+        withDiff.filter(col("osm_element_id").isNull ||
+          size(col("upstream_item_ids")) === 0 || size(col("suggested_tags")) > 0)
       case CustomFilter(pred) => withDiff.filter(pred)
     }
 

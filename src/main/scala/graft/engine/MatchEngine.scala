@@ -36,6 +36,10 @@ object MatchEngine {
     *   AFTER the left join (12:28): null-extended rows are filtered, so
     *   upstream items only survive leg 1 when a same-municipality candidate
     *   matched.
+    * @param muniGuardCondition replicates `ON match_condition(...) AND
+    *   osm.code = ups.code` (36:35): the guard restricts candidates but the
+    *   left extension survives (missing rows still emitted), and the anti
+    *   leg is NOT scoped by it.
     * @param antiMatchSpec the anti leg may use different distances than the
     *   main match (tests/test_recalculate_on_element.sql:83: 500 m vs 100 m).
     */
@@ -46,6 +50,7 @@ object MatchEngine {
       antiMatchSpec: Option[Tags.MatchSpec] = None,
       tagsVisibleToMatch: Boolean = true,
       muniGuardWhere: Boolean = false,
+      muniGuardCondition: Boolean = false,
       extraJoinKeys: Seq[String] = Nil,
       saltThreshold: Long = Long.MaxValue,
       saltFactor: Int = 16)
@@ -121,7 +126,8 @@ object MatchEngine {
       .withColumn("score", matchScoreCol(spec, col("b_tags"), tagsB, col("dist")))
 
     val matched =
-      if (cfg.muniGuardWhere) matched0.filter(col("b_muni_code") === col("p_muni_code"))
+      if (cfg.muniGuardWhere || cfg.muniGuardCondition)
+        matched0.filter(col("b_muni_code") === col("p_muni_code"))
       else matched0
 
     // rank-1 per upstream row; key on the ids array (unique per ups row).

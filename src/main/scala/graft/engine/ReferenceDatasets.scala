@@ -93,6 +93,94 @@ object ReferenceDatasets {
       postFilter = DiffNonEmptyOrEitherNull))
 
   // =========================================================================
+  // lifesaving_gavle — 16-v_deviation_lifesaving_gavle.sql: multi-value tag
+  // predicate (emergency ;-list overlap), distance-only 5 m, no anti leg
+  // =========================================================================
+  def lifesavingGavleMatch(osm: DataFrame, items: DataFrame, munis: DataFrame): DataFrame = {
+    val gavleWkb = munis.filter(col("code") === "2180").select("geom")
+      .collect().headOption.map(_.getAs[Array[Byte]](0)).orNull
+    val osmObjs = osm.filter(
+      map_contains_key(col("tags"), lit("emergency")) &&
+        arrays_overlap(split(col("tags")("emergency"), ";"),
+          array(lit("life_ring"), lit("rescue_boat"), lit("rescue_ladder"))) &&
+        col("type") === "n" && stWithin(col("geom"), lit(gavleWkb)))
+    val typ = attr("TYP")
+    val tags =
+      when(typ === "Livräddningsboj", sMapLit("emergency" -> "life_ring"))
+      .when(typ === "Livräddningsstege", sMapLit("emergency" -> "rescue_ladder"))
+      .when(typ === "Livräddningspost", sMapLit("emergency" -> "life_ring;rescue_ladder"))
+      .when(typ === "Livräddningsbåt", sMapLit("emergency" -> "rescue_boat"))
+      .otherwise(map().cast("map<string,string>"))
+    val ups = items.filter(col("dataset_id") === 8)
+      .withColumn("ids", array(col("id")))
+      .withColumn("tags", tags)
+    MatchEngine.matchView(osmObjs, ups, MatchConfig(
+      matchSpec = Tags.MatchSpec(None, Nil, dOther = 5.0), antiLeg = false))
+  }
+
+  def lifesavingGavleDeviations(matchDf: DataFrame): DataFrame =
+    DeviationView.deviations(matchDf, DeviationConfig(
+      datasetId = 8L, layerId = 16L, viewName = "lifesaving_gavle",
+      titles = Titles(
+        missing = ("Livräddningsutrustning saknas", "Enligt Gävle kommun ska det finnas livräddningsutrustning här"),
+        possiblyClosed = None,
+        missingTags = ("Livräddningsutrustning saknar taggar", "Följande taggar, härledda ur från Gävle kommuns data, saknas på livräddningsutrustningen här")),
+      postFilter = DiffNonEmptyOrEitherNull))
+
+  // =========================================================================
+  // vindbrukskollen_turbines — 36-v_deviation_vindbrukskollen_turbines.sql:
+  // ref-as-name tier (25/100 m), muni guard in the JOIN CONDITION (left
+  // extension survives; anti leg unscoped), float/date tag mapping, and the
+  // keep-all-three-states post-filter
+  // =========================================================================
+  def turbinesMatch(osm: DataFrame, items: DataFrame, munis: DataFrame): DataFrame = {
+    val bMunis = broadcastMunis(munis)
+    val osmObjs = MatchEngine.withMunicipality(
+      osm.filter(col("tags")("power") === "generator" &&
+        col("tags")("generator:method") === "wind_turbine" && col("type") === "n"), bMunis)
+    val uppfort = attr("UPPFORT")
+    val tags = stripNullsCol(sMap(
+      "power" -> lit("generator"),
+      "generator:method" -> lit("wind_turbine"),
+      "generator:source" -> lit("wind"),
+      "generator:type" -> lit("horizontal_axis"),
+      "manufacturer" -> trim(attr("FABRIKAT")),
+      "generator:output:electricity" ->
+        concat(regexp_replace(attr("MAXEFFEKT"), ",", "."), lit(" MW")),
+      "model" -> when(trim(attr("MODELL")).isin("", "-"), lit(null).cast("string"))
+        .otherwise(regexp_replace(trim(attr("MODELL")), ",", ".")),
+      "height:hub" -> attr("NAVHOJD"),
+      "operator" -> when(lower(trim(attr("ORGNAMN"))).startsWith("projektör ej registrerad"),
+        lit(null).cast("string")).otherwise(trim(attr("ORGNAMN"))),
+      "rotor:diameter" -> attr("ROTDIAMETE"),
+      "height" -> attr("TOTALHOJD"),
+      "start_date" -> when(uppfort.isNotNull && uppfort =!= "19000101" &&
+          uppfort.rlike("^\\d{8}$"),
+        date_format(to_date(uppfort, "yyyyMMdd"), "yyyy-MM-dd"))
+        .otherwise(lit(null).cast("string")),
+      "ref" -> attr("VERKID")))
+    val ups = MatchEngine.withMunicipality(
+      items.filter(col("dataset_id") === 462 &&
+          attr("ARENDESTATUS") === "4" && attr("STATUS") === "Uppfört")
+        .withColumn("ids", array(col("id")))
+        .withColumn("tags", tags), bMunis)
+    MatchEngine.matchView(osmObjs, ups, MatchConfig(
+      // the 3-arg "name" overload with name_key = 'ref' (36:35)
+      matchSpec = Tags.MatchSpec(Some("ref"), Nil, dOther = 25.0, dName = 100.0),
+      antiLeg = true,
+      muniGuardCondition = true))
+  }
+
+  def turbinesDeviations(matchDf: DataFrame): DataFrame =
+    DeviationView.deviations(matchDf, DeviationConfig(
+      datasetId = 462L, layerId = 22L, viewName = "vindbrukskollen_turbines",
+      titles = Titles(
+        missing = ("Vindkraftverk saknas", "Enligt Vindbrukskollen ska det finnas ett vindkraftverk här"),
+        possiblyClosed = Some(("Vindkraftverk möjligen rivet", "Enligt Vindbrukskollen finns det inget vindkraftverk här, det kan ha rivits")),
+        missingTags = ("Vindkraftverk saknar taggar", "Följande taggar, härledda från Vindbrukskollen, saknas på vindkraftverket här")),
+      postFilter = MissingOrClosedOrDiffNonEmpty))
+
+  // =========================================================================
   // preschools_scb — 12-v-deviation_preschools_scb.sql
   // =========================================================================
   def preschoolsMatch(osm: DataFrame, items: DataFrame, munis: DataFrame): DataFrame = {

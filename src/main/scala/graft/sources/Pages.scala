@@ -147,17 +147,20 @@ object Pages {
 
   private val tagMapType = MapType(StringType, StringType, valueContainsNull = true)
 
-  /** osm_element(type, id, tags, geom, cx, cy, is_point) */
+  /** osm_element(type, id, tags, geom, cx, cy, is_point).
+    * try_cast everywhere: Catalyst may reorder a downstream numeric filter
+    * BEFORE the line-type filter, and ANSI-mode cast would then throw on
+    * non-feature pages (MUNI/noise rows). */
   def extractOsmElements(pages: DataFrame): DataFrame = {
     val p = pages
       .filter(col("lang") === "sv" && col("text").startsWith("OSM "))
       .withColumn("parts", split(col("text"), " ", 6))
     p.select(
         col("parts")(1).as("type"),
-        col("parts")(2).cast(LongType).as("id"),
+        expr("try_cast(parts[2] as long)").as("id"),
         from_json(col("parts")(5), tagMapType).as("tags"),
-        col("parts")(3).cast(DoubleType).as("cx"),
-        col("parts")(4).cast(DoubleType).as("cy"))
+        expr("try_cast(parts[3] as double)").as("cx"),
+        expr("try_cast(parts[4] as double)").as("cy"))
       .withColumn("geom",
         when(col("type") === "a",
           stEnvelopeWkb(col("cx") - 10, col("cy") - 10, col("cx") + 10, col("cy") + 10))
@@ -171,14 +174,14 @@ object Pages {
       .filter(col("lang") === "sv" && col("text").startsWith("UPSTREAM "))
       .withColumn("parts", split(col("text"), " ", 6))
     p.select(
-        col("parts")(1).cast(LongType).as("dataset_id"),
+        expr("try_cast(parts[1] as long)").as("dataset_id"),
         col("parts")(2).as("original_id"),
-        col("parts")(3).cast(DoubleType).as("cx"),
-        col("parts")(4).cast(DoubleType).as("cy"),
+        expr("try_cast(parts[3] as double)").as("cx"),
+        expr("try_cast(parts[4] as double)").as("cy"),
         col("parts")(5).as("original_attributes"))
       .withColumn("id",
         col("dataset_id") * lit(1000000000000L) +
-          regexp_extract(col("original_id"), "(\\d+)", 1).cast(LongType))
+          expr("try_cast(regexp_extract(original_id, '(\\\\d+)', 1) as long)"))
       .withColumn("geometry", stPoint(col("cx"), col("cy")))
       .withColumn("is_point", lit(true))
   }

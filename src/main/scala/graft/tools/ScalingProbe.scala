@@ -20,13 +20,10 @@ object ScalingProbe {
   }
 
   private def run(s: SparkSession, n: Long): (Double, Long, Long) = {
-    val pages = graft.sources.Pages.synthesize(s, n)
-    val m = graft.engine.BenchPipeline.matchRows(pages).cache()
-    val d = graft.engine.BenchPipeline.deviations(m)
     val t0 = System.nanoTime()
-    val mr = m.count(); val dr = d.count()
+    val (mr, dr) = graft.engine.BenchPipeline.pipelineCounts(s, n)
     val sec = (System.nanoTime() - t0) / 1e9
-    m.unpersist(); s.sharedState.cacheManager.clearCache()
+    s.sharedState.cacheManager.clearCache()
     (sec, mr, dr)
   }
 
