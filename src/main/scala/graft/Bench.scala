@@ -78,7 +78,7 @@ object Bench {
     // (~50% of user time historically), so single-shot timings are not
     // credible. The high-parallelism runs double as the throughput metric. ---
     val coresLow = 8; val coresHigh = 32
-    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "2").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "3").toInt
     var lows = List.empty[Double]
     var highs = List.empty[(Double, Long, Long)]
     for (_ <- 1 to trials) {

@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/**
+ * Cell-range-partitioned checkpoint of a match view (the mv_match_* analog)
+ * with idempotent per-range resume — the north rule's "any cell-range can
+ * resume idempotently, with per-partition lineage + row-count metrics":
+ *
+ *  - rows are bucketed by a coarse spatial range (100 km grid cell of the
+ *    feature centroid) and written with dynamic partition overwrite, so
+ *    recomputing ONE range replaces exactly that range's files;
+ *  - `_metrics/<version>.json` records per-range row counts + lineage;
+ *  - `resume(ranges)` re-runs the match restricted to those ranges and
+ *    overwrites only them — byte-stable because every stage is deterministic.
+ *
+ * On a cluster this maps onto Iceberg identity-partitioned tables +
+ * overwritePartitions; here the layout is plain parquet `range=<id>` dirs.
+ */
+class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 100000.0) {
+
+  private val rangeCol = {
+    // coarse range id from the feature centroid (upstream side if present,
+    // else the OSM side — anti-leg rows have no upstream geometry)
+    val cx = col("__rx"); val cy = col("__ry")
+    (floor(cx / rangeCellMeters) * 100000 + floor(cy / rangeCellMeters)).cast("long")
+  }
+
+  private def withRange(matchDf: DataFrame): DataFrame = {
+    import graft.functions.GeoFunctions.stCentroid
+    matchDf
+      .withColumn("__c", stCentroid(coalesce(col("upstream_geom"), col("osm_geom"))))
+      .withColumn("__rx", col("__c._1")).withColumn("__ry", col("__c._2"))
+      .withColumn("range", rangeCol)
+      .drop("__c", "__rx", "__ry")
+  }
+
+  /** full (re)write of all ranges. */
+  def writeAll(matchDf: DataFrame, lineage: String): Unit = {
+    val df = withRange(matchDf)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy("range").parquet(path)
+    writeMetrics(lineage)
+  }
+
+  /** recompute + overwrite ONLY the given ranges (idempotent resume). */
+  def resume(matchDf: DataFrame, ranges: Seq[Long], lineage: String): Unit = {
+    val df = withRange(matchDf).filter(col("range").isin(ranges: _*))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy("range").parquet(path)
+    writeMetrics(s"$lineage resume=[${ranges.mkString(",")}]")
+  }
+
+  /** partition-dir values are re-inferred as int on read — pin long. */
+  def read(): DataFrame =
+    spark.read.parquet(path).withColumn("range", col("range").cast("long"))
+
+  def ranges(): Seq[Long] =
+    read().select("range").distinct().collect().map(_.getLong(0)).toSeq
+
+  private def writeMetrics(lineage: String): Unit = {
+    val counts = read().groupBy("range").count().collect()
+      .map(r => s"""{"range":${r.getLong(0)},"rows":${r.getLong(1)}}""")
+    Files.createDirectories(Paths.get(path, "_metrics"))
+    val v = System.nanoTime() // monotone version tag for the metrics file
+    Files.write(Paths.get(path, "_metrics", s"$v.json"),
+      s"""{"lineage":"${lineage.replace("\"", "'")}","ranges":[${counts.mkString(",")}]}"""
+        .getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+}
