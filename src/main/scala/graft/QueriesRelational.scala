@@ -58,9 +58,14 @@ object QueriesRelational {
         .select("o_custkey", "o_orderkey", "rn")
     }),
 
-    // J5: anti join (NOT EXISTS)
+    // J5: anti join (NOT EXISTS) — customers with no 1995 order (every
+    // customer has SOME order in this data, so the date scoping makes the
+    // anti set non-trivial)
     "q4_antijoin" -> ((s, dir) => {
-      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
@@ -161,7 +166,8 @@ object QueriesRelational {
         | FROM orders) WHERE rn <= 3""".stripMargin,
     "q4_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')""".stripMargin,
     "q5_semijoin" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey

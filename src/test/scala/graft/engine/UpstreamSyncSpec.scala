@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.geom.Geom
+
+class UpstreamSyncSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def pt(x: Double, y: Double) = Geom.toWkb(Geom.point(x, y))
+  private val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private val ts2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+
+  private def batch(rows: (String, Array[Byte], String, java.sql.Timestamp)*) =
+    rows.toDF("original_id", "geometry", "original_attributes", "updated_at")
+
+  test("keyed upsert: update in place (stable id), insert new, prune deleted") {
+    val dir = java.nio.file.Files.createTempDirectory("upssync").toString
+    val sync = new UpstreamSync(spark, dir)
+
+    sync.fullRefresh(7L, batch(
+      ("a", pt(1, 1), """{"v":1}""", ts),
+      ("b", pt(2, 2), """{"v":1}""", ts)))
+    val first = sync.items().collect().map(r => r.getAs[String]("original_id") -> r.getAs[Long]("id")).toMap
+    assert(first.keySet == Set("a", "b"))
+
+    // second fetch: a updated, b gone, c new
+    val (u, i, p) = sync.upsert(7L, batch(
+      ("a", pt(1, 5), """{"v":2}""", ts2),
+      ("c", pt(3, 3), """{"v":1}""", ts2)))
+    assert((u, i, p) == (1L, 1L, 1L))
+    val rows = sync.items().collect()
+    assert(rows.map(_.getAs[String]("original_id")).toSet == Set("a", "c"))
+    val a = rows.find(_.getAs[String]("original_id") == "a").get
+    assert(a.getAs[Long]("id") == first("a"), "id stable across upsert")
+    assert(a.getAs[String]("original_attributes") == """{"v":2}""")
+    assert(a.getAs[java.sql.Timestamp]("updated_at") == ts2)
+
+    // re-running the same fetch is idempotent
+    sync.upsert(7L, batch(
+      ("a", pt(1, 5), """{"v":2}""", ts2),
+      ("c", pt(3, 3), """{"v":1}""", ts2)))
+    assert(sync.items().count() == 2)
+
+    // other datasets untouched by a full refresh of dataset 7
+    sync.fullRefresh(8L, batch(("x", pt(9, 9), """{}""", ts)))
+    sync.fullRefresh(7L, batch(("z", pt(4, 4), """{}""", ts)))
+    val byDs = sync.items().groupBy("dataset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDs == Map(7L -> 1L, 8L -> 1L))
+  }
+}
