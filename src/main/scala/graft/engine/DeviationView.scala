@@ -38,13 +38,19 @@ object DeviationView {
   /** custom column predicate over the pre-projection frame */
   final case class CustomFilter(pred: Column) extends PostFilter
 
+  /** Optional column overrides support the topo50 family, where layer id,
+    * title and description are COMPUTED from carried attribute columns
+    * (26-v_deviation_anlaggningsomradespunkt_topo50.sql:131-153). */
   final case class DeviationConfig(
       datasetId: Long,
       layerId: Long,
       viewName: String,
       titles: Titles,
       postFilter: PostFilter = MissingOrDiffNonEmpty,
-      note: String = "")
+      note: String = "",
+      layerCol: Option[Column] = None,
+      titleCols: Option[(Column, Column)] = None,
+      noteCol: Option[Column] = None)
 
   /**
    * matchDf: output of MatchEngine.matchView. If `upstream_tags` is an
@@ -112,15 +118,15 @@ object DeviationView {
     // BEFORE-INSERT trigger rule (09-api-deviation.sql:89-97)
     filtered.select(
       lit(cfg.datasetId).as("dataset_id"),
-      lit(cfg.layerId).as("layer_id"),
+      cfg.layerCol.getOrElse(lit(cfg.layerId)).as("layer_id"),
       col("upstream_item_ids"),
       col("suggested_geom"),
       col("suggested_tags"),
       col("osm_element_id"),
       col("osm_element_type"),
-      title.as("title"),
-      desc.as("description"),
-      lit(cfg.note).as("note"),
+      cfg.titleCols.map(_._1).getOrElse(title).as("title"),
+      cfg.titleCols.map(_._2).getOrElse(desc).as("description"),
+      cfg.noteCol.getOrElse(lit(cfg.note)).as("note"),
       lit(cfg.viewName).as("view_name"),
       stCentroidWkb(coalesce(col("osm_geom"), col("suggested_geom"), col("upstream_geom")))
         .as("center"))
