@@ -32,7 +32,8 @@ object BenchPipeline {
       cellSize = 1000.0,
       antiLeg = true,
       saltThreshold = saltThreshold,
-      saltFactor = saltFactor)
+      saltFactor = saltFactor,
+      cacheCandidates = true)
 
   /** extraction + projection of both sides from a pages frame */
   def extract(pages: DataFrame): (DataFrame, DataFrame) = {

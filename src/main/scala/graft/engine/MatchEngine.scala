@@ -53,7 +53,12 @@ object MatchEngine {
       muniGuardCondition: Boolean = false,
       extraJoinKeys: Seq[String] = Nil,
       saltThreshold: Long = Long.MaxValue,
-      saltFactor: Int = 16)
+      saltFactor: Int = 16,
+      /** persist the refined candidate set so leg 1 and the anti leg share
+        * ONE cell-join execution (Catalyst does not reuse the exchange
+        * across the two consumers) — the in-memory analog of the
+        * reference's materialized mv_match_*. */
+      cacheCandidates: Boolean = false)
 
   /**
    * Point-in-polygon municipality stamping (J3) — broadcast the ~290 polygons
@@ -121,9 +126,10 @@ object MatchEngine {
 
     // native codegen'd condition/score (semantics-equivalence vs the Scala
     // reference functions is property-tested in MatchEngineSpec)
-    val matched0 = candidates
+    val matched00 = candidates
       .filter(matchConditionCol(spec, col("b_tags"), tagsB, col("dist")))
       .withColumn("score", matchScoreCol(spec, col("b_tags"), tagsB, col("dist")))
+    val matched0 = if (cfg.cacheCandidates) matched00.cache() else matched00
 
     val matched =
       if (cfg.muniGuardWhere || cfg.muniGuardCondition)
@@ -174,14 +180,19 @@ object MatchEngine {
       // anti leg (J5): OSM rows with NO upstream candidate under the anti
       // spec (which may widen the distance), ignoring the muni guard —
       // matching `FROM osm LEFT JOIN ups ON match_condition WHERE ups.id IS
-      // NULL` (12:31-37).
+      // NULL` (12:31-37). When the anti spec IS the match spec, the matched
+      // OSM keys are exactly matched0's build keys — reuse them instead of
+      // recomputing the whole cell join (halves the candidate work).
       val antiSpec = cfg.antiMatchSpec.getOrElse(spec)
-      val antiCands = SpatialJoin.dwithinCandidates(
-          build = osm, probe = ups,
-          buildGeom = "geom", probeGeom = "geometry",
-          spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
-          extraKeys = cfg.extraJoinKeys)
-        .filter(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist")))
+      val antiMatched =
+        if (cfg.antiMatchSpec.isEmpty) matched0
+        else SpatialJoin.dwithinCandidates(
+            build = osm, probe = ups,
+            buildGeom = "geom", probeGeom = "geometry",
+            spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
+            extraKeys = cfg.extraJoinKeys)
+          .filter(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist")))
+      val antiCands = antiMatched
         .select(col("b_type").as("type"), col("b_id").as("id"))
         .distinct()
       val anti = osm.join(antiCands, Seq("type", "id"), "left_anti")
