@@ -78,16 +78,20 @@ object Bench {
     // (~50% of user time historically), so single-shot timings are not
     // credible. The high-parallelism runs double as the throughput metric. ---
     val coresLow = 8; val coresHigh = 32
-    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "3").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "2").toInt
     var lows = List.empty[Double]
     var highs = List.empty[(Double, Long, Long)]
     for (_ <- 1 to trials) {
+      // two same-size runs per session: codegen + JIT for the exact literals
+      // warm on the first run (a small-size warmup compiles DIFFERENT
+      // generated code), so the second is the representative measurement;
+      // min-of-all still guards against steal bursts.
       spark = session(coresLow)
-      pipeline(spark, 10000L) // warm-up (codegen/JIT)
+      lows ::= pipeline(spark, nSites)._1
       lows ::= pipeline(spark, nSites)._1
       spark.stop()
       spark = session(coresHigh)
-      pipeline(spark, 10000L)
+      highs ::= pipeline(spark, nSites)
       highs ::= pipeline(spark, nSites)
       spark.stop()
     }
