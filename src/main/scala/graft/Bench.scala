@@ -104,9 +104,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"spatial-join + deviation rows/sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""pipeline":{"n_sites":$nSites,"match_rows":$matchRows,"deviation_rows":$devRows,"sec":${f"$pSec%.3f"},"rows_per_sec":${f"$rowsPerSec%.1f"}},""" +
-      s""""scaling":{"cores_low":$coresLow,"sec_low":${f"$tLow%.3f"},"cores_high":$coresHigh,"sec_high":${f"$tHigh%.3f"},"efficiency":${f"$efficiency%.3f"}}}""")
+      s""""scaling":{"cores_low":$coresLow,"sec_low":${f"$tLow%.3f"},"cores_high":$coresHigh,"sec_high":${f"$tHigh%.3f"},"efficiency":${f"$efficiency%.3f"}}}"""
+    // Round-1's driver run failed to parse the line out of sbt log noise
+    // (BENCH_r01 parsed:null): emit it bare on stdout (outputStrategy =
+    // StdoutOutput in build.sbt drops the "[info] " prefix) AND persist it.
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
   }
 }

@@ -46,11 +46,14 @@ object QueriesText {
       Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")),
 
     "q_dedup_ngram" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)),
+      // maxDocFreq caps the shared-shingle block width (the 100-TB skew
+      // guard); the oracle SQL mirrors the cap exactly
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocFreq = 100L)),
 
     "q_dedup_minhash" -> ((s, dir) => // rows-only (xxhash64 signatures)
       Dedup.minhashLshPairs(dupCorpus(s, dir), "doc_id", "text",
-        n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5, maxDocFreq = 100L)),
 
     "q_dedup_simhash" -> ((s, dir) => // rows-only (hash signatures)
       Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text", maxHamming = 3)),
@@ -132,8 +135,10 @@ object QueriesText {
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
         |           WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
         |       FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-2)) AS i) t),
+        |sh AS (SELECT * FROM sh0 WHERE s IN
+        |       (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id

@@ -25,14 +25,16 @@ object SparkEntry {
     "q_pipe_match" -> ((s, _) => {
       val pages = graft.sources.Pages.synthesize(s, 3000L)
       graft.engine.BenchPipeline.matchRows(pages, saltThreshold = 200L)
-        .select(col("upstream_item_ids"), col("osm_element_id"),
+        .select(idsToStr(col("upstream_item_ids")).as("upstream_item_ids"),
+          col("osm_element_id"),
           col("osm_element_type"), round(col("dist"), 3).as("dist"))
     }),
     "q_pipe_deviations" -> ((s, _) => {
       val pages = graft.sources.Pages.synthesize(s, 3000L)
       graft.engine.BenchPipeline
         .deviations(graft.engine.BenchPipeline.matchRows(pages))
-        .select(col("dataset_id"), col("layer_id"), col("upstream_item_ids"),
+        .select(col("dataset_id"), col("layer_id"),
+          idsToStr(col("upstream_item_ids")).as("upstream_item_ids"),
           col("osm_element_id"), col("osm_element_type"), col("title"),
           graft.functions.GeoFunctions.tagsToJson(col("suggested_tags")).as("suggested_tags_json"))
     }),
@@ -40,8 +42,15 @@ object SparkEntry {
       val pages = graft.sources.Pages.synthesize(s, 3000L)
       graft.engine.Tiles
         .tileAssignment(graft.engine.BenchPipeline.matchRows(pages), z = 14)
-        .select("tile_x", "tile_y", "z", "state", "osm_element_id", "upstream_item_ids")
+        .select(col("tile_x"), col("tile_y"), col("z"), col("state"),
+          col("osm_element_id"),
+          idsToStr(col("upstream_item_ids")).as("upstream_item_ids"))
     }))
+
+  /** The driver's pandas harness can't sort/hash rows holding numpy arrays,
+    * so gate entries project ARRAY columns to a stable string form. */
+  private def idsToStr(c: org.apache.spark.sql.Column) =
+    concat_ws(",", transform(c, _.cast("string")))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

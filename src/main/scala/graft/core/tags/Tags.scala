@@ -38,9 +38,10 @@ object Tags {
     if (original.trim.isEmpty) return null
     val ic = initcap(original)
     // \y in PG regex = word boundary; (?U) makes Java \b Unicode-aware so
-    // Swedish letters count as word characters.
-    val fixed = ic.replaceAll("(?U)\\bKommun\\b", "kommun")
-                  .replaceAll("(?U)\\bAb\\b", "AB")
+    // Swedish letters count as word characters. PG's 3-arg REGEXP_REPLACE is
+    // NON-global — only the first occurrence is replaced (ADVICE r1).
+    val fixed = ic.replaceFirst("(?U)\\bKommun\\b", "kommun")
+                  .replaceFirst("(?U)\\bAb\\b", "AB")
     fixed.trim
   }
 

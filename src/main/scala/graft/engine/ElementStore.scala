@@ -1,0 +1,138 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.cell.Grid
+
+/**
+ * Keyed, spatially-partitioned feature state — the raw-entity MERGE of the
+ * reference's replication ingest (dags/osm_replication.py:261-298 upserts
+ * node/way/relation rows keyed by id per sequence batch; SURVEY.md §2.1 S2,
+ * §2.10 T4) re-expressed as a bounded-work parquet MERGE:
+ *
+ *  - DATA is partitioned by `cb` (a square cell-block id, default 10 km —
+ *    Grid.cellOf packing), so the spatial reads that drive matching are
+ *    partition-pruned to the dirty region;
+ *  - a narrow KEY INDEX (key columns -> cb) is hash-partitioned by `kb =
+ *    xxhash(key) % idxBuckets`, so a batch's previous locations are found by
+ *    reading only the touched index buckets — this is what keeps a MOVED
+ *    feature correct: its stale row in the old block is found via the index
+ *    and dropped, without any full-table scan.
+ *
+ * Per-batch work is O(batch + touched partitions), never O(history): merge
+ * reads exactly the dirty blocks plus ≤idxBuckets narrow index slices and
+ * dynamically overwrites only those partitions. On a real cluster both
+ * layers map 1:1 onto Iceberg MERGE INTO with the same partition specs.
+ */
+class ElementStore(spark: SparkSession, path: String,
+                   val blockMeters: Double = 10000.0, idxBuckets: Int = 64) {
+
+  /** native block id of a point — Grid.cellOf packing at blockMeters. */
+  def blockCol(cx: Column, cy: Column): Column = {
+    val OFF = 1L << 30
+    shiftleft(floor(cx / blockMeters).cast("long") + OFF, 32)
+      .bitwiseOR(floor(cy / blockMeters).cast("long") + OFF)
+  }
+
+  /** dirty blocks padded by a 1-block ring (block size >> any match radius,
+    * so one ring covers every feature reachable from a dirty feature). */
+  def ring(blocks: Seq[Long]): Seq[Long] =
+    blocks.flatMap(b => Grid.kRing(b, 1)).distinct
+
+  private def dataPath(name: String) = s"$path/$name/data"
+  private def idxPath(name: String) = s"$path/$name/idx"
+
+  private def readOrEmpty(p: String, like: DataFrame): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      spark.read.parquet(p)
+    else like.limit(0)
+
+  /** current state (optionally partition-pruned to `blocks`). */
+  def read(name: String, blocks: Option[Seq[Long]] = None): DataFrame = {
+    val p = dataPath(name)
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      s"element store '$name' not initialized")
+    // partition-dir values re-infer — pin cb back to long
+    val df = spark.read.parquet(p).withColumn("cb", col("cb").cast("long"))
+    blocks match {
+      case Some(bs) => df.filter(col("cb").isin(bs: _*)) // partition pruning
+      case None     => df
+    }
+  }
+
+  def exists(name: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dataPath(name)))
+
+  /**
+   * MERGE `batch` (upsert by `keyCols`) into sub-store `name`. The batch must
+   * carry cx/cy (point-ish centroid meters). Returns the DIRTY block ids
+   * (batch blocks ∪ previous blocks of moved keys) — the caller's recompute
+   * frontier.
+   */
+  def merge(name: String, keyCols: Seq[String], batch: DataFrame): Seq[Long] = {
+    val b = batch.withColumn("cb", blockCol(col("cx"), col("cy"))).cache()
+    val keyHash = pmod(xxhash64(keyCols.map(col): _*), lit(idxBuckets.toLong)).cast("int")
+    val bKeys = b.select(keyCols.map(col): _*).distinct().cache()
+
+    val first = !exists(name)
+    val dirtyBlocks: Seq[Long] =
+      if (first) b.select("cb").distinct().collect().map(_.getLong(0)).toSeq
+      else {
+        // previous locations of the batch's keys, via the touched index buckets
+        val touchedKb = bKeys.select(keyHash.as("kb")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val idx = readOrEmpty(idxPath(name), b.select((keyCols.map(col) :+ col("cb")): _*))
+          .withColumn("cb", col("cb").cast("long"))
+          .filter(col("kb").isin(touchedKb: _*))
+        val oldBlocks = idx.join(bKeys, keyCols, "left_semi")
+          .select("cb").distinct().collect().map(_.getLong(0))
+        (b.select("cb").distinct().collect().map(_.getLong(0)) ++ oldBlocks).distinct.toSeq
+      }
+
+    // --- data merge: read ONLY dirty blocks, drop batch keys, add batch ---
+    val dataCols = b.columns.map(col)
+    val out =
+      if (first) b
+      else read(name, Some(dirtyBlocks))
+        .join(bKeys, keyCols, "left_anti")
+        .select(dataCols: _*)
+        .unionByName(b.select(dataCols: _*))
+    out.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cb").parquet(dataPath(name))
+    // a dirty block whose last row vanished is absent from `out` and thus not
+    // overwritten — clear its directory explicitly (Iceberg MERGE would)
+    if (!first) {
+      val written = out.select("cb").distinct().collect().map(_.getLong(0)).toSet
+      dirtyBlocks.filterNot(written).foreach { cb =>
+        val dir = java.nio.file.Paths.get(dataPath(name), s"cb=$cb")
+        if (java.nio.file.Files.exists(dir)) {
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+        }
+      }
+    }
+
+    // --- index merge: same pattern over the narrow (key -> cb) table ---
+    val idxNew = b.select((keyCols.map(col) :+ col("cb")): _*)
+      .dropDuplicates(keyCols)
+      .withColumn("kb", keyHash)
+    val idxOut =
+      if (first) idxNew
+      else {
+        val touchedKb = idxNew.select("kb").distinct().collect().map(_.getInt(0)).toSeq
+        readOrEmpty(idxPath(name), idxNew)
+          .filter(col("kb").isin(touchedKb: _*))
+          .withColumn("cb", col("cb").cast("long"))
+          .join(bKeys, keyCols, "left_anti")
+          .select(idxNew.columns.map(col): _*)
+          .unionByName(idxNew)
+      }
+    idxOut.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb").parquet(idxPath(name))
+
+    b.unpersist(); bKeys.unpersist()
+    dirtyBlocks
+  }
+}

@@ -58,9 +58,8 @@ object Incremental {
       viewName: String,
       actionTs: java.sql.Timestamp): (Long, Long, Long) = {
 
-    val all = store.latest().cache()
-    val dev = all.filter(col("view_name") === viewName)
-    val others = all.filter(!(col("view_name") <=> viewName))
+    // per-view partitioned store: read ONLY this view's snapshot
+    val dev = store.latestFor(viewName).cache()
 
     val elemKey = (d: DataFrame) =>
       d.select(col("id").as("e_id"), col("type").as("e_type"),
@@ -176,8 +175,8 @@ object Incremental {
 
     val nRecalc = toRecalc.count(); val nFixed = fixed.count() + fixedFromRecalc.count()
     val nDeleted = deletedRows.count()
-    store.commit(others.unionByName(result), s"incremental:$viewName")
-    all.unpersist()
+    store.commitView(viewName, result, s"incremental:$viewName")
+    dev.unpersist()
     (nRecalc, nFixed, nDeleted)
   }
 }

