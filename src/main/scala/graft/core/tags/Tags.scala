@@ -18,6 +18,33 @@ object Tags {
 
   final case class NewTagValue(replace: Boolean, value: String)
 
+  // --- process_tags ingest normalizer (replication/process_tags.py:4-37) ---
+  /** Raw OSM tag strings -> the `->>`-level text the reference's jsonb tags
+    * yield downstream: "yes"/"no" become booleans ("true"/"false"),
+    * ";"-valued tags become a jsonb array (PG text form: `["a", true]`,
+    * elements processed recursively), EXCEPT for the free-text keys fixme /
+    * description / source / source:* which are kept verbatim. */
+  def processTagValue(key: String, value: String): String = {
+    if (value == null) return null
+    val excluded = key == "fixme" || key == "description" || key == "source" ||
+      key.startsWith("source:")
+    if (excluded) value
+    else if (value.contains(";"))
+      value.split(";", -1).map { v =>
+        // recursion depth is 1: split parts contain no ';'
+        if (v == "yes") "true"
+        else if (v == "no") "false"
+        else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("[", ", ", "]")
+    else if (value == "yes") "true"
+    else if (value == "no") "false"
+    else value
+  }
+
+  def processTags(tags: TagMap): TagMap =
+    if (tags == null) null
+    else tags.map { case (k, v) => k -> processTagValue(k, v) }
+
   // --- fix_name (03-general-functions.sql:12-17) ---------------------------
   /** Postgres INITCAP: words = runs of alphanumerics; first char upper, rest lower. */
   def initcap(s: String): String = {

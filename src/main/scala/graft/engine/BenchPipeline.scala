@@ -35,19 +35,24 @@ object BenchPipeline {
       saltFactor = saltFactor,
       cacheCandidates = true)
 
-  /** extraction + projection of both sides from a pages frame */
-  def extract(pages: DataFrame): (DataFrame, DataFrame) = {
-    val osm = Pages.extractOsmElements(pages)
-      .filter(col("tags")("amenity") === "bench_poi")
-    val ups = Pages.extractUpstreamItems(pages)
-      .filter(col("dataset_id") === Pages.BenchDatasetId)
+  /** dataset-level filter/projection over EXTRACTED features — shared by the
+    * batch pipeline and the incremental streaming path (which reads the same
+    * rows back from an ElementStore instead of re-extracting). */
+  def filterOsm(osmAll: DataFrame): DataFrame =
+    osmAll.filter(col("tags")("amenity") === "bench_poi")
+
+  def projectUps(upsAll: DataFrame): DataFrame =
+    upsAll.filter(col("dataset_id") === Pages.BenchDatasetId)
       .withColumn("ids", array(col("id")))
       .withColumn("tags", map_filter(
         map(lit("amenity"), lit("bench_poi"),
             lit("name"), get_json_object(col("original_attributes"), "$.name")),
         (_, v) => v.isNotNull))
-    (osm, ups)
-  }
+
+  /** extraction + projection of both sides from a pages frame */
+  def extract(pages: DataFrame): (DataFrame, DataFrame) = (
+    filterOsm(Pages.extractOsmElements(pages)),
+    projectUps(Pages.extractUpstreamItems(pages)))
 
   /** @param cacheInputs materialize the extracted sides once — the match DAG
     *   consumes each side three times (leg-1 candidates, anti candidates,

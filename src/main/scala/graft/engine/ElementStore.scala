@@ -97,13 +97,17 @@ class ElementStore(spark: SparkSession, path: String,
         .join(bKeys, keyCols, "left_anti")
         .select(dataCols: _*)
         .unionByName(b.select(dataCols: _*))
+    // enumerate surviving blocks BEFORE the overwrite — `out` is a lazy plan
+    // over the files the write replaces
+    val written =
+      if (first) Set.empty[Long]
+      else out.select("cb").distinct().collect().map(_.getLong(0)).toSet
     out.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cb").parquet(dataPath(name))
     // a dirty block whose last row vanished is absent from `out` and thus not
     // overwritten — clear its directory explicitly (Iceberg MERGE would)
     if (!first) {
-      val written = out.select("cb").distinct().collect().map(_.getLong(0)).toSet
       dirtyBlocks.filterNot(written).foreach { cb =>
         val dir = java.nio.file.Paths.get(dataPath(name), s"cb=$cb")
         if (java.nio.file.Files.exists(dir)) {

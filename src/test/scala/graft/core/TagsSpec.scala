@@ -22,6 +22,25 @@ class TagsSpec extends AnyFunSuite {
     assert(Tags.fixName("KOMMUN KOMMUN") == "kommun Kommun")
   }
 
+  // ---- process_tags ingest normalizer (replication/process_tags.py:4-37) ----
+  test("process_tags golden") {
+    assert(Tags.processTagValue("wheelchair", "yes") == "true")
+    assert(Tags.processTagValue("wheelchair", "no") == "false")
+    assert(Tags.processTagValue("amenity", "school") == "school")
+    // ';' -> jsonb array text, elements processed recursively
+    assert(Tags.processTagValue("cuisine", "pizza;kebab") == "[\"pizza\", \"kebab\"]")
+    assert(Tags.processTagValue("oneway", "yes;no") == "[true, false]")
+    // free-text exclusions stay verbatim
+    assert(Tags.processTagValue("fixme", "yes") == "yes")
+    assert(Tags.processTagValue("description", "a;b") == "a;b")
+    assert(Tags.processTagValue("source", "no") == "no")
+    assert(Tags.processTagValue("source:date", "2024;2025") == "2024;2025")
+    assert(Tags.processTagValue("source2", "no") == "false",
+      "only source and source:* are excluded, not every source-prefixed key")
+    assert(Tags.processTags(Map("fixme" -> "yes", "lit" -> "yes")) ==
+      Map("fixme" -> "yes", "lit" -> "true"))
+  }
+
   // ---- new_tag_value (test_new_tag_value.sql) ----
   test("fallback replace if distinct") {
     assert(Tags.newTagValue("arandomtag", "a", "b") == NewTagValue(true, "a"))

@@ -1,0 +1,50 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Keyed MERGE over the two-level (cell-block data + hash key-index) store:
+  * upserts, moved-key cleanup via the index, dirty-block reporting, and
+  * emptied-partition clearing (SURVEY.md §2.1 S2 / §2.10 T4). */
+class ElementStoreSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def df(rows: (String, Long, Double, Double)*) =
+    rows.toDF("type", "id", "cx", "cy")
+
+  test("merge upserts by key, tracks moves through the index, clears emptied blocks") {
+    val dir = java.nio.file.Files.createTempDirectory("estore").toString
+    val es = new ElementStore(spark, dir, blockMeters = 10000.0)
+
+    // two features in two far-apart blocks
+    val d1 = es.merge("elements", Seq("type", "id"),
+      df(("n", 1L, 5000.0, 5000.0), ("n", 2L, 105000.0, 105000.0)))
+    assert(d1.size == 2)
+    assert(es.read("elements", None).count() == 2)
+
+    // update feature 1 in place (same block): one dirty block, value updated
+    val d2 = es.merge("elements", Seq("type", "id"), df(("n", 1L, 6000.0, 6000.0)))
+    assert(d2.size == 1)
+    val r = es.read("elements", None).filter(col("id") === 1).collect()
+    assert(r.length == 1 && r(0).getAs[Double]("cx") == 6000.0)
+
+    // MOVE feature 2 to a third block: dirty must include the OLD block (via
+    // the key index), the stale row must vanish, and the emptied old block's
+    // partition directory must be cleared
+    val oldBlock = es.read("elements", None).filter(col("id") === 2)
+      .select("cb").collect()(0).getLong(0)
+    val d3 = es.merge("elements", Seq("type", "id"), df(("n", 2L, 205000.0, 205000.0)))
+    assert(d3.contains(oldBlock), "move must dirty the previous block")
+    val rows = es.read("elements", None).filter(col("id") === 2).collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("cx") == 205000.0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "elements", "data", s"cb=$oldBlock")),
+      "emptied block partition must be cleared")
+
+    // partition-pruned read returns only requested blocks
+    val b1 = es.read("elements", None).filter(col("id") === 1)
+      .select("cb").collect()(0).getLong(0)
+    assert(es.read("elements", Some(Seq(b1))).count() == 1)
+  }
+}

@@ -27,29 +27,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
-  test("foreachBatch deviation sync is incremental and replay-idempotent") {
+  test("foreachBatch deviation sync is incremental (frontier-scoped) and replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("stream_pages").toString
     val storeDir = java.nio.file.Files.createTempDirectory("stream_store").toString
     val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val state = java.nio.file.Files.createTempDirectory("stream_state").toString
     val store = new DeviationStore(spark, storeDir)
 
-    // batch 1: 300 sites
+    // batch 1: 300 sites (bulk path — dirty frontier spans the map)
     Pages.synthesize(spark, 300L).write.mode("append").parquet(dir)
-    val q1 = StreamingIngest.startDeviationSync(spark, dir, ckpt, store)
+    val q1 = StreamingIngest.startDeviationSync(spark, dir, ckpt, store, state)
     q1.awaitTermination()
     val n1 = store.latest().count()
     assert(n1 > 0)
 
-    // batch 2: append a disjoint site-id range
-    Pages.synthesize(spark, 300L, siteOffset = 10000L).write.mode("append").parquet(dir)
-    val q2 = StreamingIngest.startDeviationSync(spark, dir, ckpt, store)
-    q2.awaitTermination()
-    val n2 = store.latest().count()
-    assert(n2 > n1, s"appended pages must add deviations ($n1 -> $n2)")
+    // canonical far-row snapshot (everything further than 30 km from the
+    // batch-2 point must be untouched by the frontier-scoped batch)
+    val px = 300000.0; val py = 7400000.0
+    def farRows() = store.latest()
+      .withColumn("c", graft.functions.GeoFunctions.stCentroid(col("center")))
+      .filter(abs(col("c._1") - px) > 30000.0 || abs(col("c._2") - py) > 30000.0)
+      .select(col("dataset_id"), col("layer_id"),
+        concat_ws(",", transform(col("upstream_item_ids"), _.cast("string"))).as("ids"),
+        col("osm_element_id"), col("osm_element_type"), col("title"),
+        col("description"), col("action"))
+      .collect().map(_.toString).sorted.toSeq
 
-    // replay with a FRESH checkpoint (reprocess everything): idempotent
+    val farBefore = farRows()
+
+    // batch 2: ONE new upstream item at a quiet point, no OSM nearby ->
+    // exactly one new "missing" deviation; everything far away untouched
+    val page = Seq((
+      "https://data.example.sv/bench/item/990001",
+      java.sql.Timestamp.valueOf("2026-01-02 00:00:00"),
+      "<html/>".getBytes("UTF-8"),
+      s"""UPSTREAM 1 s990001 $px $py {"name":"POI 990001","kind":"bench"}""",
+      "sv")).toDF("url", "warc_ts", "html", "text", "lang")
+    page.write.mode("append").parquet(dir)
+    val q2 = StreamingIngest.startDeviationSync(spark, dir, ckpt, store, state)
+    q2.awaitTermination()
+
+    val n2 = store.latest().count()
+    assert(n2 == n1 + 1, s"one localized item must add exactly one deviation ($n1 -> $n2)")
+    assert(farRows() == farBefore, "frontier-scoped batch touched far-away rows")
+    val nw = store.latest().filter(array_contains(col("upstream_item_ids"), 1000000990001L))
+      .collect()
+    assert(nw.length == 1 && nw(0).getAs[String]("title") == "POI saknas")
+
+    // replay with a FRESH checkpoint + state (reprocess everything): idempotent
     val ckpt2 = java.nio.file.Files.createTempDirectory("stream_ckpt2").toString
-    val q3 = StreamingIngest.startDeviationSync(spark, dir, ckpt2, store)
+    val state2 = java.nio.file.Files.createTempDirectory("stream_state2").toString
+    val q3 = StreamingIngest.startDeviationSync(spark, dir, ckpt2, store, state2)
     q3.awaitTermination()
     assert(store.latest().count() == n2, "replay must not duplicate rows")
   }
