@@ -52,10 +52,38 @@ object SparkEntry {
   private def idsToStr(c: org.apache.spark.sql.Column) =
     concat_ws(",", transform(c, _.cast("string")))
 
+  /** One rows-only gate entry per ported reference dataset view (20/20),
+    * exercised end-to-end on synthesized per-dataset pages. The extracted
+    * inputs are synthesized once per session and cached — all 20 entries
+    * share them (the driver runs the queries sequentially). */
+  private val dsInputs =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (DataFrame, DataFrame, DataFrame)]()
+  private def datasetInputs(s: SparkSession): (DataFrame, DataFrame, DataFrame) =
+    dsInputs.computeIfAbsent(s, s => {
+      val pages = graft.sources.DatasetPages.synthesize(s, 150L)
+      (graft.sources.Pages.extractOsmElements(pages).cache(),
+       graft.sources.Pages.extractUpstreamItems(pages).cache(),
+       graft.sources.Pages.extractMunicipalities(pages).cache())
+    })
+
+  private val datasetQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.engine.DatasetRegistry.all.map { vd =>
+      (s"q_ds_${vd.name}",
+        (s: SparkSession, _: String) => {
+          val (osm, items, munis) = datasetInputs(s)
+          vd.deviations(osm, items, munis)
+            .select(col("dataset_id"), col("layer_id"),
+              idsToStr(col("upstream_item_ids")).as("upstream_item_ids"),
+              col("osm_element_id"), col("osm_element_type"), col("title"),
+              graft.functions.GeoFunctions.tagsToJson(col("suggested_tags")).as("suggested_tags_json"),
+              col("note"))
+        })
+    }.toMap
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesSpatial.queries ++
-      QueriesText.queries ++ pipelineQueries
+      QueriesText.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based / synthesized-input

@@ -57,6 +57,10 @@ object MatchEngine {
         * recycling_type in the match leg but its possibly-closed leg has no
         * such equi-condition (ADVICE r1). None = same as extraJoinKeys. */
       antiExtraJoinKeys: Option[Seq[String]] = None,
+      /** upstream columns carried verbatim through the match into the output
+        * (e.g. atervinning's `note`, grillplatser's `comment`); null on the
+        * anti leg, as in the reference UNION (18:48). */
+      carryUps: Seq[String] = Nil,
       saltThreshold: Long = Long.MaxValue,
       saltFactor: Int = 16,
       /** persist the refined candidate set so leg 1 and the anti leg share
@@ -163,11 +167,11 @@ object MatchEngine {
     val candCols = Seq(
       col("p_ids"), col(s"p_$upsTagsCol"), col("p_geometry"),
       col("b_id"), col("b_type"), col("b_tags"), col("b_geom"),
-      col("dist"), col("score"))
+      col("dist"), col("score")) ++ cfg.carryUps.map(c => col(s"p_$c"))
     val ranked0 = matched.select(candCols: _*)
     val ranked =
       if (cfg.muniGuardWhere) ranked0
-      else ranked0.unionByName(ups.select(
+      else ranked0.unionByName(ups.select(Seq(
         col("ids").as("p_ids"),
         col(upsTagsCol).as(s"p_$upsTagsCol"),
         col("geometry").as("p_geometry"),
@@ -176,13 +180,14 @@ object MatchEngine {
         lit(null).cast("map<string,string>").as("b_tags"),
         lit(null).cast("binary").as("b_geom"),
         lit(null).cast("double").as("dist"),
-        lit(Double.MaxValue).as("score")))
+        lit(Double.MaxValue).as("score")) ++
+          cfg.carryUps.map(c => col(c).as(s"p_$c")): _*))
     val w = Window.partitionBy(col("p_ids"))
       .orderBy(col("score"), col("b_type"), col("b_id"))
     val leg1 = ranked
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(
+      .select(Seq(
         col("p_ids").as("upstream_item_ids"),
         col(s"p_$upsTagsCol").as("upstream_tags"),
         col("p_geometry").as("upstream_geom"),
@@ -190,7 +195,7 @@ object MatchEngine {
         col("b_type").as("osm_element_type"),
         col("b_tags").as("osm_tags"),
         col("b_geom").as("osm_geom"),
-        col("dist"))
+        col("dist")) ++ cfg.carryUps.map(c => col(s"p_$c").as(c)): _*)
 
     if (!cfg.antiLeg) leg1
     else {
@@ -214,7 +219,7 @@ object MatchEngine {
         .select(col("b_type").as("type"), col("b_id").as("id"))
         .distinct()
       val anti = osm.join(antiCands, Seq("type", "id"), "left_anti")
-        .select(
+        .select(Seq(
           array().cast("array<long>").as("upstream_item_ids"),
           lit(null).cast(leg1.schema("upstream_tags").dataType).as("upstream_tags"),
           lit(null).cast("binary").as("upstream_geom"),
@@ -222,7 +227,8 @@ object MatchEngine {
           col("type").as("osm_element_type"),
           col("tags").as("osm_tags"),
           col("geom").as("osm_geom"),
-          lit(null).cast("double").as("dist"))
+          lit(null).cast("double").as("dist")) ++
+            cfg.carryUps.map(c => lit(null).cast(leg1.schema(c).dataType).as(c)): _*)
       leg1.select(anti.columns.map(col): _*).unionByName(anti)
     }
   }

@@ -22,20 +22,20 @@ import graft.engine.DeviationView._
  */
 object ReferenceDatasets {
 
-  private def attr(k: String): Column =
+  private[engine] def attr(k: String): Column =
     get_json_object(col("original_attributes"), s"$$['$k']")
 
-  private def sMap(kv: (String, Column)*): Column =
+  private[engine] def sMap(kv: (String, Column)*): Column =
     map(kv.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
 
-  private def sMapLit(kv: (String, String)*): Column =
+  private[engine] def sMapLit(kv: (String, String)*): Column =
     map(kv.flatMap { case (k, v) =>
       Seq(lit(k), if (v == null) lit(null).cast("string") else lit(v))
     }: _*)
 
-  private def stripNullsCol(m: Column): Column = map_filter(m, (_, v) => v.isNotNull)
+  private[engine] def stripNullsCol(m: Column): Column = map_filter(m, (_, v) => v.isNotNull)
 
-  private def broadcastMunis(munis: DataFrame): org.apache.spark.broadcast.Broadcast[Array[(String, Array[Byte])]] = {
+  private[engine] def broadcastMunis(munis: DataFrame): org.apache.spark.broadcast.Broadcast[Array[(String, Array[Byte])]] = {
     val rows = munis.select("code", "geom").collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
     munis.sparkSession.sparkContext.broadcast(rows)

@@ -61,10 +61,22 @@ object GeoFunctions {
     else Geom.toWkb(LineStringG(Array(Geom.fromWkb(a).centroid, Geom.fromWkb(b).centroid))))
 
   // ---- cell index ------------------------------------------------------------
-  /** Cells covering the geometry's envelope expanded by `radius` (probe side). */
-  val cellsOf = udf((wkb: Array[Byte], radius: Double, cellSize: Double) =>
-    if (wkb == null) null
-    else Grid.coverEnvelope(Geom.fromWkb(wkb).envelope, radius, cellSize).toSeq)
+  /** Cells covering the geometry's envelope expanded by `radius` (probe side)
+    * — native Catalyst expression with doGenCode (graft.plans.CellCover), so
+    * the general-geometry cover stays in whole-stage codegen like the point
+    * fast path. */
+  def cellsOf(wkb: Column, radius: Column, cellSize: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.CellCover(GraftBridge.expression(wkb),
+      GraftBridge.expression(radius), GraftBridge.expression(cellSize)))
+  }
+
+  /** native ST_Distance (graft.plans.STDistance) — the non-point refinement. */
+  def stDistanceNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.STDistance(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   val cellOfPoint = udf((x: Double, y: Double, cellSize: Double) => Grid.cellOf(x, y, cellSize))
 
@@ -81,6 +93,10 @@ object GeoFunctions {
 
   val fixNameU = udf((s: String) => Tags.fixName(s))
   val fixPhoneU = udf((s: String) => Tags.fixPhone(s))
+  /** PG 3-arg REGEXP_REPLACE: non-global (first occurrence only) — Spark's
+    * regexp_replace is global, so views using the PG form need this. */
+  val regexpReplaceFirstU = udf((s: String, pattern: String, repl: String) =>
+    if (s == null) null else s.replaceFirst(pattern, repl))
   val translateOperatorU = udf((s: String) => Tags.translateOperator(s))
 
   /** Serialize a tag map to canonical sorted JSON (stable for oracle hashing). */

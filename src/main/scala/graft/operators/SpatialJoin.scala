@@ -148,7 +148,7 @@ object SpatialJoin {
 
     val dist = when(col("b_is_point") && col("p_is_point"),
         pointDist(col("b_cx"), col("b_cy"), col("p_cx"), col("p_cy")))
-      .otherwise(stDistance(col(s"b_$buildGeom"), col(s"p_$probeGeom")))
+      .otherwise(stDistanceNative(col(s"b_$buildGeom"), col(s"p_$probeGeom")))
 
     val refined = joined
       .withColumn("dist", dist)
