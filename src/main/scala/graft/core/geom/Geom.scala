@@ -427,21 +427,35 @@ object Geom {
     val byteOrder = buf.get()
     buf.order(if (byteOrder == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     var typ = buf.getInt()
-    // tolerate EWKB SRID flag (0x20000000) and Z flag absence
+    // EWKB flags: SRID 0x20000000, Z 0x80000000, M 0x40000000; ISO WKB
+    // encodes Z/M as type + 1000/2000/3000. Higher dimensions are projected
+    // to XY by SKIPPING the extra ordinates — silently masking them (the r1
+    // behavior) misaligned the buffer and produced garbage coordinates
+    // (ADVICE r1).
     val hasSrid = (typ & 0x20000000) != 0
-    typ &= 0xFF
+    var extraDims = 0
+    if ((typ & 0x80000000) != 0) extraDims += 1 // EWKB Z
+    if ((typ & 0x40000000) != 0) extraDims += 1 // EWKB M
+    typ &= 0x1FFFFFFF
+    if (typ >= 1000) { extraDims += (if (typ >= 3000) 2 else 1); typ %= 1000 }
     if (hasSrid) buf.getInt() // skip srid
+    def readPt(): Pt = {
+      val p = Pt(buf.getDouble(), buf.getDouble())
+      var i = 0
+      while (i < extraDims) { buf.getDouble(); i += 1 }
+      p
+    }
     typ match {
-      case PointT => PointG(Pt(buf.getDouble(), buf.getDouble()))
+      case PointT => PointG(readPt())
       case LineT =>
         val n = buf.getInt()
-        val pts = Array.fill(n)(Pt(buf.getDouble(), buf.getDouble()))
+        val pts = Array.fill(n)(readPt())
         LineStringG(pts)
       case PolyT =>
         val nr = buf.getInt()
         val rings = Array.fill(nr) {
           val n = buf.getInt()
-          Array.fill(n)(Pt(buf.getDouble(), buf.getDouble()))
+          Array.fill(n)(readPt())
         }
         PolygonG(rings)
       case MPointT =>

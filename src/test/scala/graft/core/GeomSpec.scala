@@ -144,4 +144,19 @@ class GeomSpec extends AnyFunSuite {
     // Gävle is ~17.14E — z14 tile x ≈ (17.14+180)/360*16384 ≈ 8972
     assert(math.abs(tx - 8972) <= 2, s"tile x $tx")
   }
+
+  test("EWKB/ISO Z and M flags: extra ordinates skipped, XY preserved (ADVICE r1)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // EWKB XYZ point: flag 0x80000000
+    val p = ByteBuffer.allocate(1 + 4 + 24).order(ByteOrder.LITTLE_ENDIAN)
+    p.put(1.toByte).putInt(0x80000001).putDouble(3.0).putDouble(4.0).putDouble(9.0)
+    assert(Geom.toWkt(Geom.fromWkb(p.array())) == Geom.toWkt(Geom.point(3.0, 4.0)))
+    // ISO WKB XYZM linestring: type 3002, two vertices of 4 ordinates
+    val l = ByteBuffer.allocate(1 + 4 + 4 + 2 * 32).order(ByteOrder.LITTLE_ENDIAN)
+    l.put(1.toByte).putInt(3002).putInt(2)
+    l.putDouble(0).putDouble(0).putDouble(7).putDouble(8)
+    l.putDouble(10).putDouble(0).putDouble(7).putDouble(8)
+    val g = Geom.fromWkb(l.array())
+    assert(Geom.toWkt(g) == "LINESTRING(0 0,10 0)", Geom.toWkt(g))
+  }
 }
