@@ -73,7 +73,7 @@ object QueriesText {
     "q_emb_ann" -> ((s, dir) => { // rows-only (LSH buckets)
       val e = embs(s, dir)
       Similarity.annTopK(e, e.filter(pmod(col("vec_id"), lit(50L)) === 0),
-        "vec_id", "embedding", k = 5, nBits = 8)
+        "vec_id", "embedding", k = 5, nBits = 8, probeRadius = 1)
     }),
 
     "q_mm_meta" -> ((s, dir) =>

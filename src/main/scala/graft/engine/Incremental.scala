@@ -31,6 +31,42 @@ import graft.operators.SpatialJoin.DWithinSpec
  */
 object Incremental {
 
+  /**
+   * T7: item-refresh invalidation (09-api-deviation.sql:121-129,
+   * `t_item_delete_deviation`): deviations whose `upstream_item_ids` overlap
+   * a replaced/refreshed item id are DELETED (unconditionally — the
+   * reference trigger has no action guard), so the next sync recomputes them
+   * from the fresh item. The per-row trigger becomes one explode + semi-join
+   * per view partition (J9 array-overlap join). `replacedIds` needs an `id`
+   * column. Returns rows deleted.
+   *
+   * (Reference quirk noted, not replicated: the trigger is declared AFTER
+   * INSERT but reads OLD — the set-based semantics implemented here are the
+   * intended ones.)
+   */
+  def invalidateReplacedItems(store: DeviationStore, replacedIds: DataFrame): Long = {
+    val ids = replacedIds.select(col("id").as("__iid")).distinct().cache()
+    val deleted = store.views.map { view =>
+      val dev = store.latestFor(view)
+      val hitKeys = dev
+        .withColumn("__k", sha2(to_json(struct(
+          (DeviationStore.keyCols :+ "view_name").map(col): _*)), 256))
+        .withColumn("__iid", explode(col("upstream_item_ids")))
+        .join(ids, Seq("__iid"), "left_semi")
+        .select("__k").distinct()
+      val keep = dev
+        .withColumn("__k", sha2(to_json(struct(
+          (DeviationStore.keyCols :+ "view_name").map(col): _*)), 256))
+        .join(hitKeys, Seq("__k"), "left_anti")
+        .drop("__k")
+      val n = hitKeys.count()
+      if (n > 0) store.commitView(view, keep, s"item-invalidate:$view")
+      n
+    }.sum
+    ids.unpersist()
+    deleted
+  }
+
   /** One OSM edit batch. `inserted`/`updated` carry full element rows
     * (type, id, tags, geom, cx, cy, is_point); `deleted` needs (type, id). */
   final case class OsmEditBatch(

@@ -61,6 +61,11 @@ object MatchEngine {
         * (e.g. atervinning's `note`, grillplatser's `comment`); null on the
         * anti leg, as in the reference UNION (18:48). */
       carryUps: Seq[String] = Nil,
+      /** extra predicate over candidate pairs (b_/p_-prefixed columns +
+        * `dist`), applied with match_condition — e.g. the fused topo50 join's
+        * per-category radius `dist <= p___dmax` (matchSpec distances must
+        * then be the widest of the per-row radii). */
+      extraCandidateFilter: Option[Column] = None,
       saltThreshold: Long = Long.MaxValue,
       saltFactor: Int = 16,
       /** persist the refined candidate set so leg 1 and the anti leg share
@@ -148,7 +153,9 @@ object MatchEngine {
     // native codegen'd condition/score (semantics-equivalence vs the Scala
     // reference functions is property-tested in MatchEngineSpec)
     val matched00 = candidates
-      .filter(matchConditionCol(spec, col("b_tags"), tagsB, col("dist")))
+      .filter(cfg.extraCandidateFilter
+        .map(matchConditionCol(spec, col("b_tags"), tagsB, col("dist")) && _)
+        .getOrElse(matchConditionCol(spec, col("b_tags"), tagsB, col("dist"))))
       .withColumn("score", matchScoreCol(spec, col("b_tags"), tagsB, col("dist")))
     val matched0 = if (cfg.cacheCandidates) matched00.cache() else matched00
 

@@ -189,11 +189,59 @@ object Topo50 {
   private def attrOf(k: String): Column =
     get_json_object(col("original_attributes"), s"$$['$k']")
 
-  /** union of per-category distance-bucketed best matches; carries `note_c`
-    * and `andamal` for the deviation projection. */
+  /**
+   * FUSED match: all categories go through ONE cell-bucketed join keyed by
+   * (cell, __cat) instead of one join + window per category — at 10^12 rows
+   * the per-leg version is `|cats|` shuffles of the same OSM table (17 for
+   * anlaggningsomrade); this is one. Items carry their category id (the
+   * per-category filters are disjoint); OSM elements explode to every
+   * category whose predicate they satisfy; the per-category radius is
+   * enforced by an extra candidate filter on the carried `__dmax`, with the
+   * bucket radius set to the widest category. Output is row-identical to
+   * the per-leg form (parity-tested in Topo50Spec).
+   */
   def matchView(osm: DataFrame, items: DataFrame,
                 cats: Seq[Category] = anlaggningsomradespunkt,
                 datasetId: Long = DatasetId): DataFrame = {
+    val maxDist = cats.map(_.distance).max
+    val ups = cats.zipWithIndex.map { case (cat, i) =>
+      val base = items.filter(col("dataset_id") === datasetId)
+      val filtered0 =
+        if (cat.filterVals.isEmpty) base
+        else base.filter(attrOf(cat.filterKey).isin(cat.filterVals: _*))
+      val filtered = cat.alsoObjekttyp match {
+        case Some(o) => filtered0.filter(attrOf("objekttyp") === o)
+        case None    => filtered0
+      }
+      filtered
+        .withColumn("ids", array(col("id")))
+        .withColumn("tag_alts", array(cat.alternatives.map(a =>
+          mapLit(Tags.stripNulls(cat.constants ++ a))): _*))
+        .withColumn("andamal", attrOf(cat.carryKey))
+        .withColumn("note_c", lit(cat.note))
+        .withColumn("__cat", lit(i))
+        .withColumn("__dmax", lit(cat.distance))
+    }.reduce(_ unionByName _)
+    // an OSM element joins every category whose predicate it satisfies
+    val catArr = array(cats.zipWithIndex.map { case (cat, i) =>
+      when(cat.osmPred, lit(i)).otherwise(lit(null).cast("int"))
+    }: _*)
+    val osmCat = osm
+      .withColumn("__cat", explode(filter(catArr, _.isNotNull)))
+    MatchEngine.matchView(osmCat, ups, MatchConfig(
+      matchSpec = Tags.MatchSpec(None, Nil, dOther = maxDist),
+      antiLeg = false, tagsVisibleToMatch = false,
+      extraJoinKeys = Seq("__cat"),
+      extraCandidateFilter = Some(col("dist") <= col("p___dmax")),
+      carryUps = Seq("andamal", "note_c")))
+      .drop("__cat", "__dmax")
+  }
+
+  /** per-category legs (the literal reference shape) — kept as the parity
+    * reference for the fused join above. */
+  def matchViewPerLeg(osm: DataFrame, items: DataFrame,
+                      cats: Seq[Category] = anlaggningsomradespunkt,
+                      datasetId: Long = DatasetId): DataFrame = {
     val legs = cats.map { cat =>
       val base = items.filter(col("dataset_id") === datasetId)
       val filtered0 =

@@ -21,9 +21,14 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  * at 10^9 items), so re-running a fetch is idempotent. The reference uses a
  * DB sequence which cannot collide; since a hash can, every sync AUDITS the
  * written partition and fails loudly on an id collision instead of silently
- * merging two items. The table is stored as dataset_id-partitioned parquet
- * snapshots — the LIST-partitioning analog (07-upstream-base.sql:29-44), one
- * partition overwritten per sync.
+ * merging two items.
+ *
+ * Storage is PARTITIONED BY DATASET with per-dataset versioned snapshots
+ * (`ds=<id>/v=N` + `_latest` pointer, the DeviationStore pattern): a sync
+ * reads and rewrites ONLY its dataset — O(dataset), not O(all datasets) —
+ * matching the reference's LIST partitioning (07-upstream-base.sql:29-44)
+ * where each sync touches one partition. Maps onto Iceberg MERGE + snapshot
+ * metadata on a real cluster.
  */
 class UpstreamSync(spark: SparkSession, path: String) {
 
@@ -38,44 +43,67 @@ class UpstreamSync(spark: SparkSession, path: String) {
     require(dup == 0, s"upstream item id collision on $dup ids — re-key the dataset")
   }
 
-  private def latestVersion: Option[Int] = {
-    val p = Paths.get(path, "_latest")
+  private val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id LONG, dataset_id LONG, original_id STRING, geometry BINARY, " +
+    "original_attributes STRING, updated_at TIMESTAMP")
+
+  private def dsRoot(datasetId: Long) = s"$path/ds=$datasetId"
+
+  private def latestVersionOf(datasetId: Long): Option[Int] = {
+    val p = Paths.get(dsRoot(datasetId), "_latest")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toInt) else None
   }
 
-  def items(): DataFrame = latestVersion match {
-    // partition-dir values re-infer as int — pin the schema's long
-    case Some(v) => spark.read.parquet(s"$path/v=$v")
-      .withColumn("dataset_id", col("dataset_id").cast("long"))
-    case None =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "id LONG, dataset_id LONG, original_id STRING, geometry BINARY, " +
-          "original_attributes STRING, updated_at TIMESTAMP"))
+  /** datasets with at least one committed snapshot */
+  def datasets: Seq[Long] = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) Nil
+    else {
+      val b = Seq.newBuilder[Long]
+      Files.list(root).forEach { d =>
+        val n = d.getFileName.toString
+        if (n.startsWith("ds=") && Files.exists(d.resolve("_latest")))
+          b += n.stripPrefix("ds=").toLong
+      }
+      b.result().sorted
+    }
   }
 
-  private def commit(df: DataFrame): Unit = {
-    val v = latestVersion.getOrElse(0) + 1
-    df.write.mode("overwrite").partitionBy("dataset_id").parquet(s"$path/v=$v")
-    Files.write(Paths.get(path, "_latest"), v.toString.getBytes("UTF-8"),
+  private def empty: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** latest snapshot of ONE dataset (partition-pruned read). */
+  def itemsFor(datasetId: Long): DataFrame = latestVersionOf(datasetId) match {
+    // explicit schema: an all-pruned snapshot dir may contain zero part files
+    case Some(v) => spark.read.schema(schema).parquet(s"${dsRoot(datasetId)}/v=$v")
+    case None    => empty
+  }
+
+  /** current item table across all datasets. */
+  def items(): DataFrame =
+    datasets.map(itemsFor).reduceOption(_ unionByName _).getOrElse(empty)
+
+  private def commit(datasetId: Long, df: DataFrame): Unit = {
+    val v = latestVersionOf(datasetId).getOrElse(0) + 1
+    df.select(schema.fieldNames.map(col): _*)
+      .write.mode("overwrite").parquet(s"${dsRoot(datasetId)}/v=$v")
+    Files.write(Paths.get(dsRoot(datasetId), "_latest"), v.toString.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
   }
 
   /** full refresh: replace one dataset partition wholesale. */
   def fullRefresh(datasetId: Long, batch: DataFrame): Unit = {
-    val others = items().filter(col("dataset_id") =!= datasetId)
     val fresh = batch
       .withColumn("dataset_id", lit(datasetId))
       .withColumn("id", itemId(datasetId))
     auditIds(fresh)
-    commit(others.unionByName(fresh.select(items().columns.map(col): _*)))
+    commit(datasetId, fresh)
   }
 
   /** keyed upsert + prune-deleted on (dataset_id, original_id). */
   def upsert(datasetId: Long, batch: DataFrame): (Long, Long, Long) = {
-    val others = items().filter(col("dataset_id") =!= datasetId)
-    val existing = items().filter(col("dataset_id") === datasetId).cache()
+    val existing = itemsFor(datasetId).cache()
     val b = batch.withColumn("dataset_id", lit(datasetId)).cache()
 
     val updated = existing.as("e").join(b.as("v"), Seq("dataset_id", "original_id"), "inner")
@@ -89,11 +117,11 @@ class UpstreamSync(spark: SparkSession, path: String) {
     val pruned = existing.join(b.select("dataset_id", "original_id"),
       Seq("dataset_id", "original_id"), "left_anti")
 
-    val cols = items().columns.map(col)
+    val cols = schema.fieldNames.map(col)
     val (nU, nI, nP) = (updated.count(), inserted.count(), pruned.count())
-    auditIds(updated.select(cols: _*).unionByName(inserted.select(cols: _*)))
-    commit(others.unionByName(updated.select(cols: _*))
-      .unionByName(inserted.select(cols: _*)))
+    val fresh = updated.select(cols: _*).unionByName(inserted.select(cols: _*))
+    auditIds(fresh)
+    commit(datasetId, fresh)
     existing.unpersist(); b.unpersist()
     (nU, nI, nP)
   }

@@ -92,6 +92,22 @@ class DeviationStoreSpec extends AnyFunSuite {
     assert(left.length == 1 && left(0).getAs[String]("view_name") == "v2")
   }
 
+  test("item-refresh invalidation deletes only overlapping rows, touches only affected views (T7)") {
+    val dir = java.nio.file.Files.createTempDirectory("store4").toString
+    val store = new DeviationStore(spark, dir)
+    store.sync("v1", toDf(Seq(dev(Seq(1L, 2L), "T A"), dev(Seq(3L), "T B"))))
+    store.sync("v2", toDf(Seq(dev(Seq(9L), "T C"))))
+    val v2Version = store.currentVersion("v2")
+    // replacing item 2 kills the row referencing it (array OVERLAP, not
+    // equality), regardless of action; v2 untouched (not even re-committed)
+    val n = Incremental.invalidateReplacedItems(store, Seq(2L).toDF("id"))
+    assert(n == 1)
+    val left = store.latestFor("v1").collect()
+    assert(left.length == 1 &&
+      left(0).getAs[scala.collection.Seq[Long]]("upstream_item_ids") == Seq(3L))
+    assert(store.currentVersion("v2") == v2Version, "unaffected view re-committed")
+  }
+
   test("syncScoped leaves out-of-scope rows untouched (no deletion outside the dirty region)") {
     val dir = java.nio.file.Files.createTempDirectory("store3").toString
     val store = new DeviationStore(spark, dir)

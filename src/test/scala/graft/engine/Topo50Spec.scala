@@ -54,4 +54,36 @@ class Topo50Spec extends AnyFunSuite {
       .select("note_c").distinct().collect().map(_.getString(0)).toSet
     assert(notes.exists(_.contains("flygbild")))
   }
+
+  test("fused single-join match is row-identical to the per-category legs") {
+    // items across several categories incl. the 1000 m Vintersport radius
+    // and an OSM element satisfying TWO categories' predicates (pitch)
+    val items = SpatialJoin.withGeoMeta(Seq(
+      (1L, 140L, """{"andamal":"Golfbana"}""", pt(1000, 1000)),
+      (2L, 140L, """{"andamal":"Vintersportanläggning"}""", pt(5000, 5000)),
+      (3L, 140L, """{"andamal":"Bollplan?"}""", pt(9000, 9000)), // no category
+      (4L, 140L, """{"andamal":"Ospecificerad","objekttyp":"Industriområde"}""", pt(12000, 12000)),
+      (5L, 140L, """{"andamal":"Täkt"}""", pt(15000, 15000)))
+      .toDF("id", "dataset_id", "original_attributes", "geometry"), "geometry")
+    val osm = SpatialJoin.withGeoMeta(Seq(
+      ("n", 1L, Map("leisure" -> "golf_course"), pt(1100, 1000)),
+      // 800 m away: inside Vintersport's 1000 m but outside any 500 m radius
+      ("a", 2L, Map("landuse" -> "winter_sports"), pt(5800, 5000)),
+      ("n", 4L, Map("landuse" -> "industrial"), pt(12100, 12000)),
+      ("n", 5L, Map("landuse" -> "quarry"), pt(15050, 15000)))
+      .toDF("type", "id", "tags", "geom"), "geom")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(
+        concat_ws(",", transform(col("upstream_item_ids"), _.cast("string"))),
+        col("osm_element_id"), col("osm_element_type"),
+        graft.functions.GeoFunctions.tagsToJson(col("osm_tags")),
+        col("andamal"), col("note_c"), round(col("dist"), 6))
+        .collect().map(_.toString).sorted.toSeq
+
+    val fused = canon(Topo50.matchView(osm, items, Topo50.anlaggningsomrade, 140L))
+    val perLeg = canon(Topo50.matchViewPerLeg(osm, items, Topo50.anlaggningsomrade, 140L))
+    assert(fused.nonEmpty && fused == perLeg,
+      s"fused=${fused.mkString("|")}\nperLeg=${perLeg.mkString("|")}")
+  }
 }

@@ -43,9 +43,20 @@ class UpstreamSyncSpec extends AnyFunSuite {
       ("c", pt(3, 3), """{"v":1}""", ts2)))
     assert(sync.items().count() == 2)
 
-    // other datasets untouched by a full refresh of dataset 7
+    // other datasets untouched by a full refresh of dataset 7 — both rows
+    // AND files (per-dataset snapshot partitioning: O(dataset) per sync)
     sync.fullRefresh(8L, batch(("x", pt(9, 9), """{}""", ts)))
+    def filesOf(ds: Long) = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, s"ds=$ds")).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val ds8Before = filesOf(8L)
     sync.fullRefresh(7L, batch(("z", pt(4, 4), """{}""", ts)))
+    assert(filesOf(8L) == ds8Before, "dataset 8 partition rewritten by a dataset-7 sync")
     val byDs = sync.items().groupBy("dataset_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDs == Map(7L -> 1L, 8L -> 1L))
