@@ -41,6 +41,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("codegen id"), p.take(2000))
   }
 
+  test("fused topo50 match plans ONE bucketed join for all categories") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SpatialJoin
+    import spark.implicits._
+    val items = SpatialJoin.withGeoMeta(Seq(
+      (1L, 140L, """{"andamal":"Golfbana"}""", graft.core.geom.Geom.toWkb(graft.core.geom.Geom.point(1000, 1000))),
+      (2L, 140L, """{"andamal":"Täkt"}""", graft.core.geom.Geom.toWkb(graft.core.geom.Geom.point(2000, 2000))))
+      .toDF("id", "dataset_id", "original_attributes", "geometry"), "geometry")
+    val osm = SpatialJoin.withGeoMeta(Seq(
+      ("n", 1L, Map("leisure" -> "golf_course"), graft.core.geom.Geom.toWkb(graft.core.geom.Geom.point(1100, 1000))))
+      .toDF("type", "id", "tags", "geom"), "geom")
+    val p = finalPlan(Topo50.matchView(osm, items, Topo50.anlaggningsomrade, 140L))
+    // 15 categories, but exactly ONE shuffle/broadcast join for candidates
+    // (the per-leg shape had |cats| joins + |cats| rank windows); count via
+    // the formatted-details node headers (the tree repeats operator names)
+    // count operators in the FINAL adaptive tree only (the formatted output
+    // also lists the pre-AQE initial plan's nodes)
+    val tree = {
+      val from = p.indexOf("== Final Plan ==")
+      val to = p.indexOf("== Initial Plan ==")
+      if (from >= 0 && to > from) p.substring(from, to) else p
+    }
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(tree).size
+    assert(joins == 1, s"expected 1 candidate join, got $joins\n$tree")
+    val windows = "(?m)\\bWindow \\(".r.findAllIn(tree).size
+    assert(windows == 1, s"expected 1 rank window, got $windows\n$tree")
+  }
+
+  test("export top-1000 plans as distributed TakeOrdered, not a global window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // >1000 input rows: with fewer, Spark proves maxRows <= limit and
+    // eliminates the limit itself (which is also fine — but not this test)
+    val devs = (1 to 2500).map(i => (1L, 1L, s"T$i", i.toLong, "n", "0180", Seq(i.toLong)))
+      .toDF("dataset_id", "layer_id", "title", "osm_element_id",
+        "osm_element_type", "municipality_code", "upstream_item_ids")
+    val p = finalPlan(Exports.filteredDeviations(devs, Exports.DevFilter()))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("match candidate refinement stays native (no UDF filter)") {
     val pages = graft.sources.Pages.synthesize(spark, 100L)
     val m = BenchPipeline.matchRows(pages, cacheInputs = false)
