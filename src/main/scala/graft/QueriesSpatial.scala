@@ -66,6 +66,20 @@ object QueriesSpatial {
         .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"),
                 round(col("dist"), 3).as("dist"))),
 
+    // U2/J1: the SAME join written naively — plain st_dwithin in the join
+    // condition — planned through DWithinJoinRule's automatic rewrite to the
+    // bucketed cell join (graft.plans). Same oracle as q_sp_dwithin: the
+    // driver hash-verifies that the auto-rewritten plan is exact.
+    "q_sp_dwithin_rule" -> ((s, dir) => {
+      graft.functions.GeoFunctions.registerAll(s)
+      graft.plans.GraftExtensions.install(s)
+      ptsA(s, dir).select(col("a_id"), col("geometry"))
+        .join(ptsB(s, dir).select(col("b_id"), col("geom")),
+          expr("st_dwithin(geom, geometry, 5000.0)"))
+        .select(col("a_id"), col("b_id"),
+          round(stDistanceNative(col("geom"), col("geometry")), 3).as("dist"))
+    }),
+
     // J4: rank-1 best match per probe row (pinned tie order)
     "q_sp_bestmatch" -> ((s, dir) => {
       val w = Window.partitionBy(col("p_a_id")).orderBy(col("dist"), col("b_b_id"))
@@ -163,6 +177,11 @@ object QueriesSpatial {
 
   val oracle: Map[String, String] = Map(
     "q_sp_dwithin" ->
+      s"""WITH $sqlPts
+         |SELECT a_id, b_id, ROUND($distExpr, 3) AS dist
+         |FROM a, b
+         |WHERE ABS(ax-bx) <= 5000 AND ABS(ay-byy) <= 5000 AND $distExpr <= 5000""".stripMargin,
+    "q_sp_dwithin_rule" ->
       s"""WITH $sqlPts
          |SELECT a_id, b_id, ROUND($distExpr, 3) AS dist
          |FROM a, b
