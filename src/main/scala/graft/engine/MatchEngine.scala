@@ -189,11 +189,17 @@ object MatchEngine {
         lit(null).cast("double").as("dist"),
         lit(Double.MaxValue).as("score")) ++
           cfg.carryUps.map(c => col(c).as(s"p_$c")): _*))
-    val w = Window.partitionBy(col("p_ids"))
+    // rank-window key: the FIRST item id is a scalar surrogate for the ids
+    // array (group-collapse always emits disjoint sorted arrays, so first
+    // elements are unique across ups rows) — hashing a LONG for the window
+    // shuffle instead of an ARRAY<LONG> per row (VERDICT r1 watch item)
+    val w = Window.partitionBy(col("__pk"))
       .orderBy(col("score"), col("b_type"), col("b_id"))
     val leg1 = ranked
+      .withColumn("__pk", element_at(col("p_ids"), 1))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .drop("__pk")
       .select(Seq(
         col("p_ids").as("upstream_item_ids"),
         col(s"p_$upsTagsCol").as("upstream_tags"),
