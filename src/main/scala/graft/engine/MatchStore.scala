@@ -50,7 +50,9 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
     val df = withRange(matchDf).filter(col("range").isin(ranges: _*))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode(SaveMode.Overwrite).partitionBy("range").parquet(path)
-    writeMetrics(s"$lineage resume=[${ranges.mkString(",")}]")
+    // metrics over the RESUMED ranges only (partition-pruned) — a resume
+    // must not re-scan the whole store
+    writeMetrics(s"$lineage resume=[${ranges.mkString(",")}]", Some(ranges))
   }
 
   /** partition-dir values are re-inferred as int on read — pin long. */
@@ -60,8 +62,12 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
   def ranges(): Seq[Long] =
     read().select("range").distinct().collect().map(_.getLong(0)).toSeq
 
-  private def writeMetrics(lineage: String): Unit = {
-    val counts = read().groupBy("range").count().collect()
+  private def writeMetrics(lineage: String, only: Option[Seq[Long]] = None): Unit = {
+    val scoped = only match {
+      case Some(rs) => read().filter(col("range").isin(rs: _*))
+      case None     => read()
+    }
+    val counts = scoped.groupBy("range").count().collect()
       .map(r => s"""{"range":${r.getLong(0)},"rows":${r.getLong(1)}}""")
     Files.createDirectories(Paths.get(path, "_metrics"))
     val v = System.nanoTime() // monotone version tag for the metrics file
