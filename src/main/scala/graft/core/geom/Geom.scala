@@ -34,6 +34,8 @@ final case class Envelope(minX: Double, minY: Double, maxX: Double, maxY: Double
     minX <= o.maxX && o.minX <= maxX && minY <= o.maxY && o.minY <= maxY
   def contains(p: Pt): Boolean =
     p.x >= minX && p.x <= maxX && p.y >= minY && p.y <= maxY
+  def contains(o: Envelope): Boolean =
+    o.minX >= minX && o.maxX <= maxX && o.minY >= minY && o.maxY <= maxY
   def union(o: Envelope): Envelope =
     Envelope(math.min(minX, o.minX), math.min(minY, o.minY),
              math.max(maxX, o.maxX), math.max(maxY, o.maxY))

@@ -102,6 +102,11 @@ class DeviationStore(spark: SparkSession, path: String) {
   def commit(df: DataFrame, lineage: String): Unit = {
     val d = df.cache()
     val vs = d.select("view_name").distinct().collect().map(_.getString(0))
+    // view_name keys the partition layout (`view=<name>/`), so a NULL view is
+    // unstorable; the r2 `=== v` split silently dropped such rows (ADVICE r2)
+    // — fail loudly instead.
+    require(!vs.contains(null),
+      "DeviationStore.commit: rows with NULL view_name (store is partitioned by view)")
     vs.foreach(v => commitView(v, d.filter(col("view_name") === v), lineage))
     d.unpersist()
   }
@@ -115,7 +120,7 @@ class DeviationStore(spark: SparkSession, path: String) {
    * ONLY this view's partition.
    */
   def sync(viewName: String, newDevs: DataFrame,
-           munis: Option[Broadcast[Array[(String, Array[Byte])]]] = None): (Long, Long) =
+           munis: Option[Broadcast[MuniIndex]] = None): (Long, Long) =
     syncScoped(viewName, newDevs, scope = None, munis = munis)
 
   /**
@@ -127,7 +132,7 @@ class DeviationStore(spark: SparkSession, path: String) {
    */
   def syncScoped(viewName: String, newDevs: DataFrame,
                  scope: Option[org.apache.spark.sql.Column],
-                 munis: Option[Broadcast[Array[(String, Array[Byte])]]] = None): (Long, Long) = {
+                 munis: Option[Broadcast[MuniIndex]] = None): (Long, Long) = {
     val old = latestFor(viewName).cache()
     val (oldView, oldOut) = scope match {
       case Some(c) => (old.filter(c), old.filter(!coalesce(c, lit(false))))

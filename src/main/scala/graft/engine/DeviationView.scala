@@ -67,7 +67,14 @@ object DeviationView {
     val picked: DataFrame =
       if (!hasAlts) matchDf.withColumn("ups_tags", col("upstream_tags"))
       else {
-        val key = Seq(col("upstream_item_ids"), col("osm_element_id"), col("osm_element_type"))
+        // scalar surrogate for the ids ARRAY (as in MatchEngine's rank
+        // window, VERDICT r2 #7): the FIRST item id is unique per upstream
+        // row (group-collapse emits disjoint sorted arrays), so the window
+        // shuffle hashes a LONG per row instead of an ARRAY<LONG>. `get`
+        // (0-based, null on out-of-bounds — ANSI-safe) maps the anti leg's
+        // empty array to null, whose rows stay distinct via the osm id/type.
+        val key = Seq(get(col("upstream_item_ids"), lit(0)),
+          col("osm_element_id"), col("osm_element_type"))
         val exploded = matchDf.select(col("*"),
           posexplode_outer(col("upstream_tags")).as(Seq("alt_pos", "ups_tags")))
         val w = Window.partitionBy(key: _*)

@@ -69,8 +69,24 @@ class ElementStore(spark: SparkSession, path: String,
    * (batch blocks ∪ previous blocks of moved keys) — the caller's recompute
    * frontier.
    */
-  def merge(name: String, keyCols: Seq[String], batch: DataFrame): Seq[Long] = {
-    val b = batch.withColumn("cb", blockCol(col("cx"), col("cy"))).cache()
+  def merge(name: String, keyCols: Seq[String], batch: DataFrame,
+            recencyCol: Option[String] = None): Seq[Long] = {
+    // A micro-batch may carry several rows for one key (the same element
+    // updated twice inside one AvailableNow batch): the left_anti below only
+    // removes OLD rows, so an un-deduped batch would write duplicate key rows
+    // (ADVICE r2). Keep exactly one row per key — by `recencyCol` desc when
+    // the caller has one, else an arbitrary-but-single representative
+    // (dropDuplicates), matching the index-side dedup rule.
+    val b0 = batch.withColumn("cb", blockCol(col("cx"), col("cy")))
+    val bd = recencyCol match {
+      case Some(rc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(rc).desc)
+        b0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => b0.dropDuplicates(keyCols)
+    }
+    val b = bd.cache()
     val keyHash = pmod(xxhash64(keyCols.map(col): _*), lit(idxBuckets.toLong)).cast("int")
     val bKeys = b.select(keyCols.map(col): _*).distinct().cache()
 
@@ -88,6 +104,12 @@ class ElementStore(spark: SparkSession, path: String,
           .select("cb").distinct().collect().map(_.getLong(0))
         (b.select("cb").distinct().collect().map(_.getLong(0)) ++ oldBlocks).distinct.toSeq
       }
+
+    // An EMPTY batch must not touch the store: a zero-row first write would
+    // leave a parquet dir with only _SUCCESS, making exists() true while
+    // read() fails on schema inference (ADVICE r2) — skip both writes and
+    // leave the store uninitialized (or untouched).
+    if (dirtyBlocks.isEmpty) { b.unpersist(); bKeys.unpersist(); return Nil }
 
     // --- data merge: read ONLY dirty blocks, drop batch keys, add batch ---
     val dataCols = b.columns.map(col)

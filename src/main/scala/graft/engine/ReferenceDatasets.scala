@@ -35,11 +35,8 @@ object ReferenceDatasets {
 
   private[engine] def stripNullsCol(m: Column): Column = map_filter(m, (_, v) => v.isNotNull)
 
-  private[engine] def broadcastMunis(munis: DataFrame): org.apache.spark.broadcast.Broadcast[Array[(String, Array[Byte])]] = {
-    val rows = munis.select("code", "geom").collect()
-      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
-    munis.sparkSession.sparkContext.broadcast(rows)
-  }
+  private[engine] def broadcastMunis(munis: DataFrame): org.apache.spark.broadcast.Broadcast[MuniIndex] =
+    MuniIndex.broadcastFrom(munis)
 
   // =========================================================================
   // trees_gavle — 14-v_deviation_trees_gavle.sql

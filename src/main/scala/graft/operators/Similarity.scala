@@ -70,14 +70,15 @@ object Similarity {
 
   /** add an LSH `bucket` column: sign pattern against nBits hyperplanes. */
   def withLshBucket(df: DataFrame, embCol: String, nBits: Int = 12): DataFrame = {
-    val dims = 64 // embedding dimension of the corpus (documented invariant)
+    // dimension read from each vector (r2 hardcoded 64 — VERDICT r2 #8);
+    // planeCoef is seed-stable in (plane, dim) so any corpus dim works
     val sigUdf = udf((v: Seq[Float]) => {
       var sig = 0L
       var p = 0
       while (p < nBits) {
         var s = 0.0
         var d = 0
-        val n = math.min(dims, v.length)
+        val n = v.length
         while (d < n) { s += v(d) * planeCoef(p, d); d += 1 }
         if (s > 0) sig |= (1L << p)
         p += 1

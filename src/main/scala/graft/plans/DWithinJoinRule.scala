@@ -27,6 +27,25 @@ import org.apache.spark.sql.types.{Decimal, DoubleType, LongType}
  */
 object DWithinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Idempotency guard (ADVICE r2, high): registered via injectOptimizerRule
+    * the rule lands in the operator-optimization FIXED-POINT batch, where
+    * PushPredicateThroughJoin pushes the STDWithin refinement back into the
+    * rewritten join's condition on the next iteration — without a guard the
+    * rule re-fires on its own output and nests a Generate layer per iteration
+    * (observed OOM). Two independent guards: a TreeNodeTag on the rewritten
+    * Join, plus a structural check for our own artifacts (RefCell/CellCover/
+    * `__cell_*` attributes) in the condition — the tag alone is not enough
+    * because optimizer rules may rebuild Join nodes without copying tags. */
+  private[plans] val RewrittenTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.dwithin.rewritten")
+
+  private def isOwnRewrite(cond: Expression): Boolean = cond.exists {
+    case _: RefCell   => true
+    case _: CellCover => true
+    case a: AttributeReference if a.name == "__cell_l" || a.name == "__cell_r" => true
+    case _ => false
+  }
+
   /** cell size: never below the radius (1-ring cover), never below 1 km
     * (cells far smaller than the data extent explode the cover arrays). */
   private def cellSizeFor(d: Double): Double = math.max(d, 1000.0)
@@ -69,7 +88,8 @@ object DWithinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner | Cross, Some(cond), hint) =>
+    case j @ Join(left, right, Inner | Cross, Some(cond), hint)
+        if j.getTagValue(RewrittenTag).isEmpty && !isOwnRewrite(cond) =>
       val preds = splitConjunctivePredicates(cond)
       preds.iterator.flatMap(p => extractDWithin(p, left, right).map(p -> _))
         .nextOption() match {
@@ -86,6 +106,7 @@ object DWithinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             generatorOutput = Seq(cellR), child = right)
           val bucketJoin = Join(genL, genR, Inner,
             Some(EqualTo(cellL, cellR)), hint)
+          bucketJoin.setTagValue(RewrittenTag, true)
           // exact refinement (native, codegen) + reference-cell dedup + any
           // remaining original predicates
           val refine = STDWithin(ga, gb, Literal(d))

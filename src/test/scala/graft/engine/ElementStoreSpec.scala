@@ -47,4 +47,34 @@ class ElementStoreSpec extends AnyFunSuite {
       .select("cb").collect()(0).getLong(0)
     assert(es.read("elements", Some(Seq(b1))).count() == 1)
   }
+
+  test("a batch with duplicate keys writes exactly one row per key (ADVICE r2)") {
+    val dir = java.nio.file.Files.createTempDirectory("estore_dup").toString
+    val es = new ElementStore(spark, dir)
+    // same key twice in ONE batch (e.g. two stream pages for one element)
+    es.merge("elements", Seq("type", "id"),
+      df(("n", 1L, 5000.0, 5000.0), ("n", 1L, 6000.0, 6000.0), ("n", 2L, 7000.0, 7000.0)))
+    assert(es.read("elements", None).count() == 2, "one row per key after dedup")
+    // with a recency column the LATEST duplicate wins (own sub-store: the
+    // row schema carries the extra `seq` column)
+    val seqDf = Seq(("n", 3L, 1000.0, 1000.0, 1L), ("n", 3L, 2000.0, 2000.0, 2L))
+      .toDF("type", "id", "cx", "cy", "seq")
+    es.merge("versioned", Seq("type", "id"), seqDf, recencyCol = Some("seq"))
+    val r3 = es.read("versioned", None).filter(col("id") === 3).collect()
+    assert(r3.length == 1 && r3(0).getAs[Double]("cx") == 2000.0)
+  }
+
+  test("an empty FIRST batch leaves the store uninitialized (ADVICE r2)") {
+    val dir = java.nio.file.Files.createTempDirectory("estore_empty").toString
+    val es = new ElementStore(spark, dir)
+    val dirty = es.merge("elements", Seq("type", "id"), df().limit(0))
+    assert(dirty.isEmpty)
+    assert(!es.exists("elements"), "zero-row first write must not poison exists()")
+    // a later real batch initializes normally
+    es.merge("elements", Seq("type", "id"), df(("n", 1L, 5000.0, 5000.0)))
+    assert(es.read("elements", None).count() == 1)
+    // and an empty FOLLOW-UP batch is a no-op, not a rewrite
+    assert(es.merge("elements", Seq("type", "id"), df().limit(0)).isEmpty)
+    assert(es.read("elements", None).count() == 1)
+  }
 }

@@ -47,6 +47,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1 >= 0.7, s"near-dup recall@5 with 8 bits + radius 1 too low: $r1 (single-bucket $r0)")
   }
 
+  test("LSH bucketing uses the corpus' actual dimensionality (32-dim)") {
+    // truncate to 32 dims — r2 hardcoded dims=64, so a non-64-dim corpus
+    // silently read past the vector (VERDICT r2 #8); recall must hold at 32
+    val slice = udf((v: Seq[Float]) => v.take(32))
+    val c32 = corpusPlus.select(col("vec_id"), slice(col("embedding")).as("embedding"))
+    val q32 = perturbed.select(col("vec_id"), slice(col("embedding")).as("embedding"))
+    val nQueries = perturbed.count().toDouble
+    // radius 2: at 32 dims the perturbation flips proportionally more
+    // hyperplanes than at 64, so near-dups sit further out in Hamming space
+    val hits = Similarity.annTopK(c32, q32, "vec_id", "embedding",
+      k = 5, nBits = 8, probeRadius = 2)
+      .filter(col("nid") === col("qid") - 1000000L).count()
+    assert(hits / nQueries >= 0.6, s"32-dim recall@5 too low: ${hits / nQueries}")
+  }
+
   test("ANN emits no duplicate (query, neighbor) pairs across probes") {
     val ann = Similarity.annTopK(embs, queries, "vec_id", "embedding",
       k = 5, nBits = 8, probeRadius = 2)

@@ -70,6 +70,34 @@ class CatalystRuleSpec extends AnyFunSuite {
     assert(joined.count() == expectedPairs.size)
   }
 
+  test("injectOptimizerRule placement (spark.sql.extensions path) is idempotent under pushdown") {
+    // ADVICE r2 (high): via spark.sql.extensions the rule sits in the
+    // fixed-point operator-optimization batch, where PushPredicateThroughJoin
+    // re-materializes st_dwithin in the join condition each iteration — the
+    // unguarded rule re-fired per iteration and nested Generate layers until
+    // OOM. Build a REAL session through the extensions path (GraftBridge —
+    // Builder.getOrCreate can't apply extensions once a session exists).
+    val ext = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      spark.sparkContext, new GraftExtensions()(_))
+    try {
+      GeoFunctions.registerAll(ext)
+      val l = ext.createDataFrame(leftRows).toDF("lid", "ga")
+      val r = ext.createDataFrame(rightRows).toDF("rid", "gb")
+      val joined = l.join(r, expr("st_dwithin(ga, gb, 500.0)"))
+      val opt = joined.queryExecution.optimizedPlan
+      val nGen = opt.collect { case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
+      assert(nGen == 2, s"expected exactly one Generate per side, got $nGen:\n${opt.treeString.take(1500)}")
+      // the rule must be a no-op on the already-optimized (pushed-down) plan
+      assert(DWithinJoinRule(opt).fastEquals(opt), "rule re-fired on its own output")
+      val got = joined.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.toSet.size, "duplicate pairs under extensions path")
+      assert(got.toSet == expectedPairs)
+    } finally {
+      // shared context stays up; just drop the active-session pointer
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("native expressions stay in whole-stage codegen") {
     val l = leftRows.toDF("lid", "ga")
     val r = rightRows.toDF("rid", "gb")
