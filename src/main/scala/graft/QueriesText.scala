@@ -58,6 +58,12 @@ object QueriesText {
     "q_dedup_simhash" -> ((s, dir) => // rows-only (hash signatures)
       Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    "q_dedup_pipeline" -> ((s, dir) => // rows-only (xxhash64 LSH inside)
+      // the composed exact-collapse -> LSH-over-representatives -> connected
+      // components pipeline (the web-scale order; VERDICT r2 #5)
+      Dedup.dedupPipeline(dupCorpus(s, dir), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5, maxDocFreq = 100L)),
+
     "q_emb_cospairs" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.cosinePairs(e, e.filter(pmod(col("vec_id"), lit(50L)) === 0),

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SparkTestBase
+
+/** Near-dup scale fixes (VERDICT r2 #3/#4/#5): simhash combination blocking
+  * keeps exact recall while bounding bucket width on skewed corpora, and the
+  * composed dedupPipeline collapses exact duplicates BEFORE LSH so
+  * boilerplate floods never produce N² candidates. */
+class DedupSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  // synthetic corpus: 60 base docs of 30 words + for every third doc a
+  // near-copy with 1-2 words changed (small but not guaranteed <=3 hamming —
+  // the brute-force comparison is the ground truth either way)
+  private val simDocs: Seq[(Long, String)] = {
+    val r = rng(7)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val base = (0L until 60L).map { i =>
+      (i, (0 until 30).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = base.filter(_._1 % 3 == 0).map { case (i, t) =>
+      val ws = t.split(" ")
+      ws(r.nextInt(ws.length)) = vocab(r.nextInt(vocab.size))
+      (i + 1000L, ws.mkString(" "))
+    }
+    base ++ nearDups
+  }
+
+  test("simhashPairs == brute-force hamming pairs (combination blocking is lossless)") {
+    val docs = simDocs.toDF("doc_id", "text")
+    val sigs = Dedup.withSimhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must contain some <=3-hamming pairs")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("simhash blocking bounds bucket width on a 10^5-doc skewed corpus") {
+    // 100k signatures all sharing their LOW 16 BITS — the r2 scheme's first
+    // 16-bit chunk put ALL of them in one bucket (10^10 candidate pairs);
+    // combination keys need >=3 whole chunks (>=31 bits) equal, of which >=16
+    // bits stay random here, so buckets stay tiny
+    val sigs = spark.range(100000).select(
+      col("id"),
+      xxhash64(col("id")).bitwiseAND(lit(0xFFFFFFFFFFFF0000L))
+        .bitwiseOR(lit(0x1234L)).as("simhash"))
+    val widths = Dedup.simhashKeyTable(sigs, maxHamming = 3)
+      .groupBy("c", "v").count().agg(max("count")).collect()(0).getLong(0)
+    assert(widths <= 50, s"max blocking bucket $widths — quadratic pairing risk")
+  }
+
+  test("dedupPipeline: 1000 copies of one page stay O(distinct) in LSH candidates") {
+    val r = rng(11)
+    val vocab = (0 until 300).map(i => s"t$i")
+    def page(seed: Int) = { val q = rng(seed); (0 until 25).map(_ => vocab(q.nextInt(vocab.size))).mkString(" ") }
+    val boiler = page(1)
+    val flood = (0L until 1000L).map(i => (i, boiler))
+    val distinctDocs = (0 until 20).map(i => (2000L + i, page(100 + i)))
+    val docs = (flood ++ distinctDocs).toDF("doc_id", "text")
+
+    // candidate counts: the raw corpus floods one bucket (~1000²/2 pairs);
+    // the rep set stays at O(distinct²) worst case
+    val rawCands = Dedup.lshCandidates(
+      Dedup.cappedShingles(docs, "doc_id", "text", 3), 16, 4).count()
+    val reps = docs.dropDuplicates("text")
+    val repCands = Dedup.lshCandidates(
+      Dedup.cappedShingles(reps, "doc_id", "text", 3), 16, 4).count()
+    assert(rawCands >= 499500, s"flood fixture should saturate a bucket: $rawCands")
+    assert(repCands <= 210, s"rep candidates must be O(distinct): $repCands")
+
+    // the pipeline output: every copy maps to the flood's min id
+    val canon = Dedup.dedupPipeline(docs, "doc_id", "text").cache()
+    val floodCanon = canon.filter(col("id") < 1000).select("canonical_id")
+      .distinct().collect().map(_.getLong(0))
+    assert(floodCanon.toSeq == Seq(0L), s"flood cluster canon: ${floodCanon.toSeq}")
+    // keep-one dedup keeps exactly one flood row
+    assert(canon.filter(col("id") === col("canonical_id")).filter(col("id") < 1000).count() == 1)
+    canon.unpersist()
+  }
+
+  test("connectedComponents: chains merge to min id, disjoint stay apart") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+}
