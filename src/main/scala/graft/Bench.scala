@@ -87,20 +87,21 @@ object Bench {
     // cores"). Trials are INTERLEAVED and each level takes its MIN. ---
     val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    // sample-count asymmetry is deliberate: the narrow (low) level repeats
-    // within ±10% under steal, so 2 samples suffice; the wide (high) level is
-    // the noisy one and gets 4 (one trial here + the extra session below).
-    // Steal also biases the two levels OPPOSITE ways (an inflated low RAISES
-    // measured efficiency, an inflated high LOWERS it), so min-sampling the
-    // high side harder is the conservative direction.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "1").toInt
+    // SYMMETRIC sampling (ADVICE r2): both levels take min over the SAME
+    // number of samples. An asymmetric design (fewer low samples) is the
+    // self-favoring direction for the >=0.8 efficiency gate — min over more
+    // high samples shrinks tHigh while an under-sampled low side retains
+    // steal inflation in tLow, and both effects RAISE the reported ratio.
+    // Default 2 trials = 2 sessions x 2 runs per level (VERDICT r2 #2 margin).
+    val trials = sys.env.getOrElse("SPARK_GRAFT_SCALING_TRIALS", "2").toInt
     var lows = List.empty[Double]
     var highs = List.empty[Double]
     for (_ <- 1 to trials) {
       // two same-size runs per session: codegen + JIT for the exact literals
       // warm on the first run (a small-size warmup compiles DIFFERENT
       // generated code), so the second is the representative measurement;
-      // min-of-all still guards against steal bursts.
+      // min-of-all still guards against steal bursts. Sessions interleave
+      // L/H/L/H so a steal burst window hits both levels, not one.
       spark = session(coresLow, aqe = false)
       lows ::= pipeline(spark, nSites)._1
       lows ::= pipeline(spark, nSites)._1
@@ -110,12 +111,6 @@ object Bench {
       highs ::= pipeline(spark, nSites)._1
       spark.stop()
     }
-    // one extra high-level session: high runs are short AND the noisier
-    // level under steal bursts, so two more min-samples are cheap insurance
-    spark = session(coresHigh, aqe = false)
-    highs ::= pipeline(spark, nSites)._1
-    highs ::= pipeline(spark, nSites)._1
-    spark.stop()
     val tLow = lows.min
     val tHigh = highs.min
     val efficiency = (tLow / tHigh) / (coresHigh.toDouble / coresLow)

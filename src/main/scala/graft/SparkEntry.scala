@@ -83,11 +83,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesSpatial.queries ++
-      QueriesText.queries ++ pipelineQueries ++ datasetQueries
+      QueriesText.queries ++ QueriesDatasetOracle.queries ++
+      pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based / synthesized-input
     * operators -> driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle
+    QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle ++
+      QueriesDatasetOracle.oracle
 }

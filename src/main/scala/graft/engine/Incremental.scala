@@ -209,8 +209,18 @@ object Incremental {
       .unionByName(keptGone.select(cols: _*))
       .unionByName(fixed.select(cols: _*))
 
-    val nRecalc = toRecalc.count(); val nFixed = fixed.count() + fixedFromRecalc.count()
-    val nDeleted = deletedRows.count()
+    // ONE aggregation for all three returned metrics (the pipelineCounts
+    // flag-column pattern, VERDICT r2 #9) — the r2 code ran 4 separate count
+    // actions, each a full job over the same joins
+    val cnts = toRecalc.select(lit("recalc").as("__st"))
+      .unionByName(fixedFromRecalc.select(lit("fixed").as("__st")))
+      .unionByName(fixed.select(lit("fixed").as("__st")))
+      .unionByName(deletedRows.select(lit("deleted").as("__st")))
+      .groupBy("__st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nRecalc = cnts.getOrElse("recalc", 0L)
+    val nFixed = cnts.getOrElse("fixed", 0L)
+    val nDeleted = cnts.getOrElse("deleted", 0L)
     store.commitView(viewName, result, s"incremental:$viewName")
     dev.unpersist()
     (nRecalc, nFixed, nDeleted)
