@@ -104,7 +104,113 @@ object QueriesDatasetOracle {
       frag("species"), frag("species:wikidata"))
   }
 
+  // =========================================================================
+  // preschools_scb — 12-v-deviation_preschools_scb.sql behind the oracle:
+  // alternatives explode + min-diff pick (W2), fix_name, the tag-alternatives
+  // MATCH BLINDNESS quirk (name tier never fires -> 100 m effective radius),
+  // the municipality WHERE-guard (items with no same-municipality candidate
+  // VANISH — they do not become "missing"), and the anti leg dying at the
+  // post-filter (diff of NULL tags is empty). The oracle therefore contains
+  // ONLY "Förskola saknar taggar" rows — asserting the quirks by absence.
+  // =========================================================================
+
+  /** municipalities = 4 quadrant rectangles (codes by quadrant); .5 bounds so
+    * integral coordinates are never on a boundary. Points past 1000000 (an
+    * offset OSM node on the far edge) fall outside every polygon -> NULL code
+    * -> guard-filtered, mirrored in the oracle's CASE returning NULL. */
+  private def quadMunis(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("0180", -0.5, -0.5), ("1480", 500000.5, -0.5),
+        ("2180", -0.5, 500000.5), ("2580", 500000.5, 500000.5))
+      .toDF("code", "x0", "y0")
+      .withColumn("geom", stEnvelopeWkb(col("x0"), col("y0"),
+        col("x0") + 500000.0, col("y0") + 500000.0))
+      .select("code", "geom")
+  }
+
+  private def pBase(s: SparkSession, dir: String): DataFrame = {
+    val m4 = pmod(col("k"), lit(4L)); val m3 = pmod(col("k"), lit(3L))
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("ux", pmod(col("k") * 48271L, lit(1000000L)).cast("double"))
+      .withColumn("uy", pmod(col("k") * 69621L, lit(1000000L)).cast("double"))
+      // RAW attribute values — the production pipeline runs fix_name on them
+      .withColumn("nm_raw",
+        when(m4 === 0, "förskolan solstrålen ab")
+          .when(m4 === 1, "norrgårdens förskola")
+          .when(m4 === 2, "BARNENS HUS"))
+      .withColumn("op_raw",
+        when(m3 === 0, "gävle kommun").when(m3 === 1, "ab cde"))
+      // hand-computed fix_name outputs as LITERALS: the OSM fixture carries
+      // these, so a fix_name regression shows as an oracle diff mismatch
+      // instead of cancelling out on both sides
+      .withColumn("nm_exp",
+        when(m4 === 0, "Förskolan Solstrålen AB")
+          .when(m4 === 1, "Norrgårdens Förskola")
+          .when(m4 === 2, "Barnens Hus"))
+      .withColumn("op_exp",
+        when(m3 === 0, "Gävle kommun").when(m3 === 1, "AB Cde"))
+  }
+
+  private def pItems(b: DataFrame): DataFrame =
+    b.select(col("k").as("id"), lit(110L).as("dataset_id"),
+      to_json(map(
+        lit("Firmabenämning"), col("nm_raw"),
+        lit("Företagsnamn"), col("op_raw"))).as("original_attributes"),
+      stPoint(col("ux"), col("uy")).as("geometry"),
+      col("ux").as("cx"), col("uy").as("cy"), lit(true).as("is_point"))
+
+  /** OSM preschools: offsets by k%10 — {1,9}: tiny; 2/3/6/7: 60/99/70/50 m
+    * (inside the 100 m gate); 4: 101 m (outside); 5: 150 m WITH the matching
+    * name (the blind-match quirk: would match at <=500 m if the name tier
+    * could fire — it must not); 8: pushed just past the quadrant's east edge
+    * (guard kill); 0: no node at all. */
+  private def pOsm(b: DataFrame): DataFrame = {
+    val m10 = pmod(col("k"), lit(10L))
+    val m7 = pmod(col("k"), lit(7L)); val m11 = pmod(col("k"), lit(11L))
+    val dx = when(m10 === 1 || m10 === 9, pmod(col("k"), lit(4L)))
+      .when(m10 === 2, 60L).when(m10 === 3, 99L).when(m10 === 4, 101L)
+      .when(m10 === 5, 150L).when(m10 === 6, 0L).when(m10 === 7, 30L)
+      .when(m10 === 8, lit(500000L) - pmod(col("ux").cast("long"), lit(500000L)) + 1L)
+    val dy = when(m10 === 1 || m10 === 9, pmod(col("k"), lit(3L)))
+      .when(m10 === 6, 70L).when(m10 === 7, 40L).otherwise(0L)
+    val amenity = when(pmod(col("k"), lit(5L)) === 0, "childcare")
+      .otherwise("kindergarten")
+    val osmName = when(m7 === 0 || m10 === 5, col("nm_exp"))
+      .when(m7 === 1, "Annat Namn").when(m7 === 2, lower(col("nm_exp")))
+    val osmOp = when(m11 === 0, "GÄVLE KOMMUN").when(m11 === 1, "Fel AB")
+    b.filter(m10 =!= 0)
+      .select(lit("n").as("type"), (col("k") + 1000000000L).as("id"),
+        map_filter(map(
+          lit("amenity"), amenity, lit("name"), osmName, lit("operator"), osmOp),
+          (_, v) => v.isNotNull).as("tags"),
+        (col("ux") + dx).cast("double").as("cx"),
+        (col("uy") + dy).cast("double").as("cy"))
+      .withColumn("geom", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+  }
+
+  private def pDiffStr(m: Column): Column = {
+    def frag(key: String): Column =
+      when(map_contains_key(m, lit(key)), concat(lit(key + "="), m(key)))
+    concat_ws(";", frag("amenity"), frag("name"), frag("operator"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_preschools_oracle" -> ((s, dir) => {
+      val b = pBase(s, dir)
+      val dev = graft.engine.ReferenceDatasets.preschoolsDeviations(
+        graft.engine.ReferenceDatasets.preschoolsMatch(
+          pOsm(b), pItems(b), quadMunis(s)))
+      dev.select(
+        element_at(col("upstream_item_ids"), 1).as("item_id"),
+        col("osm_element_id").as("osm_id"),
+        col("title"), col("description"),
+        pDiffStr(col("suggested_tags")).as("diff"),
+        stCentroid(col("center"))("_1").as("cx"),
+        stCentroid(col("center"))("_2").as("cy"))
+    }),
+
     "q_ds_trees_oracle" -> ((s, dir) => {
       val b = base(s, dir)
       val dev = graft.engine.ReferenceDatasets.treesGavleDeviations(
@@ -126,6 +232,69 @@ object QueriesDatasetOracle {
   // species keys are aliased, so canonicalization is the identity here —
   // the alias machinery is golden-tested separately in TagsSpec).
   val oracle: Map[String, String] = Map(
+    "q_ds_preschools_oracle" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST((o_orderkey*48271)%1000000 AS DOUBLE) AS ux,
+        |    CAST((o_orderkey*69621)%1000000 AS DOUBLE) AS uy,
+        |    CASE o_orderkey%4 WHEN 0 THEN 'Förskolan Solstrålen AB'
+        |      WHEN 1 THEN 'Norrgårdens Förskola' WHEN 2 THEN 'Barnens Hus' END AS nm,
+        |    CASE o_orderkey%3 WHEN 0 THEN 'Gävle kommun' WHEN 1 THEN 'AB Cde' END AS op
+        |  FROM orders),
+        |uq AS (
+        |  SELECT *,
+        |    CASE WHEN ux <= 500000 AND uy <= 500000 THEN '0180'
+        |         WHEN ux >= 500001 AND ux <= 1000000 AND uy <= 500000 THEN '1480'
+        |         WHEN ux <= 500000 AND uy >= 500001 AND uy <= 1000000 THEN '2180'
+        |         WHEN ux >= 500001 AND ux <= 1000000
+        |          AND uy >= 500001 AND uy <= 1000000 THEN '2580' END AS q
+        |  FROM b),
+        |osm AS (
+        |  SELECT k, k+1000000000 AS osm_id,
+        |    ux + (CASE WHEN k%10 IN (1,9) THEN k%4 WHEN k%10=2 THEN 60
+        |      WHEN k%10=3 THEN 99 WHEN k%10=4 THEN 101 WHEN k%10=5 THEN 150
+        |      WHEN k%10=6 THEN 0 WHEN k%10=7 THEN 30
+        |      WHEN k%10=8 THEN 500000 - (CAST(ux AS BIGINT)%500000) + 1 END) AS ox,
+        |    uy + (CASE WHEN k%10 IN (1,9) THEN k%3 WHEN k%10=6 THEN 70
+        |      WHEN k%10=7 THEN 40 ELSE 0 END) AS oy,
+        |    CASE WHEN k%7=0 OR k%10=5 THEN nm WHEN k%7=1 THEN 'Annat Namn'
+        |         WHEN k%7=2 THEN LOWER(nm) END AS oname,
+        |    CASE WHEN k%11=0 THEN 'GÄVLE KOMMUN' WHEN k%11=1 THEN 'Fel AB' END AS oop
+        |  FROM b WHERE k%10 <> 0),
+        |oq AS (
+        |  SELECT *,
+        |    CASE WHEN ox >= 0 AND ox <= 500000 AND oy >= 0 AND oy <= 500000 THEN '0180'
+        |         WHEN ox >= 500001 AND ox <= 1000000 AND oy >= 0 AND oy <= 500000 THEN '1480'
+        |         WHEN ox >= 0 AND ox <= 500000 AND oy >= 500001 AND oy <= 1000000 THEN '2180'
+        |         WHEN ox >= 500001 AND ox <= 1000000
+        |          AND oy >= 500001 AND oy <= 1000000 THEN '2580' END AS q
+        |  FROM osm),
+        |cand AS (
+        |  SELECT u.k AS uk, o.osm_id, o.oname, o.oop, o.ox, o.oy,
+        |    SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) AS dist
+        |  FROM uq u JOIN oq o ON u.q = o.q
+        |    AND ABS(u.ux-o.ox) <= 100 AND ABS(u.uy-o.oy) <= 100
+        |    AND SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 100),
+        |best AS (
+        |  SELECT uk, osm_id, oname, oop, ox, oy FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY uk ORDER BY dist, osm_id) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1),
+        |dev AS (
+        |  SELECT u.k AS item_id, w.osm_id,
+        |    'Förskola saknar taggar' AS title,
+        |    'Följande taggar, härledda ur från SCBs register, saknas på förskolan här' AS description,
+        |    CONCAT_WS(';',
+        |      CASE WHEN u.nm IS NOT NULL AND (w.oname IS DISTINCT FROM u.nm)
+        |           THEN 'name=' || u.nm END,
+        |      CASE WHEN u.op IS NOT NULL
+        |            AND (LOWER(w.oop) IS DISTINCT FROM LOWER(u.op))
+        |           THEN 'operator=' || u.op END) AS diff,
+        |    w.ox AS cx, w.oy AS cy
+        |  FROM uq u JOIN best w ON u.k = w.uk)
+        |SELECT item_id, osm_id, title, description, diff, cx, cy
+        |FROM dev WHERE diff <> ''""".stripMargin,
+
     "q_ds_trees_oracle" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k,
