@@ -45,6 +45,16 @@ object SparkEntry {
         .select(col("tile_x"), col("tile_y"), col("z"), col("state"),
           col("osm_element_id"),
           idsToStr(col("upstream_item_ids")).as("upstream_item_ids"))
+    }),
+    // S6 byte sink: real MVT 2.1 blobs per tile (feature order pinned, so
+    // bytes are deterministic); projected to counts+length for the harness
+    "q_pipe_mvt" -> ((s, _) => {
+      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      graft.engine.Tiles
+        .mvtTiles(graft.engine.Tiles.tileAssignment(
+          graft.engine.BenchPipeline.matchRows(pages), z = 14))
+        .select(col("z"), col("tile_x"), col("tile_y"), col("n_features"),
+          length(col("mvt")).as("mvt_bytes"))
     }))
 
   /** The driver's pandas harness can't sort/hash rows holding numpy arrays,

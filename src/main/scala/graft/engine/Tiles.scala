@@ -94,4 +94,60 @@ object Tiles {
         col("osm_element_id"),
         col("osm_element_type"))
   }
+
+  // ---- MVT byte encoding (S6 completion) -----------------------------------
+
+  /** ST_AsMVT per tile: transform the feature (3006) to 3857, ST_AsMVTGeom
+    * into tile-local coords vs the tile's 3857 bounds, encode one 'default'
+    * layer — byte-for-byte a valid Mapbox Vector Tile 2.1 (graft.core.mvt).
+    * Attrs mirror the reference (12:88-92): `state` plus `upstream_tags`
+    * text when present. */
+  private val mvtEncode = udf((z: Int, tx: Int, ty: Int,
+      feats: Seq[org.apache.spark.sql.Row]) => {
+    import graft.core.mvt.Mvt
+    val bounds = Proj.tileEnvelope3857(z, tx, ty)
+    val mfeats = feats.flatMap { r =>
+      val wkb = r.getAs[Array[Byte]]("feature")
+      if (wkb == null) None
+      else {
+        val (pts, isLine) = Geom.fromWkb(wkb) match {
+          case PointG(p)       => (Seq(p), false)
+          case LineStringG(ps) => (ps.toSeq, true)
+          case other           => (Seq(PointG(other.centroid).p), false)
+        }
+        val m3857 = pts.map { p =>
+          val (lon, lat) = Proj.swerefToWgs84(p.x, p.y)
+          Proj.wgs84ToMercator(lon, lat)
+        }
+        Mvt.asMvtGeom(m3857, isLine, bounds).map { case (gt, coords) =>
+          val attrs = Seq("state" -> r.getAs[String]("state")) ++
+            Option(r.getAs[String]("tags_json")).map("upstream_tags" -> _)
+          Mvt.Feature(0L, attrs, gt, coords)
+        }
+      }
+    }
+    Mvt.encodeTile(Seq(Mvt.encodeLayer("default", mfeats)))
+  })
+
+  /**
+   * Encode tileAssignment output into real .pbf tile bytes: one row per
+   * (z, x, y) with the MVT blob and its feature count. The per-tile
+   * collect_list is the distributed form of the reference's per-request
+   * ST_AsMVT aggregate — bounded by local feature density (a z14 tile is
+   * ~2.4 km square), so no tile's feature list outgrows an executor even at
+   * the 10^12-row design point.
+   */
+  def mvtTiles(tileRows: DataFrame, tagsJsonCol: Option[String] = None): DataFrame = {
+    val tagsCol = tagsJsonCol.map(col).getOrElse(lit(null).cast("string"))
+    tileRows
+      .groupBy(col("z"), col("tile_x"), col("tile_y"))
+      .agg(collect_list(struct(col("feature"), col("state"),
+        tagsCol.as("tags_json"))).as("feats"))
+      // collect_list order is nondeterministic; pin it so tile BYTES are a
+      // pure function of the feature set (dictionary indices + feature order)
+      .withColumn("feats", sort_array(col("feats")))
+      .select(col("z"), col("tile_x"), col("tile_y"),
+        size(col("feats")).as("n_features"),
+        mvtEncode(col("z"), col("tile_x"), col("tile_y"), col("feats")).as("mvt"))
+  }
 }

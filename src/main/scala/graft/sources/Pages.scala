@@ -121,20 +121,40 @@ object Pages {
         "Det här är en vanlig webbsida nummer %d utan geodata. The quick brown fox.", col("site")))
       .withColumn("url", format_string("https://www.example.com/page/%d", col("site")))
 
-    def page(df: DataFrame, lang: String): DataFrame =
-      df.select(
-        col("url"),
-        (to_timestamp(lit("2026-01-01 00:00:00")) +
-          make_dt_interval(lit(0), lit(0), lit(0), pmod(xxhash64(col("url")), lit(86400L)).cast(DoubleType)))
-          .as("warc_ts"),
-        encode(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")), "utf-8").as("html"),
-        col("text"),
-        lit(lang).as("lang"))
+    pageShape(upstream, "sv")
+      .unionByName(pageShape(osm, "sv"))
+      .unionByName(pageShape(munis, "sv"))
+      .unionByName(pageShape(noise, "en"))
+  }
 
-    page(upstream, "sv")
-      .unionByName(page(osm, "sv"))
-      .unionByName(page(munis, "sv"))
-      .unionByName(page(noise, "en"))
+  /** (url, text) -> the input-contract page row; warc_ts/html derived from
+    * url/text so the per-row invariant (pure function of url) holds. */
+  private def pageShape(df: DataFrame, lang: String): DataFrame =
+    df.select(
+      col("url"),
+      (to_timestamp(lit("2026-01-01 00:00:00")) +
+        make_dt_interval(lit(0), lit(0), lit(0), pmod(xxhash64(col("url")), lit(86400L)).cast(DoubleType)))
+        .as("warc_ts"),
+      encode(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")), "utf-8").as("html"),
+      col("text"),
+      lit(lang).as("lang"))
+
+  /** osm.changeset pages (04-osm-base.sql:43-49 — ingested by replication
+    * but unused by deviation logic; ported for source-surface completeness).
+    * Grammar: CHANGESET <id> <created_epoch_s> <open:0|1> <uid> <tags-json> */
+  def synthesizeChangesets(spark: SparkSession, n: Long, seed: Long = 42L,
+                           idOffset: Long = 0L): DataFrame = {
+    val df = spark.range(idOffset, idOffset + n).toDF("site")
+    val id = col("site")
+    val created = pmod(xxhash64(lit(seed), id, lit(20)), lit(86400L * 365))
+    val open = pmod(xxhash64(lit(seed), id, lit(21)), lit(10L)) < 2
+    val uid = pmod(xxhash64(lit(seed), id, lit(22)), lit(100000L))
+    pageShape(df
+      .withColumn("text", concat_ws(" ", lit("CHANGESET"), id, created,
+        when(open, "1").otherwise("0"), uid,
+        format_string("""{"created_by":"bench-editor %d"}""", pmod(id, lit(7)))))
+      .withColumn("url", format_string("https://osm.example.sv/changeset/%d", id)),
+      "sv")
   }
 
   // =========================================================================
@@ -184,6 +204,26 @@ object Pages {
           expr("try_cast(regexp_extract(original_id, '(\\\\d+)', 1) as long)"))
       .withColumn("geometry", stPoint(col("cx"), col("cy")))
       .withColumn("is_point", lit(true))
+  }
+
+  /** osm.changeset(id, tags, created_at, open, uid) — 04-osm-base.sql:43-49.
+    * `cx`/`cy` are an id-hash bucket (changesets carry no geometry): the
+    * keyed ElementStore MERGE partitions them across 1024 blocks instead of
+    * one, so the inert table still scales. */
+  def extractChangesets(pages: DataFrame): DataFrame = {
+    val p = pages
+      .filter(col("lang") === "sv" && col("text").startsWith("CHANGESET "))
+      .withColumn("parts", split(col("text"), " ", 6))
+    p.select(
+        expr("try_cast(parts[1] as long)").as("id"),
+        from_json(col("parts")(5), tagMapType).as("tags"),
+        (to_timestamp(lit("2025-01-01 00:00:00")) +
+          make_dt_interval(lit(0), lit(0), lit(0),
+            expr("try_cast(parts[2] as double)"))).as("created_at"),
+        (col("parts")(3) === "1").as("open"),
+        expr("try_cast(parts[4] as long)").as("uid"))
+      .withColumn("cx", pmod(xxhash64(col("id")), lit(1024L)).cast("double") * 10000.0)
+      .withColumn("cy", lit(0.0))
   }
 
   /** municipality(code, name, geom) */

@@ -78,6 +78,11 @@ object StreamingIngest {
         val dirtyE = es.merge("elements", Seq("type", "id"), Pages.extractOsmElements(b))
         val dirtyI = es.merge("items", Seq("dataset_id", "original_id"),
           Pages.extractUpstreamItems(b))
+        // changesets: keyed MERGE only, no downstream recompute — ingested
+        // but unused, like the reference (04-osm-base.sql:43-49). Empty in
+        // batches without changeset pages (merge skips empty batches).
+        es.merge("changesets", Seq("id"), Pages.extractChangesets(b),
+          recencyCol = Some("created_at"))
         b.unpersist()
         val dirty = (dirtyE ++ dirtyI).distinct
         // no per-batch caching: a cached candidate set would leak across

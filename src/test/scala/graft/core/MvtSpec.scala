@@ -1,0 +1,121 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.mvt.Mvt
+import graft.core.geom.Envelope
+
+/** MVT 2.1 encoder round-trip: a minimal independent protobuf decoder reads
+  * the bytes back and must see the layer/feature/geometry we encoded. */
+class MvtSpec extends AnyFunSuite {
+
+  // ---- tiny protobuf reader (independent of the encoder) -------------------
+  private final class Reader(b: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val x = b(pos) & 0xff; pos += 1
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    def field(): (Int, Int) = { val t = varint(); ((t >> 3).toInt, (t & 7).toInt) }
+    def bytes(): Array[Byte] = {
+      val len = varint().toInt
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + len); pos += len; out
+    }
+    def sub(): Reader = { val len = varint().toInt; val r = new Reader(b, pos, pos + len); pos += len; r }
+  }
+
+  private case class DecFeature(id: Long, tags: Seq[Int], geomType: Int, cmds: Seq[Long])
+  private case class DecLayer(version: Long, name: String, extent: Long,
+      keys: Seq[String], values: Seq[String], features: Seq[DecFeature])
+
+  private def decodeTile(bytes: Array[Byte]): Seq[DecLayer] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DecLayer]
+    while (r.hasMore) {
+      val (f, w) = r.field()
+      assert(f == 3 && w == 2, s"tile-level field $f/$w")
+      val lr = r.sub()
+      var version = 0L; var name = ""; var extent = 0L
+      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+      val values = scala.collection.mutable.ArrayBuffer.empty[String]
+      val features = scala.collection.mutable.ArrayBuffer.empty[DecFeature]
+      while (lr.hasMore) lr.field() match {
+        case (15, 0) => version = lr.varint()
+        case (1, 2)  => name = new String(lr.bytes(), "UTF-8")
+        case (5, 0)  => extent = lr.varint()
+        case (3, 2)  => keys += new String(lr.bytes(), "UTF-8")
+        case (4, 2)  =>
+          val vr = lr.sub()
+          while (vr.hasMore) vr.field() match {
+            case (1, 2) => values += new String(vr.bytes(), "UTF-8")
+            case (_, 0) => vr.varint()
+            case (_, 2) => vr.bytes()
+            case other  => fail(s"value field $other")
+          }
+        case (2, 2) =>
+          val fr = lr.sub()
+          var id = 0L; var gt = 0
+          val tags = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val cmds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (fr.hasMore) fr.field() match {
+            case (1, 0) => id = fr.varint()
+            case (3, 0) => gt = fr.varint().toInt
+            case (2, 2) => val tr = fr.sub(); while (tr.hasMore) tags += tr.varint().toInt
+            case (4, 2) => val gr = fr.sub(); while (gr.hasMore) cmds += gr.varint()
+            case other  => fail(s"feature field $other")
+          }
+          features += DecFeature(id, tags.toSeq, gt, cmds.toSeq)
+        case other => fail(s"layer field $other")
+      }
+      layers += DecLayer(version, name, extent, keys.toSeq, values.toSeq, features.toSeq)
+    }
+    layers.toSeq
+  }
+
+  private def unzig(v: Long): Int = (((v >>> 1) ^ -(v & 1)).toInt)
+
+  test("layer round-trip: version/name/extent/dictionaries/tags/geometry") {
+    val f1 = Mvt.Feature(0L, Seq("state" -> "in-both", "upstream_tags" -> "{\"a\":\"1\"}"),
+      Mvt.GeomPoint, Array((100, 200)))
+    val f2 = Mvt.Feature(0L, Seq("state" -> "not-in-osm"),
+      Mvt.GeomLine, Array((0, 0), (50, -30)))
+    val tile = Mvt.encodeTile(Seq(Mvt.encodeLayer("default", Seq(f1, f2))))
+    val Seq(layer) = decodeTile(tile)
+    assert(layer.version == 2 && layer.name == "default" && layer.extent == 4096)
+    assert(layer.keys == Seq("state", "upstream_tags"))
+    assert(layer.values == Seq("in-both", "{\"a\":\"1\"}", "not-in-osm"))
+    val Seq(d1, d2) = layer.features
+    assert(d1.geomType == 1)
+    assert(d1.tags == Seq(0, 0, 1, 1)) // state->in-both, upstream_tags->json
+    // MoveTo count=1 then zigzag(100), zigzag(200)
+    assert(d1.cmds == Seq((1L | (1L << 3)), Mvt.zigzag(100), Mvt.zigzag(200)))
+    assert(d2.geomType == 2)
+    assert(d2.tags == Seq(0, 2)) // state -> not-in-osm (dict reuse of key 0)
+    // MoveTo(0,0) LineTo delta (50,-30)
+    assert(d2.cmds.take(3) == Seq((1L | (1L << 3)), 0L, 0L))
+    assert(d2.cmds.drop(3) == Seq((2L | (1L << 3)), Mvt.zigzag(50), Mvt.zigzag(-30)))
+    assert(unzig(Mvt.zigzag(-30)) == -30 && unzig(Mvt.zigzag(50)) == 50)
+  }
+
+  test("asMvtGeom: projection, y-flip, buffer clip, line clipping") {
+    val bounds = Envelope(0.0, 0.0, 4096.0, 4096.0) // 1 unit = 1 tile px
+    // center of the tile -> (2048, 2048); y flips: my=4096 -> local y=0
+    assert(Mvt.asMvtGeom(Seq((2048.0, 2048.0)), isLine = false, bounds)
+      .exists { case (t, cs) => t == Mvt.GeomPoint && cs.sameElements(Array((2048, 2048))) })
+    assert(Mvt.asMvtGeom(Seq((0.0, 4096.0)), isLine = false, bounds).get._2.sameElements(Array((0, 0))))
+    // outside the 256-unit buffer -> dropped
+    assert(Mvt.asMvtGeom(Seq((-400.0, 2048.0)), isLine = false, bounds).isEmpty)
+    // just inside the buffer -> kept with negative local coords
+    assert(Mvt.asMvtGeom(Seq((-200.0, 2048.0)), isLine = false, bounds).get._2.sameElements(Array((-200, 2048))))
+    // a line crossing the tile is clipped to the buffered box
+    val Some((t, cs)) = Mvt.asMvtGeom(Seq((-1000.0, 2048.0), (5000.0, 2048.0)), isLine = true, bounds)
+    assert(t == Mvt.GeomLine && cs(0) == (-256, 2048) && cs(1) == (4352, 2048))
+    // a line fully outside -> dropped
+    assert(Mvt.asMvtGeom(Seq((-2000.0, -2000.0), (-1500.0, -1800.0)), isLine = true, bounds).isEmpty)
+  }
+}
