@@ -20,10 +20,18 @@ object Bench {
     "q_txt_quality", "q_dedup_exact", "q_emb_topk")
 
   private def session(cores: Int, aqe: Boolean = true): SparkSession = {
+    // pipeline sessions (aqe=false): 4 shuffle partitions per core shortens
+    // the stage-tail straggler window (the last task of each stage used to
+    // run alone for seconds), and the in-memory candidates cache skips
+    // columnar dictionary compression — profiled r3: 8-core pipeline
+    // 80.8 s -> 44.9 s from these two switches alone (BASELINE.md §3c).
+    // Headline sessions keep production-like defaults (AQE on, 2/core).
+    val parts = if (aqe) cores * 2 else cores * 4
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.inMemoryColumnarStorage.compressed", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // pipeline sessions run AQE OFF: each AQE stage boundary is a driver

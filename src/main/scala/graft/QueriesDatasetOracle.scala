@@ -196,7 +196,111 @@ object QueriesDatasetOracle {
     concat_ws(";", frag("amenity"), frag("name"), frag("operator"))
   }
 
+  // =========================================================================
+  // vindbrukskollen_turbines — 36-v_deviation_vindbrukskollen_turbines.sql
+  // behind the oracle: the third guard variant (muni equality in the JOIN
+  // CONDITION — the left extension SURVIVES, so "missing" rows appear even
+  // when the guard kills every candidate) plus a LIVE anti leg ("possibly
+  // removed", kept by the keep-all-three-states post-filter), the ref-as-name
+  // tier (condition case-INsensitive at 100 m, score case-SENSITIVE — a
+  // lowercase ref matches but scores in the other tier AND lands in the
+  // diff), upstream attribute predicates (ARENDESTATUS/STATUS), and the
+  // generator:output:electricity first-token float-compare policy
+  // ('2.500 MW' vs '2,5'->'2.5 MW' is NOT a deviation).
+  // =========================================================================
+
+  private def tBase(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("ux", pmod(col("k") * 48271L, lit(1000000L)).cast("double"))
+      .withColumn("uy", pmod(col("k") * 69621L, lit(1000000L)).cast("double"))
+      .withColumn("vref", concat(lit("V-"), col("k")))
+
+  private def tItems(b: DataFrame): DataFrame = {
+    val m2 = pmod(col("k"), lit(2L)); val m3 = pmod(col("k"), lit(3L))
+    val m4 = pmod(col("k"), lit(4L)); val m5 = pmod(col("k"), lit(5L))
+    val m6 = pmod(col("k"), lit(6L))
+    b.select(col("k").as("id"), lit(462L).as("dataset_id"),
+      to_json(map(
+        lit("ARENDESTATUS"), when(m6 === 0, "3").otherwise("4"),
+        lit("STATUS"), when(m6 === 0, "Ansökt").otherwise("Uppfört"),
+        lit("FABRIKAT"), when(m2 === 0, " Vestas "),
+        lit("MAXEFFEKT"), when(m3 === 0, "2,5").when(m3 === 1, "3"),
+        lit("MODELL"), when(m4 === 0, " V90,Mk2 ").when(m4 === 1, "-").when(m4 === 2, ""),
+        lit("NAVHOJD"), when(m2 === 1, "80"),
+        lit("ORGNAMN"), when(m5 === 0, "Projektör ej registrerad hos LST")
+          .when(m5 === 1, " Eolus Vind AB "),
+        lit("ROTDIAMETE"), lit("90"),
+        lit("TOTALHOJD"), lit("125"),
+        lit("UPPFORT"), when(m5 === 0, "20150612").when(m5 === 1, "19000101")
+          .when(m5 === 2, "2015"),
+        lit("VERKID"), col("vref"))).as("original_attributes"),
+      stPoint(col("ux"), col("uy")).as("geometry"),
+      col("ux").as("cx"), col("uy").as("cy"), lit(true).as("is_point"))
+  }
+
+  /** OSM turbines by k%10 — 0: none (missing); {1,9}: tiny offset; 2: 20 m;
+    * 3: 26 m (matches ONLY via a k%7-given ref tier); 4/8: 60 m (8 forces an
+    * exact ref, 4 leaves it to k%7); 5: 60 m with a LOWERCASE ref (condition
+    * matches, score takes the other tier, ref lands in the diff); 6: 15 m;
+    * 7: pushed past the quadrant's east edge WITH an exact ref — the
+    * condition fires but the muni guard kills it, so the item turns
+    * "missing" while the turbine stays OUT of the anti leg (it has a
+    * candidate). */
+  private def tOsm(b: DataFrame): DataFrame = {
+    val m10 = pmod(col("k"), lit(10L)); val m7 = pmod(col("k"), lit(7L))
+    val m11 = pmod(col("k"), lit(11L))
+    val dx = when(m10 === 1 || m10 === 9, pmod(col("k"), lit(4L)))
+      .when(m10 === 2, 20L).when(m10 === 3, 26L)
+      .when(m10 === 4 || m10 === 5 || m10 === 8, 60L)
+      .when(m10 === 6, 0L)
+      .when(m10 === 7, lit(500000L) - pmod(col("ux").cast("long"), lit(500000L)) + 1L)
+    val dy = when(m10 === 1 || m10 === 9, pmod(col("k"), lit(3L)))
+      .when(m10 === 6, 15L).otherwise(0L)
+    val osmRef = when(m10 === 5, lower(col("vref")))
+      .when(m10 === 7 || m10 === 8, col("vref"))
+      .when(m7 === 0, col("vref")).when(m7 === 1, lower(col("vref")))
+    val osmGoe = when(m11 === 0, "2.500 MW").when(m11 === 1, "9 MW")
+    b.filter(m10 =!= 0)
+      .select(lit("n").as("type"), (col("k") + 1000000000L).as("id"),
+        map_filter(map(
+          lit("power"), lit("generator"),
+          lit("generator:method"), lit("wind_turbine"),
+          lit("ref"), osmRef,
+          lit("generator:output:electricity"), osmGoe),
+          (_, v) => v.isNotNull).as("tags"),
+        (col("ux") + dx).cast("double").as("cx"),
+        (col("uy") + dy).cast("double").as("cy"))
+      .withColumn("geom", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+  }
+
+  private val turbineDiffKeys = Seq(
+    "generator:method", "generator:output:electricity", "generator:source",
+    "generator:type", "height", "height:hub", "manufacturer", "model",
+    "operator", "power", "ref", "rotor:diameter", "start_date")
+
+  private def tDiffStr(m: Column): Column = {
+    val frags = turbineDiffKeys.map(key =>
+      when(map_contains_key(m, lit(key)), concat(lit(key + "="), m(key))))
+    concat_ws(";", frags: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_turbines_oracle" -> ((s, dir) => {
+      val b = tBase(s, dir)
+      val dev = graft.engine.ReferenceDatasets.turbinesDeviations(
+        graft.engine.ReferenceDatasets.turbinesMatch(
+          tOsm(b), tItems(b), quadMunis(s)))
+      dev.select(
+        get(col("upstream_item_ids"), lit(0)).as("item_id"),
+        col("osm_element_id").as("osm_id"),
+        col("title"), col("description"),
+        tDiffStr(col("suggested_tags")).as("diff"),
+        stCentroid(col("center"))("_1").as("cx"),
+        stCentroid(col("center"))("_2").as("cy"))
+    }),
+
     "q_ds_preschools_oracle" -> ((s, dir) => {
       val b = pBase(s, dir)
       val dev = graft.engine.ReferenceDatasets.preschoolsDeviations(
@@ -232,6 +336,103 @@ object QueriesDatasetOracle {
   // species keys are aliased, so canonicalization is the identity here —
   // the alias machinery is golden-tested separately in TagsSpec).
   val oracle: Map[String, String] = Map(
+    "q_ds_turbines_oracle" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST((o_orderkey*48271)%1000000 AS DOUBLE) AS ux,
+        |    CAST((o_orderkey*69621)%1000000 AS DOUBLE) AS uy,
+        |    'V-' || CAST(o_orderkey AS VARCHAR) AS ref
+        |  FROM orders),
+        |ups AS (
+        |  SELECT k, ux, uy, ref,
+        |    CASE WHEN ux <= 500000 AND uy <= 500000 THEN '0180'
+        |         WHEN ux >= 500001 AND ux <= 1000000 AND uy <= 500000 THEN '1480'
+        |         WHEN ux <= 500000 AND uy >= 500001 AND uy <= 1000000 THEN '2180'
+        |         WHEN ux >= 500001 AND ux <= 1000000
+        |          AND uy >= 500001 AND uy <= 1000000 THEN '2580' END AS q,
+        |    CASE WHEN k%2=0 THEN 'Vestas' END AS man,
+        |    CASE WHEN k%3=0 THEN '2.5 MW' WHEN k%3=1 THEN '3 MW' END AS goe,
+        |    CASE WHEN k%3=0 THEN 2.5 WHEN k%3=1 THEN 3.0 END AS goe_f,
+        |    CASE WHEN k%4=0 THEN 'V90.Mk2' END AS model,
+        |    CASE WHEN k%2=1 THEN '80' END AS hub,
+        |    CASE WHEN k%5=1 THEN 'Eolus Vind AB' END AS org,
+        |    CASE WHEN k%5=0 THEN '2015-06-12' END AS sdate
+        |  FROM b WHERE k%6 <> 0),
+        |osm AS (
+        |  SELECT k, k+1000000000 AS osm_id,
+        |    ux + (CASE WHEN k%10 IN (1,9) THEN k%4 WHEN k%10=2 THEN 20
+        |      WHEN k%10=3 THEN 26 WHEN k%10 IN (4,5,8) THEN 60 WHEN k%10=6 THEN 0
+        |      WHEN k%10=7 THEN 500000 - (CAST(ux AS BIGINT)%500000) + 1 END) AS ox,
+        |    uy + (CASE WHEN k%10 IN (1,9) THEN k%3 WHEN k%10=6 THEN 15 ELSE 0 END) AS oy,
+        |    CASE WHEN k%10=5 THEN LOWER(ref) WHEN k%10 IN (7,8) THEN ref
+        |         WHEN k%7=0 THEN ref WHEN k%7=1 THEN LOWER(ref) END AS oref,
+        |    CASE WHEN k%11=0 THEN 2.5 WHEN k%11=1 THEN 9.0 END AS ogoe_f
+        |  FROM b WHERE k%10 <> 0),
+        |oq AS (
+        |  SELECT *,
+        |    CASE WHEN ox >= 0 AND ox <= 500000 AND oy >= 0 AND oy <= 500000 THEN '0180'
+        |         WHEN ox >= 500001 AND ox <= 1000000 AND oy >= 0 AND oy <= 500000 THEN '1480'
+        |         WHEN ox >= 0 AND ox <= 500000 AND oy >= 500001 AND oy <= 1000000 THEN '2180'
+        |         WHEN ox >= 500001 AND ox <= 1000000
+        |          AND oy >= 500001 AND oy <= 1000000 THEN '2580' END AS q
+        |  FROM osm),
+        |cand AS (
+        |  SELECT u.k AS uk, o.osm_id, o.oref, o.ogoe_f, o.ox, o.oy, o.q AS o_q,
+        |    u.q AS u_q,
+        |    SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) AS dist,
+        |    CASE WHEN o.oref = u.ref
+        |         THEN 100 + SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy))
+        |         ELSE 25 + SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) END AS score
+        |  FROM ups u JOIN oq o
+        |    ON ABS(u.ux-o.ox) <= 100 AND ABS(u.uy-o.oy) <= 100
+        |   AND (SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 25
+        |     OR (o.oref IS NOT NULL AND LOWER(o.oref) = LOWER(u.ref)
+        |         AND SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 100))),
+        |best AS (
+        |  SELECT uk, osm_id, oref, ogoe_f, ox, oy FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY uk ORDER BY score, osm_id) AS rn
+        |    FROM cand WHERE u_q = o_q)
+        |  WHERE rn = 1),
+        |leg1 AS (
+        |  SELECT u.k AS item_id, w.osm_id,
+        |    CASE WHEN w.osm_id IS NULL THEN 'Vindkraftverk saknas'
+        |         ELSE 'Vindkraftverk saknar taggar' END AS title,
+        |    CASE WHEN w.osm_id IS NULL
+        |         THEN 'Enligt Vindbrukskollen ska det finnas ett vindkraftverk här'
+        |         ELSE 'Följande taggar, härledda från Vindbrukskollen, saknas på vindkraftverket här'
+        |         END AS description,
+        |    CONCAT_WS(';',
+        |      CASE WHEN w.osm_id IS NULL THEN 'generator:method=wind_turbine' END,
+        |      CASE WHEN u.goe IS NOT NULL
+        |            AND (w.osm_id IS NULL OR w.ogoe_f IS DISTINCT FROM u.goe_f)
+        |           THEN 'generator:output:electricity=' || u.goe END,
+        |      'generator:source=wind',
+        |      'generator:type=horizontal_axis',
+        |      'height=125',
+        |      CASE WHEN u.hub IS NOT NULL THEN 'height:hub=' || u.hub END,
+        |      CASE WHEN u.man IS NOT NULL THEN 'manufacturer=' || u.man END,
+        |      CASE WHEN u.model IS NOT NULL THEN 'model=' || u.model END,
+        |      CASE WHEN u.org IS NOT NULL THEN 'operator=' || u.org END,
+        |      CASE WHEN w.osm_id IS NULL THEN 'power=generator' END,
+        |      CASE WHEN w.osm_id IS NULL OR (w.oref IS DISTINCT FROM u.ref)
+        |           THEN 'ref=' || u.ref END,
+        |      'rotor:diameter=90',
+        |      CASE WHEN u.sdate IS NOT NULL THEN 'start_date=' || u.sdate END) AS diff,
+        |    CASE WHEN w.osm_id IS NULL THEN u.ux ELSE w.ox END AS cx,
+        |    CASE WHEN w.osm_id IS NULL THEN u.uy ELSE w.oy END AS cy
+        |  FROM ups u LEFT JOIN best w ON u.k = w.uk),
+        |antileg AS (
+        |  SELECT CAST(NULL AS BIGINT) AS item_id, o.osm_id,
+        |    'Vindkraftverk möjligen rivet' AS title,
+        |    'Enligt Vindbrukskollen finns det inget vindkraftverk här, det kan ha rivits' AS description,
+        |    '' AS diff, o.ox AS cx, o.oy AS cy
+        |  FROM oq o
+        |  WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.osm_id = o.osm_id))
+        |SELECT item_id, osm_id, title, description, diff, cx, cy FROM leg1
+        |WHERE osm_id IS NULL OR diff <> ''
+        |UNION ALL
+        |SELECT item_id, osm_id, title, description, diff, cx, cy FROM antileg""".stripMargin,
+
     "q_ds_preschools_oracle" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k,
