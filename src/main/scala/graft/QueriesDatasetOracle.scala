@@ -286,7 +286,104 @@ object QueriesDatasetOracle {
     concat_ws(";", frags: _*)
   }
 
+  // =========================================================================
+  // anlaggningsomradespunkt_topo50 — 26-v_deviation_*.sql behind the oracle:
+  // the FUSED single-join topo50 path (11 categories in one cell join keyed
+  // (cell, category); Topo50.matchView), per-category OSM predicates and
+  // alternatives, computed layers, and the computed titles with the
+  // '^[^, ]+' head regex ('Skjutbana, mindre' -> 'Skjutbana'). Category
+  // semantics that matter and are oracle-encoded: categories whose passing
+  // OSM node always equals one alternative exactly produce NO matched rows
+  // (empty diff, post-filtered); Travbana/Galoppbana nodes with
+  // sport=equestrian suggest sport=horse_racing; Gästhamn nodes whose
+  // mooring merely CONTAINS 'guest' suggest mooring=guest; Hamn nodes
+  // tagged harbour=* suggest industrial=port; missing rows carry the FIRST
+  // alternative (position tie-break among equal-size alternatives).
+  // =========================================================================
+
+  private val apAndamal = Seq(
+    "Idrottsanläggning", "Skjutbana, mindre", "Skjutbana", "Badplats",
+    "Travbana", "Galoppbana", "Sjöräddningsstation", "Småbåtshamn",
+    "Gästhamn", "Bollplan", "Fotbollsplan", "Hamn", "Campingplats")
+
+  private def apBase(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("ux", pmod(col("k") * 48271L, lit(1000000L)).cast("double"))
+      .withColumn("uy", pmod(col("k") * 69621L, lit(1000000L)).cast("double"))
+      .withColumn("m13", pmod(col("k"), lit(13L)))
+      .withColumn("andamal", element_at(
+        array(apAndamal.map(lit): _*), (col("m13") + 1).cast("int")))
+
+  private def apItems(b: DataFrame): DataFrame =
+    b.select(col("k").as("id"), lit(139L).as("dataset_id"),
+      to_json(map(lit("andamal"), col("andamal"))).as("original_attributes"),
+      stPoint(col("ux"), col("uy")).as("geometry"),
+      col("ux").as("cx"), col("uy").as("cy"), lit(true).as("is_point"))
+
+  private def tm(kv: (String, String)*): Column =
+    map(kv.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  private def apOsm(b: DataFrame): DataFrame = {
+    val m10 = pmod(col("k"), lit(10L)); val m3 = pmod(col("k"), lit(3L))
+    val m13 = col("m13")
+    val dx = when(m10 === 2, 300L).when(m10 === 3, 499L).when(m10 === 4, 501L)
+      .when(m10 === 5, 200L).when(m10 === 7, 350L).when(m10 === 8, 100L)
+      .when(m10 === 6, 0L).otherwise(pmod(col("k"), lit(4L)))
+    val dy = when(m10 === 6, 450L)
+      .when(m10 === 1 || m10 === 9, pmod(col("k"), lit(3L))).otherwise(0L)
+    val tags =
+      when(m13 === 0 && m3 === 0, tm("leisure" -> "sports_centre"))
+        .when(m13 === 0 && m3 === 1, tm("leisure" -> "stadium"))
+        .when(m13 === 0, tm("leisure" -> "pitch"))
+        .when(m13 === 1 || m13 === 2, tm("leisure" -> "pitch", "sport" -> "shooting"))
+        .when(m13 === 3 && m3 === 0, tm("leisure" -> "bathing_place"))
+        .when(m13 === 3, tm("leisure" -> "swimming_area"))
+        .when((m13 === 4 || m13 === 5) && m3 === 0, tm("leisure" -> "track", "sport" -> "horse_racing"))
+        .when((m13 === 4 || m13 === 5) && m3 === 1, tm("leisure" -> "track", "sport" -> "equestrian"))
+        .when(m13 === 4 || m13 === 5, tm("leisure" -> "pitch", "sport" -> "equestrian"))
+        .when(m13 === 6 && m3 === 0, tm("emergency" -> "water_rescue"))
+        .when(m13 === 6, tm("emergency" -> "rescue_station"))
+        .when(m13 === 7, tm("leisure" -> "marina"))
+        .when(m13 === 8 && m3 === 0, tm("leisure" -> "marina", "mooring" -> "guest"))
+        .when(m13 === 8 && m3 === 1, tm("man_made" -> "pier", "mooring" -> "guest_harbour"))
+        .when(m13 === 8, tm("man_made" -> "quay", "mooring" -> "guest berth"))
+        .when(m13 === 9, tm("leisure" -> "pitch"))
+        .when(m13 === 10, tm("leisure" -> "pitch", "sport" -> "soccer"))
+        .when(m13 === 11 && m3 === 0, tm("industrial" -> "port"))
+        .when(m13 === 11, tm("harbour" -> "yes"))
+        .when(m13 === 12 && m3 === 0, tm("tourism" -> "camp_site"))
+        .otherwise(tm("tourism" -> "caravan_site"))
+    b.filter(m10 =!= 0)
+      .select(lit("n").as("type"), (col("k") + 1000000000L).as("id"),
+        tags.as("tags"),
+        (col("ux") + dx).cast("double").as("cx"),
+        (col("uy") + dy).cast("double").as("cy"))
+      .withColumn("geom", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+  }
+
+  private def apDiffStr(m: Column): Column = {
+    val frags = Seq("emergency", "harbour", "industrial", "leisure",
+      "man_made", "mooring", "sport", "tourism").map(key =>
+      when(map_contains_key(m, lit(key)), concat(lit(key + "="), m(key))))
+    concat_ws(";", frags: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_topo50_oracle" -> ((s, dir) => {
+      val b = apBase(s, dir)
+      val dev = graft.engine.Topo50.deviations(
+        graft.engine.Topo50.matchView(apOsm(b), apItems(b)))
+      dev.select(
+        get(col("upstream_item_ids"), lit(0)).as("item_id"),
+        col("osm_element_id").as("osm_id"),
+        col("layer_id"), col("title"), col("description"),
+        apDiffStr(col("suggested_tags")).as("diff"),
+        stCentroid(col("center"))("_1").as("cx"),
+        stCentroid(col("center"))("_2").as("cy"))
+    }),
+
     "q_ds_turbines_oracle" -> ((s, dir) => {
       val b = tBase(s, dir)
       val dev = graft.engine.ReferenceDatasets.turbinesDeviations(
@@ -336,6 +433,111 @@ object QueriesDatasetOracle {
   // species keys are aliased, so canonicalization is the identity here —
   // the alias machinery is golden-tested separately in TagsSpec).
   val oracle: Map[String, String] = Map(
+    "q_ds_topo50_oracle" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST((o_orderkey*48271)%1000000 AS DOUBLE) AS ux,
+        |    CAST((o_orderkey*69621)%1000000 AS DOUBLE) AS uy,
+        |    o_orderkey%13 AS m13, o_orderkey%3 AS m3, o_orderkey%10 AS m10
+        |  FROM orders),
+        |ups AS (
+        |  SELECT k, ux, uy, m13,
+        |    CASE m13 WHEN 0 THEN 'Idrottsanläggning' WHEN 1 THEN 'Skjutbana, mindre'
+        |      WHEN 2 THEN 'Skjutbana' WHEN 3 THEN 'Badplats' WHEN 4 THEN 'Travbana'
+        |      WHEN 5 THEN 'Galoppbana' WHEN 6 THEN 'Sjöräddningsstation'
+        |      WHEN 7 THEN 'Småbåtshamn' WHEN 8 THEN 'Gästhamn' WHEN 9 THEN 'Bollplan'
+        |      WHEN 10 THEN 'Fotbollsplan' WHEN 11 THEN 'Hamn' ELSE 'Campingplats' END AS andamal
+        |  FROM b),
+        |osm AS (
+        |  SELECT k, k+1000000000 AS osm_id,
+        |    ux + (CASE WHEN m10=2 THEN 300 WHEN m10=3 THEN 499 WHEN m10=4 THEN 501
+        |      WHEN m10=5 THEN 200 WHEN m10=7 THEN 350 WHEN m10=8 THEN 100
+        |      WHEN m10=6 THEN 0 ELSE k%4 END) AS ox,
+        |    uy + (CASE WHEN m10=6 THEN 450 WHEN m10 IN (1,9) THEN k%3 ELSE 0 END) AS oy,
+        |    CASE WHEN m13=0 AND m3=0 THEN 'sports_centre' WHEN m13=0 AND m3=1 THEN 'stadium'
+        |         WHEN m13=0 THEN 'pitch' WHEN m13 IN (1,2) THEN 'pitch'
+        |         WHEN m13=3 AND m3=0 THEN 'bathing_place' WHEN m13=3 THEN 'swimming_area'
+        |         WHEN m13 IN (4,5) AND m3 IN (0,1) THEN 'track' WHEN m13 IN (4,5) THEN 'pitch'
+        |         WHEN m13=7 THEN 'marina' WHEN m13=8 AND m3=0 THEN 'marina'
+        |         WHEN m13 IN (9,10) THEN 'pitch' END AS le,
+        |    CASE WHEN m13 IN (1,2) THEN 'shooting'
+        |         WHEN m13 IN (4,5) AND m3=0 THEN 'horse_racing'
+        |         WHEN m13 IN (4,5) THEN 'equestrian'
+        |         WHEN m13=10 THEN 'soccer' END AS sp,
+        |    CASE WHEN m13=8 AND m3=1 THEN 'pier' WHEN m13=8 AND m3=2 THEN 'quay' END AS mm,
+        |    CASE WHEN m13=8 AND m3=0 THEN 'guest' WHEN m13=8 AND m3=1 THEN 'guest_harbour'
+        |         WHEN m13=8 THEN 'guest berth' END AS mo,
+        |    CASE WHEN m13=11 AND m3=0 THEN 'port' END AS ind,
+        |    (m13=11 AND m3<>0) AS ha,
+        |    CASE WHEN m13=6 AND m3=0 THEN 'water_rescue' WHEN m13=6 THEN 'rescue_station' END AS em,
+        |    CASE WHEN m13=12 AND m3=0 THEN 'camp_site' WHEN m13=12 THEN 'caravan_site' END AS tou
+        |  FROM b WHERE m10 <> 0),
+        |cand AS (
+        |  SELECT u.k AS uk, o.osm_id, o.le, o.sp, o.mm, o.mo, o.ind, o.ha, o.tou,
+        |    o.ox, o.oy,
+        |    SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) AS dist
+        |  FROM ups u JOIN osm o
+        |    ON ABS(u.ux-o.ox) <= 500 AND ABS(u.uy-o.oy) <= 500
+        |   AND SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 500
+        |   AND ((u.m13=0 AND o.le IN ('stadium','pitch','sports_centre','sports_hall'))
+        |     OR (u.m13 IN (1,2) AND o.le='pitch' AND o.sp='shooting')
+        |     OR (u.m13=3 AND o.le IN ('bathing_place','swimming_area'))
+        |     OR (u.m13 IN (4,5) AND o.le IN ('track','sports_centre','pitch')
+        |         AND o.sp IN ('horse_racing','equestrian'))
+        |     OR (u.m13=6 AND o.em IN ('water_rescue','rescue_station'))
+        |     OR (u.m13=7 AND o.le='marina')
+        |     OR (u.m13=8 AND (o.mm IN ('pier','quay') OR o.le='marina')
+        |         AND o.mo LIKE '%guest%')
+        |     OR (u.m13=9 AND o.le='pitch')
+        |     OR (u.m13=10 AND o.le='pitch' AND o.sp='soccer')
+        |     OR (u.m13=11 AND (o.ind='port' OR o.ha))
+        |     OR (u.m13=12 AND o.tou IN ('camp_site','caravan_site')))),
+        |best AS (
+        |  SELECT uk, osm_id, sp, mo, ind, ox, oy FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY uk ORDER BY dist, osm_id) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1),
+        |dev AS (
+        |  SELECT u.k AS item_id, w.osm_id,
+        |    CAST(CASE WHEN u.andamal IN ('Campingplats','Gästhamn','Småbåtshamn','Sjöräddningsstation') THEN 18
+        |         WHEN u.andamal = 'Hamn' THEN 19
+        |         WHEN u.andamal IN ('Fotbollsplan','Bollplan','Travbana','Galoppbana',
+        |                            'Skjutbana, mindre','Skjutbana','Idrottsanläggning') THEN 9
+        |         WHEN u.andamal = 'Badplats' THEN 11 END AS BIGINT) AS layer_id,
+        |    CASE WHEN w.osm_id IS NULL
+        |         THEN REGEXP_EXTRACT(u.andamal, '^[^, ]+') || ' saknas'
+        |         ELSE REGEXP_EXTRACT(u.andamal, '^[^, ]+') || ' saknar taggar' END AS title,
+        |    CASE WHEN w.osm_id IS NULL
+        |         THEN 'Enligt Lantmäteriets 1:50 000 karta ska det finnas en '
+        |              || LOWER(REGEXP_EXTRACT(u.andamal, '^[^, ]+')) || ' här'
+        |         ELSE 'Följande taggar, härledda ur Lantmäteriets 1:50 000 karta, saknas här'
+        |         END AS description,
+        |    CASE WHEN w.osm_id IS NULL THEN
+        |      CASE u.m13 WHEN 0 THEN 'leisure=sports_centre'
+        |        WHEN 1 THEN 'leisure=pitch;sport=shooting'
+        |        WHEN 2 THEN 'leisure=pitch;sport=shooting'
+        |        WHEN 3 THEN 'leisure=bathing_place'
+        |        WHEN 4 THEN 'leisure=track;sport=horse_racing'
+        |        WHEN 5 THEN 'leisure=track;sport=horse_racing'
+        |        WHEN 6 THEN 'emergency=water_rescue'
+        |        WHEN 7 THEN 'leisure=marina'
+        |        WHEN 8 THEN 'leisure=marina;mooring=guest'
+        |        WHEN 9 THEN 'leisure=pitch'
+        |        WHEN 10 THEN 'leisure=pitch;sport=soccer'
+        |        WHEN 11 THEN 'industrial=port'
+        |        ELSE 'tourism=camp_site' END
+        |    ELSE
+        |      CASE WHEN u.m13 IN (4,5) AND w.sp = 'equestrian' THEN 'sport=horse_racing'
+        |           WHEN u.m13 = 8 AND w.mo <> 'guest' THEN 'mooring=guest'
+        |           WHEN u.m13 = 11 AND w.ind IS DISTINCT FROM 'port' THEN 'industrial=port'
+        |           ELSE '' END
+        |    END AS diff,
+        |    CASE WHEN w.osm_id IS NULL THEN u.ux ELSE w.ox END AS cx,
+        |    CASE WHEN w.osm_id IS NULL THEN u.uy ELSE w.oy END AS cy
+        |  FROM ups u LEFT JOIN best w ON u.k = w.uk)
+        |SELECT item_id, osm_id, layer_id, title, description, diff, cx, cy
+        |FROM dev WHERE osm_id IS NULL OR diff <> ''""".stripMargin,
+
     "q_ds_turbines_oracle" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k,
