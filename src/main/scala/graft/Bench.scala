@@ -55,7 +55,14 @@ object Bench {
   }
 
   /** one pipeline run: synthesize -> extract -> match -> deviations; single
-    * fused action counting both match and deviation rows. */
+    * fused action counting both match and deviation rows. The heap is
+    * collected BETWEEN runs (after the cache drop): GC-aware probes showed
+    * 1-19 s of collection debt from the previous run's cached candidates
+    * landing inside the NEXT measurement at unpredictable times — the
+    * dominant non-steal noise on the short (high-parallelism) runs. A fresh
+    * cluster job starts with a clean heap, so paying the debt between runs
+    * is the honest accounting.
+    */
   private def pipeline(s: SparkSession, nSites: Long): (Double, Long, Long) = {
     var mr = 0L; var dr = 0L
     val (sec, _) = time {
@@ -63,6 +70,7 @@ object Bench {
       mr = m; dr = d
     }
     s.sharedState.cacheManager.clearCache()
+    System.gc()
     (sec, mr, dr)
   }
 

@@ -33,7 +33,16 @@ object BenchPipeline {
       antiLeg = true,
       saltThreshold = saltThreshold,
       saltFactor = saltFactor,
-      cacheCandidates = true)
+      // DEFAULT OFF (r3): caching the refined candidates halves the
+      // cell-join work (the anti leg reuses it) but only makes sense when
+      // the candidate set fits executor memory — at the 10^12-row design
+      // point it cannot, and even locally the cached blocks were the bench
+      // JVM's dominant GC pressure (probed: 1-60 s of collection inside
+      // measured runs; without the cache GC drops to ~1 s and 2-core runs
+      // repeat within 8%). The anti leg recomputing its input is the same
+      // trade the reference makes by re-reading mv_match from disk.
+      cacheCandidates =
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_CANDIDATES", "false").toBoolean)
 
   /** dataset-level filter/projection over EXTRACTED features — shared by the
     * batch pipeline and the incremental streaming path (which reads the same

@@ -95,4 +95,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "tag predicate should be native map access")
     assert(p.contains("lower("), "name tier should be native lower() equality")
   }
+
+  test("ReadApi dim lookups broadcast, never shuffle (S10)") {
+    import spark.implicits._
+    // region_name: a fact-sized municipality table joined to the 21-row dim
+    // must plan as a BroadcastHashJoin — shuffling the fact side by a 2-char
+    // prefix would be the scale bug
+    val munis = (0 until 300).map(i => (f"${i % 26}%02d${i % 100}%02d", s"M$i"))
+      .toDF("code", "name")
+    val p1 = finalPlan(ReadApi.withRegionName(munis, ReadApi.regions(spark)))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(1500))
+    assert(!p1.contains("SortMergeJoin"), "region dim must not shuffle the fact side")
+    val layers = Seq((5L, "Skolor", true)).toDF("id", "name", "is_major")
+    val ml = Seq((1L, "2180", 5L, "2024-01-01")).toDF(
+      "id", "municipality_code", "layer_id", "last_checked")
+    val p2 = finalPlan(ReadApi.municipalityLayer(ml, layers))
+    assert(p2.contains("BroadcastHashJoin") && !p2.contains("SortMergeJoin"))
+  }
 }
