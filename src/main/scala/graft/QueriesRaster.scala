@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Raster
+
+/**
+ * Raster<->vector density operators behind the DuckDB oracle. Points are
+ * synthesized from customer keys as 50 diagonal clusters (modular offsets in
+ * integral 0.0005-degree steps), dense enough at sf0.01 that above-threshold
+ * pixels form multi-pixel 4-connected regions — so BOTH directions sit behind
+ * the oracle: the density grid (floor/ln/tan pixel math, identical expression
+ * order in Spark and DuckDB) and the polygonization (the oracle recomputes
+ * connected components from first principles with a recursive reachability
+ * CTE and labels them by min linear pixel index, exactly the operator's
+ * contract).
+ */
+object QueriesRaster {
+
+  private val Z = 14
+  private val Res = 16
+  private val MinDensity = 2L
+
+  /** 50 point clusters from customer keys; every constant mirrored verbatim
+    * in the oracle SQL (same literal order -> bit-identical doubles). */
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet").select(
+      (lit(11.0) + pmod(col("c_custkey"), lit(50L)) * 0.1
+        + pmod(col("c_custkey") * 7919L, lit(8L)) * 0.0005).as("lon"),
+      (lit(55.0) + pmod(col("c_custkey"), lit(50L)) * 0.2
+        + pmod(col("c_custkey") * 104729L, lit(8L)) * 0.0005).as("lat"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vector -> raster: one hash agg, output bounded by occupied pixels
+    "q_raster_density" -> ((s, dir) =>
+      Raster.rasterize(pts(s, dir), col("lon"), col("lat"), Z, Res)),
+
+    // raster -> vector: tile-local 4-connected regions + 3857 envelopes
+    "q_raster_regions" -> ((s, dir) =>
+      Raster.regions(
+        Raster.rasterize(pts(s, dir), col("lon"), col("lat"), Z, Res),
+        MinDensity, Z, Res)),
+
+    // the north-star integration: deviation density of the REAL pipeline's
+    // match rows rasterized onto z14 tiles (sweref -> lon/lat projection is
+    // the engine's own series expansion -> rows-only check)
+    "q_pipe_raster" -> ((s, _) => {
+      val m = graft.engine.BenchPipeline.matchRows(
+        graft.sources.Pages.synthesize(s, 3000L))
+      val withC = m.withColumn("_c",
+        graft.functions.GeoFunctions.stCentroid(
+          coalesce(col("upstream_geom"), col("osm_geom"))))
+      Raster.rasterizeSweref(withC, col("_c._1"), col("_c._2"), Z, res = 64)
+    }))
+
+  private val sqlGrid =
+    """pts AS (SELECT
+      |  11.0 + (c_custkey%50)*0.1 + ((c_custkey*7919)%8)*0.0005 AS lon,
+      |  55.0 + (c_custkey%50)*0.2 + ((c_custkey*104729)%8)*0.0005 AS lat
+      |  FROM customer),
+      |g AS (SELECT
+      |  CAST(FLOOR((lon+180.0)/360.0*262144.0) AS BIGINT) AS gx,
+      |  CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))/PI())/2.0*262144.0) AS BIGINT) AS gy
+      |  FROM pts),
+      |rast AS (SELECT
+      |  CAST((gx - gx%16)/16 AS BIGINT) AS tile_x,
+      |  CAST((gy - gy%16)/16 AS BIGINT) AS tile_y,
+      |  CAST(gx%16 AS INTEGER) AS px, CAST(gy%16 AS INTEGER) AS py,
+      |  COUNT(*) AS density
+      |  FROM g GROUP BY 1,2,3,4)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_raster_density" ->
+      s"""WITH $sqlGrid
+         |SELECT tile_x, tile_y, px, py, density FROM rast""".stripMargin,
+    "q_raster_regions" ->
+      s"""WITH RECURSIVE $sqlGrid,
+         |r AS (SELECT * FROM rast WHERE density >= $MinDensity),
+         |e AS (SELECT a.tile_x, a.tile_y, a.py*16+a.px AS p, b.py*16+b.px AS q
+         |  FROM r a JOIN r b ON a.tile_x=b.tile_x AND a.tile_y=b.tile_y
+         |   AND ((ABS(a.px-b.px)=1 AND a.py=b.py) OR (a.px=b.px AND ABS(a.py-b.py)=1))),
+         |reach(tile_x, tile_y, p, q) AS (
+         |  SELECT tile_x, tile_y, py*16+px, py*16+px FROM r
+         |  UNION
+         |  SELECT reach.tile_x, reach.tile_y, reach.p, e.q
+         |  FROM reach JOIN e ON reach.tile_x=e.tile_x AND reach.tile_y=e.tile_y
+         |   AND reach.q=e.p),
+         |lab AS (SELECT tile_x, tile_y, p, CAST(MIN(q) AS BIGINT) AS region
+         |  FROM reach GROUP BY 1,2,3),
+         |px2 AS (SELECT r.tile_x, r.tile_y, lab.region, r.px, r.py, r.density
+         |  FROM r JOIN lab ON r.tile_x=lab.tile_x AND r.tile_y=lab.tile_y
+         |   AND r.py*16+r.px=lab.p)
+         |SELECT tile_x, tile_y, region,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |  CAST(SUM(density) AS BIGINT) AS density,
+         |  MIN(px) AS px_min, MIN(py) AS py_min, MAX(px) AS px_max, MAX(py) AS py_max,
+         |  (tile_x*16 + MIN(px)) * (2.0*PI()*6378137.0/262144.0) - (2.0*PI()*6378137.0)/2.0 AS env_min_x,
+         |  (tile_x*16 + MAX(px) + 1) * (2.0*PI()*6378137.0/262144.0) - (2.0*PI()*6378137.0)/2.0 AS env_max_x,
+         |  (2.0*PI()*6378137.0)/2.0 - (tile_y*16 + MIN(py)) * (2.0*PI()*6378137.0/262144.0) AS env_max_y,
+         |  (2.0*PI()*6378137.0)/2.0 - (tile_y*16 + MAX(py) + 1) * (2.0*PI()*6378137.0/262144.0) AS env_min_y
+         |FROM px2 GROUP BY 1,2,3""".stripMargin)
+}

@@ -94,12 +94,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesSpatial.queries ++
       QueriesText.queries ++ QueriesDatasetOracle.queries ++
-      pipelineQueries ++ datasetQueries
+      QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based / synthesized-input
     * operators -> driver records a rows-only check. */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle ++
-      QueriesDatasetOracle.oracle
+      QueriesDatasetOracle.oracle ++ QueriesRaster.oracle
 }

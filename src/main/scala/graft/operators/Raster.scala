@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Raster <-> vector rasterization of deviation density onto z-tiles — the
+ * north-rule's "raster<->vector" leg (see BASELINE.json north_star:
+ * "Raster<->vector rasterization of deviation density onto z14 tiles"),
+ * complementing `engine.Tiles` (vector MVT features per tile) with a density
+ * grid per tile and its polygonization back to vector regions.
+ *
+ * Vector -> raster (`rasterize`): every input point lands in exactly one
+ * pixel of the global web-mercator pixel grid at zoom z with `res`x`res`
+ * pixels per tile (z14 x 256 = the slippy-map raster-tile convention). The
+ * pixel index is pure column arithmetic (same floor/ln/tan forms as the
+ * oracled `q_sp_tile`), so the whole operator is ONE hash aggregation with
+ * map-side partial combine: the shuffle carries at most one row per occupied
+ * pixel, not per input row — at the 10^12-row design point the output is
+ * bounded by the density-grid size (Sweden at z14 ~1.5M tiles), never by the
+ * input.
+ *
+ * Raster -> vector (`regions`): above-threshold pixels are merged into
+ * tile-local 4-connected regions (union-find per tile, deterministic region
+ * id = min linear pixel index), emitting per-region pixel count, total
+ * density, pixel bbox and the EPSG:3857 envelope of that bbox. Per-tile
+ * state is bounded by res^2 pixels (65,536 at res=256) REGARDLESS of input
+ * scale, so the flatMapGroups stage is executor-safe and parallel across
+ * occupied tiles. Regions deliberately do not span tile boundaries — the
+ * reference's tile functions (12-v-deviation_preschools_scb.sql:75-99) are
+ * per-tile by construction, and keeping the merge tile-local is what makes
+ * the state bound hold.
+ */
+object Raster {
+
+  /** Global pixel count per axis at zoom z with res pixels/tile. */
+  def gridSize(z: Int, res: Int): Long = (1L << z) * res
+
+  /**
+   * Point density raster: one row per occupied pixel.
+   * Output: tile_x, tile_y (slippy tile), px, py (0..res-1 within tile),
+   * density (count, or sum(weight) when given).
+   */
+  def rasterize(df: DataFrame, lonCol: Column, latCol: Column,
+                z: Int = 14, res: Int = 256,
+                weight: Option[Column] = None): DataFrame = {
+    val n = lit(gridSize(z, res).toDouble)
+    val latR = radians(latCol)
+    val gx = floor((lonCol + 180.0) / 360.0 * n).cast("long")
+    val gy = floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / 2.0 * n)
+      .cast("long")
+    val withPix = df
+      .withColumn("gx", gx).withColumn("gy", gy)
+      .withColumn("px", pmod(col("gx"), lit(res.toLong)).cast("int"))
+      .withColumn("py", pmod(col("gy"), lit(res.toLong)).cast("int"))
+      .withColumn("tile_x", ((col("gx") - col("px")) / res).cast("long"))
+      .withColumn("tile_y", ((col("gy") - col("py")) / res).cast("long"))
+    weight match {
+      case Some(w) => withPix.groupBy("tile_x", "tile_y", "px", "py")
+        .agg(sum(w).as("density"))
+      case None => withPix.groupBy("tile_x", "tile_y", "px", "py")
+        .agg(count(lit(1)).as("density"))
+    }
+  }
+
+  /** Density raster for EPSG:3006-ish points (the engine's native plane):
+    * project to lon/lat first (decode-once scalar UDF), then rasterize. */
+  def rasterizeSweref(df: DataFrame, xCol: Column, yCol: Column,
+                      z: Int = 14, res: Int = 256,
+                      weight: Option[Column] = None): DataFrame = {
+    val ll = graft.functions.GeoFunctions.swerefToLonLat(xCol, yCol)
+    val projected = df.withColumn("_ll", ll)
+    rasterize(projected, col("_ll._1"), col("_ll._2"), z, res, weight)
+  }
+
+  /**
+   * Polygonize a density raster: tile-local 4-connected regions of pixels
+   * with density >= minDensity. Deterministic: region = min linear pixel
+   * index (py*res+px) in the component. Emits pixel bbox and its EPSG:3857
+   * envelope (pixel edges, so adjacent regions share edges exactly).
+   */
+  def regions(raster: DataFrame, minDensity: Long, z: Int = 14, res: Int = 256): DataFrame = {
+    val spark = raster.sparkSession
+    import spark.implicits._
+    val resL = res
+    val labeled = raster
+      .filter(col("density") >= minDensity)
+      .select(col("tile_x").cast("long"), col("tile_y").cast("long"),
+        col("px").cast("int"), col("py").cast("int"), col("density").cast("long"))
+      .as[(Long, Long, Int, Int, Long)]
+      .groupByKey { case (tx, ty, _, _, _) => (tx, ty) }
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Long)]) =>
+        val (tx, ty) = key
+        // bounded by res^2 pixels per tile — safe to materialize
+        val pix = it.toArray
+        val idx = new java.util.HashMap[Int, Int](pix.length * 2)
+        pix.zipWithIndex.foreach { case ((_, _, px, py, _), i) =>
+          idx.put(py * resL + px, i)
+        }
+        val parent = Array.tabulate(pix.length)(identity)
+        def find(a: Int): Int = { var r = a; while (parent(r) != r) r = parent(r)
+          var c = a; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+        def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+        pix.zipWithIndex.foreach { case ((_, _, px, py, _), i) =>
+          val lin = py * resL + px
+          if (px > 0 && idx.containsKey(lin - 1)) union(i, idx.get(lin - 1))
+          if (py > 0 && idx.containsKey(lin - resL)) union(i, idx.get(lin - resL))
+        }
+        // region label = min linear index in the component
+        val label = new java.util.HashMap[Int, Int]()
+        pix.zipWithIndex.foreach { case ((_, _, px, py, _), i) =>
+          val r = find(i); val lin = py * resL + px
+          val cur = label.getOrDefault(r, Int.MaxValue)
+          if (lin < cur) label.put(r, lin)
+        }
+        val byRegion = pix.zipWithIndex.groupBy { case (_, i) => find(i) }
+        byRegion.iterator.map { case (r, members) =>
+          val lab = label.get(r).toLong
+          val ds = members.map(_._1._5).sum
+          val pxs = members.map(_._1._3); val pys = members.map(_._1._4)
+          (tx, ty, lab, members.length.toLong, ds,
+            pxs.min, pys.min, pxs.max, pys.max)
+        }
+      }
+      .toDF("tile_x", "tile_y", "region", "n_pixels", "density",
+        "px_min", "py_min", "px_max", "py_max")
+    withMercatorEnvelope(labeled, z, res)
+  }
+
+  /** EPSG:3857 envelope of a pixel bbox — affine in the global pixel index,
+    * with the arithmetic ordered EXACTLY as the DuckDB oracle writes it so
+    * the doubles are bit-identical. */
+  private def withMercatorEnvelope(df: DataFrame, z: Int, res: Int): DataFrame = {
+    val nD = gridSize(z, res).toDouble
+    val world = 2.0 * math.Pi * 6378137.0
+    val psz = world / nD
+    val gxMin = col("tile_x") * res + col("px_min")
+    val gxMax = col("tile_x") * res + col("px_max")
+    val gyMin = col("tile_y") * res + col("py_min")
+    val gyMax = col("tile_y") * res + col("py_max")
+    df.withColumn("env_min_x", gxMin * psz - world / 2.0)
+      .withColumn("env_max_x", (gxMax + 1) * psz - world / 2.0)
+      .withColumn("env_max_y", lit(world / 2.0) - gyMin * psz)
+      .withColumn("env_min_y", lit(world / 2.0) - (gyMax + 1) * psz)
+  }
+}

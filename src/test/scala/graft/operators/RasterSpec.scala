@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SparkTestBase
+
+/** Raster<->vector density grid (north-star "rasterization of deviation
+  * density onto z14 tiles"): pixel assignment vs the reference slippy-map
+  * math, weighted density, tile-local 4-connected polygonization with
+  * deterministic min-linear-index labels, and the 3857 envelope affine. */
+class RasterSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Z = 14
+  private val Res = 16
+  private val N = (1L << Z) * Res // global pixels per axis
+
+  /** reference pixel math, independently written (plain scala doubles) */
+  private def pixelOf(lon: Double, lat: Double): (Long, Long) = {
+    val gx = math.floor((lon + 180.0) / 360.0 * N).toLong
+    val latR = math.toRadians(lat)
+    val gy = math.floor((1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * N).toLong
+    (gx, gy)
+  }
+
+  test("rasterize: counts per pixel match an independent per-point computation") {
+    val pts = (1 to 500).map { i =>
+      (11.0 + (i % 7) * 0.001, 57.0 + (i % 11) * 0.001)
+    }
+    val df = pts.toDF("lon", "lat")
+    val out = Raster.rasterize(df, col("lon"), col("lat"), Z, Res)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)), r.getLong(4)))
+      .toMap
+    val expected = pts
+      .map { case (lon, lat) => pixelOf(lon, lat) }
+      .groupBy(identity).map { case ((gx, gy), v) =>
+        ((gx / Res, gy / Res, (gx % Res).toInt, (gy % Res).toInt), v.size.toLong)
+      }
+    assert(out === expected)
+    assert(out.values.sum === 500L)
+  }
+
+  test("rasterize: weighted density sums the weight column") {
+    val df = Seq((11.0, 57.0, 2L), (11.0, 57.0, 5L), (12.0, 58.0, 1L))
+      .toDF("lon", "lat", "w")
+    val out = Raster.rasterize(df, col("lon"), col("lat"), Z, Res, Some(col("w")))
+      .collect().map(_.getLong(4)).sorted
+    assert(out.toSeq === Seq(1L, 7L))
+  }
+
+  /** hand-built raster rows: (tile_x, tile_y, px, py, density) */
+  private def raster(rows: (Long, Long, Int, Int, Long)*) =
+    rows.toDF("tile_x", "tile_y", "px", "py", "density")
+
+  test("regions: L-shaped component + isolated pixel, deterministic labels") {
+    // L-shape: (1,1),(1,2),(2,2) + isolated (5,5); below-threshold (8,8)
+    val r = raster(
+      (10L, 20L, 1, 1, 3L), (10L, 20L, 1, 2, 4L), (10L, 20L, 2, 2, 2L),
+      (10L, 20L, 5, 5, 9L), (10L, 20L, 8, 8, 1L))
+    val out = Raster.regions(r, minDensity = 2L, Z, Res)
+      .select("region", "n_pixels", "density", "px_min", "py_min", "px_max", "py_max")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).sortBy(_._1)
+    // labels: L-shape min linear idx = 1*16+1 = 17; isolated = 5*16+5 = 85
+    assert(out.toSeq === Seq(
+      (17L, 3L, 9L, 1, 1, 2, 2),
+      (85L, 1L, 9L, 5, 5, 5, 5)))
+  }
+
+  test("regions: diagonal pixels do NOT merge (4-connectivity, not 8)") {
+    val r = raster((0L, 0L, 3, 3, 5L), (0L, 0L, 4, 4, 5L))
+    val out = Raster.regions(r, 2L, Z, Res).collect()
+    assert(out.length === 2)
+  }
+
+  test("regions: adjacency across a tile boundary does NOT merge (tile-local by contract)") {
+    // px=15 of tile 10 and px=0 of tile 11 are physically adjacent pixels
+    val r = raster((10L, 20L, 15, 7, 5L), (11L, 20L, 0, 7, 5L))
+    val out = Raster.regions(r, 2L, Z, Res).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("tile_x")).sorted.toSeq === Seq(10L, 11L))
+  }
+
+  test("regions: partition property — every above-threshold pixel in exactly one region") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { _ =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(3).toLong,
+        rnd.nextInt(Res), rnd.nextInt(Res), (1 + rnd.nextInt(4)).toLong)
+    }.distinct
+    // collapse duplicate pixels (synthesis may repeat a pixel)
+    val r = raster(rows: _*).groupBy("tile_x", "tile_y", "px", "py")
+      .agg(sum("density").as("density"))
+    val thresholded = r.filter(col("density") >= 3).count()
+    val regs = Raster.regions(r, 3L, Z, Res)
+    assert(regs.agg(sum("n_pixels")).head.getLong(0) === thresholded)
+    // density conservation
+    val totalDensity = r.filter(col("density") >= 3)
+      .agg(sum("density")).head.getLong(0)
+    assert(regs.agg(sum("density")).head.getLong(0) === totalDensity)
+  }
+
+  test("regions: 3857 envelope is the pixel-edge affine of the bbox") {
+    val r = raster((100L, 200L, 2, 3, 5L), (100L, 200L, 3, 3, 5L))
+    val row = Raster.regions(r, 2L, Z, Res)
+      .select("env_min_x", "env_max_x", "env_min_y", "env_max_y").head()
+    val world = 2.0 * math.Pi * 6378137.0
+    val psz = world / N
+    assert(row.getDouble(0) === (100L * Res + 2) * psz - world / 2.0)
+    assert(row.getDouble(1) === (100L * Res + 3 + 1) * psz - world / 2.0)
+    assert(row.getDouble(3) === world / 2.0 - (200L * Res + 3) * psz)
+    assert(row.getDouble(2) === world / 2.0 - (200L * Res + 3 + 1) * psz)
+    // envelope width = 2 pixels, height = 1 pixel
+    assert(math.abs((row.getDouble(1) - row.getDouble(0)) - 2 * psz) < 1e-9)
+    assert(math.abs((row.getDouble(2) - row.getDouble(3)) + psz) < 1e-9 ||
+      math.abs((row.getDouble(2) - row.getDouble(3)) - psz) < 1e-9)
+  }
+
+  test("rasterizeSweref: round-trips the engine's native plane") {
+    // a SWEREF-ish point cloud; every point must land in exactly one pixel
+    val pts = (1 to 100).map(i => (500000.0 + i * 10, 6500000.0 + i * 10))
+    val df = pts.toDF("x", "y")
+    val out = Raster.rasterizeSweref(df, col("x"), col("y"), Z, Res)
+    assert(out.agg(sum("density")).head.getLong(0) === 100L)
+  }
+}
