@@ -94,6 +94,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesSpatial.queries ++
       QueriesText.queries ++ QueriesDatasetOracle.queries ++
+      QueriesSchoolsOracle.queries ++
       QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
     * operators -> driver records a rows-only check. */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle ++
-      QueriesDatasetOracle.oracle ++ QueriesRaster.oracle
+      QueriesDatasetOracle.oracle ++ QueriesSchoolsOracle.oracle ++
+      QueriesRaster.oracle
 }
