@@ -94,7 +94,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesSpatial.queries ++
       QueriesText.queries ++ QueriesDatasetOracle.queries ++
-      QueriesSchoolsOracle.queries ++
+      QueriesSchoolsOracle.queries ++ QueriesAtervinningOracle.queries ++
       QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +103,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle ++
       QueriesDatasetOracle.oracle ++ QueriesSchoolsOracle.oracle ++
-      QueriesRaster.oracle
+      QueriesAtervinningOracle.oracle ++ QueriesRaster.oracle
 }

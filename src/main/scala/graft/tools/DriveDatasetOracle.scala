@@ -16,7 +16,8 @@ object DriveDatasetOracle {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (graft.QueriesDatasetOracle.queries ++ graft.QueriesSchoolsOracle.queries)
+    (graft.QueriesDatasetOracle.queries ++ graft.QueriesSchoolsOracle.queries ++
+      graft.QueriesAtervinningOracle.queries)
       .foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/ds_oracle_out/$name")
