@@ -82,6 +82,12 @@ object QueriesText {
         "vec_id", "embedding", k = 5, nBits = 8, probeRadius = 1)
     }),
 
+    "q_emb_ivf" -> ((s, dir) => { // rows-only (iterative float means)
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(pmod(col("vec_id"), lit(50L)) === 0),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
+
     "q_mm_meta" -> ((s, dir) =>
       Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))),

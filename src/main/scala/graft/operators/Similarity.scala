@@ -124,4 +124,107 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos"))
   }
+
+  // ---- IVF (inverted-file) ANN — the second scale path ---------------------
+
+  /**
+   * Deterministic IVF coarse quantizer: initial centroids are the vectors of
+   * the `nlist` smallest ids, refined by `iters` Lloyd rounds (assign =
+   * broadcast argmax-cosine, update = one groupBy mean per round — the
+   * classic distributed k-means loop; only nlist × dims doubles ever reach
+   * the driver). Empty cells keep their previous centroid. Train on a
+   * deterministic hash-sample (`trainMod` > 1 keeps every id with
+   * xxhash64(id)%trainMod == 0) — at 10^12 rows k-means must not scan the
+   * full corpus per round.
+   */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                        nlist: Int, iters: Int = 2,
+                        trainMod: Long = 1L): Array[Array[Double]] = {
+    val train0 = if (trainMod <= 1L) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    val train = withNorm(train0, embCol)
+      .select(col(idCol).as("id"), col("vd"), col("vnorm"))
+      .filter(col("vnorm") > 0)
+    var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
+      .select("vd").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val cellCol = nearestCellUdf(centroids)(col("vd"), col("vnorm"))
+      val means = train.withColumn("cell", cellCol)
+        .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"), count(lit(1)).as("n"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        val byPos = r.getMap[Int, Double](1)
+        next(cell) = Array.tabulate(centroids(cell).length)(i => byPos(i))
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** nearest centroid by cosine (centroid norms precomputed per executor) */
+  private def nearestCellUdf(centroids: Array[Array[Double]]) = {
+    val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    udf((v: Seq[Double], vn: Double) => {
+      var best = 0; var bestCos = Double.MinValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0; var i = 0
+        while (i < ctr.length && i < v.length) { d += ctr(i) * v(i); i += 1 }
+        val cos = if (norms(c) == 0 || vn == 0) -2.0 else d / (norms(c) * vn)
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    })
+  }
+
+  /** top-`nprobe` cells for a query, by centroid cosine (probe order) */
+  private def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) = {
+    val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    udf((v: Seq[Double], vn: Double) => {
+      centroids.indices
+        .map { c =>
+          val ctr = centroids(c)
+          var d = 0.0; var i = 0
+          while (i < ctr.length && i < v.length) { d += ctr(i) * v(i); i += 1 }
+          (if (norms(c) == 0 || vn == 0) -2.0 else d / (norms(c) * vn), c)
+        }
+        .sortBy { case (cos, c) => (-cos, c) }
+        .take(nprobe).map(_._2)
+    })
+  }
+
+  /**
+   * IVF approximate top-k: corpus rows live in exactly ONE cell (their
+   * nearest centroid), queries probe their `nprobe` nearest cells, scoring
+   * only those inverted lists — per query ~ corpus × nprobe / nlist rows
+   * instead of the full corpus. The 10^12 operating point is nlist ≈ √N
+   * (10^6 cells of ~10^6 rows, probe 8-32); the cell equi-join shuffles by
+   * cell id, so no broadcast of the corpus and no all-pairs anywhere. A
+   * (cell, salt) secondary key is unnecessary: cells are capacity-bounded by
+   * the quantizer (hot cells shrink as nlist grows), unlike text-shingle
+   * blocking.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int, nlist: Int,
+              nprobe: Int = 4, iters: Int = 2, trainMod: Long = 1L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, idCol, embCol, nlist, iters, trainMod)
+    val c = withNorm(corpus, embCol)
+      .select(col(idCol).as("nid"), col("vd").as("cvd"), col("vnorm").as("cn"))
+      .withColumn("cell", nearestCellUdf(centroids)(col("cvd"), col("cn")))
+    val q = withNorm(queries, embCol)
+      .select(col(idCol).as("qid"), col("vd").as("qvd"), col("vnorm").as("qn"))
+      .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qvd"), col("qn"))))
+    val scored = c.join(q, Seq("cell")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qvd"), col("cvd")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
 }

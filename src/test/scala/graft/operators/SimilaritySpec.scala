@@ -68,4 +68,54 @@ class SimilaritySpec extends AnyFunSuite {
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ann.length == ann.toSet.size)
   }
+
+  // ---- IVF (the second ANN scale path) ------------------------------------
+
+  test("IVF near-dup recall@5 clears 0.7 and more probes never lose recall") {
+    val nQueries = perturbed.count().toDouble
+    def recall(nprobe: Int): Double = {
+      val hits = Similarity.ivfTopK(corpusPlus, perturbed, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = nprobe)
+        .filter(col("nid") === col("qid") - 1000000L).count()
+      hits / nQueries
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"more probes must not lose recall: $r1 -> $r4")
+    assert(r4 >= 0.7, s"IVF recall@5 with nlist=16, nprobe=4 too low: $r4 (nprobe=1: $r1)")
+  }
+
+  test("IVF is deterministic (seedless Lloyd from smallest-id init)") {
+    def run() = Similarity.ivfTopK(corpusPlus, perturbed, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(run() === run())
+  }
+
+  test("IVF emits no duplicate (query, neighbor) pairs — one cell per corpus row") {
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8) // probe EVERY cell: still no dup pairs
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.length == ivf.toSet.size)
+  }
+
+  test("IVF probing all cells reproduces the exact brute-force top-k") {
+    val exact = Similarity.topK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === exact)
+  }
+
+  test("IVF survives a hash-sampled training set (trainMod > 1)") {
+    val nQueries = perturbed.count().toDouble
+    val hits = Similarity.ivfTopK(corpusPlus, perturbed, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4, trainMod = 3L)
+      .filter(col("nid") === col("qid") - 1000000L).count()
+    assert(hits / nQueries >= 0.7, s"sampled-training recall too low: ${hits / nQueries}")
+  }
 }
