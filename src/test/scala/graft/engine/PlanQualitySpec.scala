@@ -112,4 +112,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val p2 = finalPlan(ReadApi.municipalityLayer(ml, layers))
     assert(p2.contains("BroadcastHashJoin") && !p2.contains("SortMergeJoin"))
   }
+
+  test("rasterize is one codegen'd hash aggregation over a pruned scan") {
+    val p = plan("q_raster_density")
+    // map-side partial + final HashAggregate, all pixel math in codegen
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("codegen id"), p.take(1500))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("SortAggregate"))
+    // projection pruning: the scan must read ONLY the key column
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rs.exists(s => s.contains("c_custkey") && !s.contains("c_name")),
+      s"scan should read only c_custkey, got $rs")
+  }
+
+  test("IVF top-k joins inverted lists on the cell key, never nested-loop") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = finalPlan(graft.operators.Similarity.ivfTopK(
+      e, e.filter(pmod(col("vec_id"), lit(100L)) === 0),
+      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IVF must equi-join on the cell id")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
+  }
 }
