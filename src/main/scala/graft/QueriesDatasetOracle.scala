@@ -118,7 +118,7 @@ object QueriesDatasetOracle {
     * integral coordinates are never on a boundary. Points past 1000000 (an
     * offset OSM node on the far edge) fall outside every polygon -> NULL code
     * -> guard-filtered, mirrored in the oracle's CASE returning NULL. */
-  private def quadMunis(s: SparkSession): DataFrame = {
+  private[graft] def quadMunis(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(("0180", -0.5, -0.5), ("1480", 500000.5, -0.5),
         ("2180", -0.5, 500000.5), ("2580", 500000.5, 500000.5))

@@ -168,15 +168,8 @@ object QueriesSchoolsOracle {
         concat(lit(key + "="), coalesce(m(key), lit("__remove__"))))): _*)
 
   // quadrant municipalities shared with the other dataset oracles
-  private def quadMunis(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq(("0180", -0.5, -0.5), ("1480", 500000.5, -0.5),
-        ("2180", -0.5, 500000.5), ("2580", 500000.5, 500000.5))
-      .toDF("code", "x0", "y0")
-      .withColumn("geom", stEnvelopeWkb(col("x0"), col("y0"),
-        col("x0") + 500000.0, col("y0") + 500000.0))
-      .select("code", "geom")
-  }
+  private def quadMunis(s: SparkSession): DataFrame =
+    QueriesDatasetOracle.quadMunis(s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_schools_oracle" -> ((s, dir) => {

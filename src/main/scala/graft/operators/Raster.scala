@@ -84,6 +84,12 @@ object Raster {
     import spark.implicits._
     val resL = res
     val labeled = raster
+      // collapse duplicate pixel rows first — union-find indexes pixels by
+      // linear position, so duplicates would silently split components. When
+      // the input comes straight from rasterize the keys are already unique
+      // and Catalyst reuses its hash partitioning (no extra shuffle).
+      .groupBy("tile_x", "tile_y", "px", "py")
+      .agg(sum("density").as("density"))
       .filter(col("density") >= minDensity)
       .select(col("tile_x").cast("long"), col("tile_y").cast("long"),
         col("px").cast("int"), col("py").cast("int"), col("density").cast("long"))

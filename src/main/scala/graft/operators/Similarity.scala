@@ -26,10 +26,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** add `vnorm` + `vd` (double vector) columns */
+  /** add `vnorm` + `vd` (double vector) columns, dropping zero-norm rows —
+    * cosine against a zero vector is 0/0 = NaN, and Spark sorts NaN as the
+    * LARGEST double, so one all-zero embedding would otherwise rank as the
+    * #1 neighbor of every query sharing its bucket/cell. */
   def withNorm(df: DataFrame, embCol: String): DataFrame =
     df.withColumn("vd", toDouble(col(embCol)))
       .withColumn("vnorm", norm(col("vd")))
+      .filter(col("vnorm") > 0)
 
   /** all (query, candidate) pairs with cosine >= threshold, qid != nid. */
   def cosinePairs(corpus: DataFrame, queries: DataFrame,
@@ -132,10 +136,11 @@ object Similarity {
    * the `nlist` smallest ids, refined by `iters` Lloyd rounds (assign =
    * broadcast argmax-cosine, update = one groupBy mean per round — the
    * classic distributed k-means loop; only nlist × dims doubles ever reach
-   * the driver). Empty cells keep their previous centroid. Train on a
-   * deterministic hash-sample (`trainMod` > 1 keeps every id with
-   * xxhash64(id)%trainMod == 0) — at 10^12 rows k-means must not scan the
-   * full corpus per round.
+   * the driver; means are rounded to 1e-9 so the shuffle-merge order of the
+   * partial sums cannot leak ULP noise into the centroids between runs).
+   * Empty cells keep their previous centroid. Train on a deterministic
+   * hash-sample (`trainMod` > 1 keeps every id with xxhash64(id)%trainMod
+   * == 0) — at 10^12 rows k-means must not scan the full corpus per round.
    */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
                         nlist: Int, iters: Int = 2,
@@ -144,14 +149,17 @@ object Similarity {
       else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
     val train = withNorm(train0, embCol)
       .select(col(idCol).as("id"), col("vd"), col("vnorm"))
-      .filter(col("vnorm") > 0)
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select("vd").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
       val cellCol = nearestCellUdf(centroids)(col("vd"), col("vnorm"))
+      // round the means to 1e-9: double summation is non-associative and a
+      // cluster's shuffle-merge order is nondeterministic, so raw avg() would
+      // differ at ULP level between runs and flip near-tie cell assignments —
+      // rounding absorbs the ULP noise and keeps training run-stable
       val means = train.withColumn("cell", cellCol)
         .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"), count(lit(1)).as("n"))
+        .groupBy("cell", "pos").agg(round(avg("x"), 9).as("m"))
         .groupBy("cell").agg(map_from_arrays(
           collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
         .collect()

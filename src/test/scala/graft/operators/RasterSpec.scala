@@ -83,13 +83,24 @@ class RasterSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("tile_x")).sorted.toSeq === Seq(10L, 11L))
   }
 
+  test("regions: duplicate pixel rows are aggregated, not silently dropped") {
+    // the same pixel twice at density 2+2: threshold 3 must see density 4,
+    // and the adjacent pixel must land in the SAME component
+    val r = raster((0L, 0L, 4, 4, 2L), (0L, 0L, 4, 4, 2L), (0L, 0L, 5, 4, 3L))
+    val out = Raster.regions(r, 3L, Z, Res).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_pixels") === 2L)
+    assert(out.head.getAs[Long]("density") === 7L)
+  }
+
   test("regions: partition property — every above-threshold pixel in exactly one region") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 400).map { _ =>
       (rnd.nextInt(3).toLong, rnd.nextInt(3).toLong,
         rnd.nextInt(Res), rnd.nextInt(Res), (1 + rnd.nextInt(4)).toLong)
     }.distinct
-    // collapse duplicate pixels (synthesis may repeat a pixel)
+    // duplicate pixels collapse inside the operator now; pre-aggregate here
+    // only to compute the expected totals
     val r = raster(rows: _*).groupBy("tile_x", "tile_y", "px", "py")
       .agg(sum("density").as("density"))
     val thresholded = r.filter(col("density") >= 3).count()

@@ -111,6 +111,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full === exact)
   }
 
+  test("zero-norm embeddings never rank as neighbors (NaN cosine guard)") {
+    import spark.implicits._
+    val zero = Seq((999999L, Array.fill(64)(0.0f).toSeq)).toDF("vec_id", "embedding")
+    val poisoned = embs.unionByName(zero)
+    // brute force, LSH and IVF must all drop the zero vector (0/0 = NaN
+    // sorts as the LARGEST double — it would be rank 1 everywhere)
+    val exact = Similarity.topK(poisoned, queries, "vec_id", "embedding", k = 5)
+    assert(exact.filter(col("nid") === 999999L).count() === 0)
+    val ivf = Similarity.ivfTopK(poisoned, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8)
+    assert(ivf.filter(col("nid") === 999999L).count() === 0)
+  }
+
   test("IVF survives a hash-sampled training set (trainMod > 1)") {
     val nQueries = perturbed.count().toDouble
     val hits = Similarity.ivfTopK(corpusPlus, perturbed, "vec_id", "embedding",
