@@ -41,6 +41,22 @@ object QueriesRaster {
         Raster.rasterize(pts(s, dir), col("lon"), col("lat"), Z, Res),
         MinDensity, Z, Res)),
 
+    // batch form of streaming.StreamingIngest.streamingDensity (the
+    // watermarked per-window pixel density; StreamingSpec asserts the
+    // stream == this batch plan): hourly windows x z14 pixels, oracled
+    "q_stream_density" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("ts"),
+        (lit(11.0) + pmod(col("event_id"), lit(50L)) * 0.1
+          + pmod(col("event_id") * 7919L, lit(8L)) * 0.0005).as("lon"),
+        (lit(55.0) + pmod(col("event_id"), lit(50L)) * 0.2
+          + pmod(col("event_id") * 104729L, lit(8L)) * 0.0005).as("lat"))
+      Raster.withPixel(ev, col("lon"), col("lat"), Z, Res)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("tile_x"), col("tile_y"), col("px"), col("py"))
+        .agg(count(lit(1)).as("density"))
+    }),
+
     // the north-star integration: deviation density of the REAL pipeline's
     // match rows rasterized onto z14 tiles (sweref -> lon/lat projection is
     // the engine's own series expansion -> rows-only check)
@@ -70,6 +86,21 @@ object QueriesRaster {
       |  FROM g GROUP BY 1,2,3,4)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stream_density" ->
+      """WITH pts AS (SELECT ts,
+        |  11.0 + (event_id%50)*0.1 + ((event_id*7919)%8)*0.0005 AS lon,
+        |  55.0 + (event_id%50)*0.2 + ((event_id*104729)%8)*0.0005 AS lat
+        |  FROM events),
+        |g AS (SELECT ts,
+        |  CAST(FLOOR((lon+180.0)/360.0*262144.0) AS BIGINT) AS gx,
+        |  CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))/PI())/2.0*262144.0) AS BIGINT) AS gy
+        |  FROM pts)
+        |SELECT DATE_TRUNC('hour', ts) AS hour,
+        |  CAST((gx - gx%16)/16 AS BIGINT) AS tile_x,
+        |  CAST((gy - gy%16)/16 AS BIGINT) AS tile_y,
+        |  CAST(gx%16 AS INTEGER) AS px, CAST(gy%16 AS INTEGER) AS py,
+        |  COUNT(*) AS density
+        |FROM g GROUP BY 1,2,3,4,5""".stripMargin,
     "q_raster_density" ->
       s"""WITH $sqlGrid
          |SELECT tile_x, tile_y, px, py, density FROM rast""".stripMargin,

@@ -41,20 +41,27 @@ object Raster {
    * Output: tile_x, tile_y (slippy tile), px, py (0..res-1 within tile),
    * density (count, or sum(weight) when given).
    */
-  def rasterize(df: DataFrame, lonCol: Column, latCol: Column,
-                z: Int = 14, res: Int = 256,
-                weight: Option[Column] = None): DataFrame = {
+  /** Add tile_x/tile_y/px/py pixel-assignment columns — pure column
+    * arithmetic, so it also runs inside a STREAMING aggregation's codegen
+    * (see streaming.StreamingIngest.streamingDensity). */
+  def withPixel(df: DataFrame, lonCol: Column, latCol: Column,
+                z: Int, res: Int): DataFrame = {
     val n = lit(gridSize(z, res).toDouble)
     val latR = radians(latCol)
     val gx = floor((lonCol + 180.0) / 360.0 * n).cast("long")
     val gy = floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / 2.0 * n)
       .cast("long")
-    val withPix = df
-      .withColumn("gx", gx).withColumn("gy", gy)
+    df.withColumn("gx", gx).withColumn("gy", gy)
       .withColumn("px", pmod(col("gx"), lit(res.toLong)).cast("int"))
       .withColumn("py", pmod(col("gy"), lit(res.toLong)).cast("int"))
       .withColumn("tile_x", ((col("gx") - col("px")) / res).cast("long"))
       .withColumn("tile_y", ((col("gy") - col("py")) / res).cast("long"))
+  }
+
+  def rasterize(df: DataFrame, lonCol: Column, latCol: Column,
+                z: Int = 14, res: Int = 256,
+                weight: Option[Column] = None): DataFrame = {
+    val withPix = withPixel(df, lonCol, latCol, z, res)
     weight match {
       case Some(w) => withPix.groupBy("tile_x", "tile_y", "px", "py")
         .agg(sum(w).as("density"))

@@ -43,6 +43,45 @@ object StreamingIngest {
       .start()
 
   /**
+   * Watermarked streaming rasterization — the streaming form of
+   * `operators.Raster.rasterize`: per (event-time window, z-tile pixel)
+   * density over a geocoded point stream. The pixel assignment is pure
+   * column arithmetic (Raster.withPixel), so it runs inside the streaming
+   * aggregation's codegen; state is bounded by open-windows × occupied
+   * pixels and the watermark evicts closed windows — at the 10^12-row
+   * design point the state store never holds more than one watermark-delay's
+   * worth of pixel rows per window.
+   */
+  def streamingDensity(pts: DataFrame, tsCol: String,
+                       lonCol: org.apache.spark.sql.Column,
+                       latCol: org.apache.spark.sql.Column,
+                       z: Int = 14, res: Int = 256,
+                       windowDur: String = "1 hour",
+                       watermarkDelay: String = "1 hour"): DataFrame =
+    graft.operators.Raster.withPixel(
+        pts.withColumn("__ts", col(tsCol).cast("timestamp"))
+          .withWatermark("__ts", watermarkDelay),
+        lonCol, latCol, z, res)
+      .groupBy(window(col("__ts"), windowDur).as("w"),
+        col("tile_x"), col("tile_y"), col("px"), col("py"))
+      .agg(count(lit(1)).as("density"))
+      .select(col("w.start").as("hour"), col("tile_x"), col("tile_y"),
+        col("px"), col("py"), col("density"))
+
+  def startStreamingDensity(spark: SparkSession, eventsDir: String, queryName: String,
+                            lonCol: org.apache.spark.sql.Column,
+                            latCol: org.apache.spark.sql.Column,
+                            z: Int = 14, res: Int = 256): StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    streamingDensity(stream, "ts", lonCol, latCol, z, res).writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /**
    * Incremental deviation maintenance as a pages stream. Every micro-batch:
    *
    *  1. extracts features from the BATCH only and MERGEs them into an

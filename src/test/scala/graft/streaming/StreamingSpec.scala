@@ -27,6 +27,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("streaming density raster matches the batch rasterization per (window, pixel)") {
+    val evDir = java.nio.file.Files.createTempDirectory("events_d").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(evDir, "events.parquet"))
+    def lon = lit(11.0) + pmod(col("event_id"), lit(50L)) * 0.1 +
+      pmod(col("event_id") * 7919L, lit(8L)) * 0.0005
+    def lat = lit(55.0) + pmod(col("event_id"), lit(50L)) * 0.2 +
+      pmod(col("event_id") * 104729L, lit(8L)) * 0.0005
+    val q = StreamingIngest.startStreamingDensity(spark, evDir, "dens_stream",
+      lon, lat, z = 14, res = 16)
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT * FROM dens_stream")
+    val batch = graft.SparkEntry.queries("q_stream_density")(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("hour", "tile_x", "tile_y", "px", "py"), "full_outer")
+    assert(joined.filter(col("s.density") =!= col("b.density") ||
+      col("s.density").isNull || col("b.density").isNull).count() == 0,
+      "every (window, pixel) cell must agree between stream and batch")
+  }
+
   test("foreachBatch deviation sync is incremental (frontier-scoped) and replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("stream_pages").toString
     val storeDir = java.nio.file.Files.createTempDirectory("stream_store").toString
