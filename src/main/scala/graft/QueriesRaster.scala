@@ -41,6 +41,14 @@ object QueriesRaster {
         Raster.rasterize(pts(s, dir), col("lon"), col("lat"), Z, Res),
         MinDensity, Z, Res)),
 
+    // cross-tile merge: regions spanning tile boundaries unify via the
+    // region-adjacency graph + min-label propagation; the oracle recomputes
+    // GLOBAL components with an unrestricted recursive reachability CTE
+    "q_raster_regions_global" -> ((s, dir) =>
+      Raster.regionsGlobal(
+        Raster.rasterize(pts(s, dir), col("lon"), col("lat"), Z, Res),
+        MinDensity, Z, Res)),
+
     // batch form of streaming.StreamingIngest.streamingDensity (the
     // watermarked per-window pixel density; StreamingSpec asserts the
     // stream == this batch plan): hourly windows x z14 pixels, oracled
@@ -104,6 +112,25 @@ object QueriesRaster {
     "q_raster_density" ->
       s"""WITH $sqlGrid
          |SELECT tile_x, tile_y, px, py, density FROM rast""".stripMargin,
+    "q_raster_regions_global" ->
+      s"""WITH RECURSIVE $sqlGrid,
+         |r AS (SELECT tile_x*16+px AS gx, tile_y*16+py AS gy, tile_x, tile_y, density
+         |  FROM rast WHERE density >= $MinDensity),
+         |e AS (SELECT a.gy*262144+a.gx AS p, b.gy*262144+b.gx AS q
+         |  FROM r a JOIN r b
+         |  ON (ABS(a.gx-b.gx)=1 AND a.gy=b.gy) OR (a.gx=b.gx AND ABS(a.gy-b.gy)=1)),
+         |reach(p, q) AS (
+         |  SELECT gy*262144+gx, gy*262144+gx FROM r
+         |  UNION
+         |  SELECT reach.p, e.q FROM reach JOIN e ON reach.q=e.p),
+         |lab AS (SELECT p, CAST(MIN(q) AS BIGINT) AS region FROM reach GROUP BY p),
+         |px2 AS (SELECT r.*, lab.region FROM r JOIN lab ON r.gy*262144+r.gx=lab.p)
+         |SELECT region AS global_region,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |  CAST(SUM(density) AS BIGINT) AS density,
+         |  CAST(COUNT(DISTINCT tile_x*262144+tile_y) AS BIGINT) AS n_tiles,
+         |  MIN(gx) AS gx_min, MIN(gy) AS gy_min, MAX(gx) AS gx_max, MAX(gy) AS gy_max
+         |FROM px2 GROUP BY 1""".stripMargin,
     "q_raster_regions" ->
       s"""WITH RECURSIVE $sqlGrid,
          |r AS (SELECT * FROM rast WHERE density >= $MinDensity),

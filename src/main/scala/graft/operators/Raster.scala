@@ -86,11 +86,16 @@ object Raster {
    * index (py*res+px) in the component. Emits pixel bbox and its EPSG:3857
    * envelope (pixel edges, so adjacent regions share edges exactly).
    */
-  def regions(raster: DataFrame, minDensity: Long, z: Int = 14, res: Int = 256): DataFrame = {
+  /** Per-pixel tile-local labeling: union-find within each tile, label =
+    * min linear pixel index (py*res+px) of the component. Internal building
+    * block for both `regions` (per-tile aggregates) and `regionsGlobal`
+    * (cross-tile merge). Bounded by res^2 pixels per group. */
+  private[operators] def labeledPixels(raster: DataFrame, minDensity: Long,
+                                       res: Int): DataFrame = {
     val spark = raster.sparkSession
     import spark.implicits._
     val resL = res
-    val labeled = raster
+    raster
       // collapse duplicate pixel rows first — union-find indexes pixels by
       // linear position, so duplicates would silently split components. When
       // the input comes straight from rasterize the keys are already unique
@@ -127,18 +132,73 @@ object Raster {
           val cur = label.getOrDefault(r, Int.MaxValue)
           if (lin < cur) label.put(r, lin)
         }
-        val byRegion = pix.zipWithIndex.groupBy { case (_, i) => find(i) }
-        byRegion.iterator.map { case (r, members) =>
-          val lab = label.get(r).toLong
-          val ds = members.map(_._1._5).sum
-          val pxs = members.map(_._1._3); val pys = members.map(_._1._4)
-          (tx, ty, lab, members.length.toLong, ds,
-            pxs.min, pys.min, pxs.max, pys.max)
+        pix.zipWithIndex.iterator.map { case ((_, _, px, py, d), i) =>
+          (tx, ty, px, py, d, label.get(find(i)).toLong)
         }
       }
-      .toDF("tile_x", "tile_y", "region", "n_pixels", "density",
-        "px_min", "py_min", "px_max", "py_max")
+      .toDF("tile_x", "tile_y", "px", "py", "density", "region")
+  }
+
+  def regions(raster: DataFrame, minDensity: Long, z: Int = 14, res: Int = 256): DataFrame = {
+    val labeled = labeledPixels(raster, minDensity, res)
+      .groupBy("tile_x", "tile_y", "region")
+      .agg(count(lit(1)).as("n_pixels"), sum("density").as("density"),
+        min("px").as("px_min"), min("py").as("py_min"),
+        max("px").as("px_max"), max("py").as("py_max"))
     withMercatorEnvelope(labeled, z, res)
+  }
+
+  /**
+   * Cross-tile polygonization — the full raster->vector scale path. Tile-
+   * local regions become NODES of a region-adjacency graph (node id = the
+   * GLOBAL linear index gy*N+gx of the region's label pixel — within one
+   * tile the local (py,px) order equals the global (gy,gx) order, so the
+   * label pixel is also the region's global minimum); regions owning
+   * physically adjacent pixels across a tile edge get an EDGE; min-label
+   * propagation (Dedup.connectedComponents — O(diameter) rounds over the
+   * region graph, which holds regions, not pixels) merges the components.
+   * `global_region` therefore equals the component's minimum global pixel
+   * index, exactly what a single worldwide union-find would produce for
+   * 4-connectivity. Per-round work is bounded by boundary-pixel counts
+   * (≤ 4·res per tile), so the merge scales with occupied-tile count.
+   */
+  def regionsGlobal(raster: DataFrame, minDensity: Long,
+                    z: Int = 14, res: Int = 256): DataFrame = {
+    val n = gridSize(z, res)
+    val pix = labeledPixels(raster, minDensity, res)
+      .withColumn("gx", col("tile_x") * res + col("px"))
+      .withColumn("gy", col("tile_y") * res + col("py"))
+      // global node id of this pixel's region: label -> (gy, gx) of the
+      // label pixel inside this tile
+      .withColumn("glab",
+        (col("tile_y") * res + (col("region") / res).cast("long")) * n
+          + col("tile_x") * res + pmod(col("region"), lit(res.toLong)))
+      .cache()
+    val boundary = pix.filter(col("px") === 0 || col("px") === res - 1 ||
+      col("py") === 0 || col("py") === res - 1)
+    // horizontal: my east edge vs the next tile's west edge; vertical: south
+    // vs north. One direction each — connectedComponents symmetrizes.
+    val east = boundary.filter(col("px") === res - 1)
+      .select((col("gx") + 1).as("gx"), col("gy"), col("glab").as("a_id"))
+      .join(boundary.filter(col("px") === 0)
+        .select(col("gx"), col("gy"), col("glab").as("b_id")), Seq("gx", "gy"))
+      .select("a_id", "b_id")
+    val south = boundary.filter(col("py") === res - 1)
+      .select(col("gx"), (col("gy") + 1).as("gy"), col("glab").as("a_id"))
+      .join(boundary.filter(col("py") === 0)
+        .select(col("gx"), col("gy"), col("glab").as("b_id")), Seq("gx", "gy"))
+      .select("a_id", "b_id")
+    val edges = east.unionByName(south).filter(col("a_id") =!= col("b_id"))
+    val comps = graft.operators.Dedup.connectedComponents(edges)
+      .select(col("id").as("glab"), col("comp"))
+    val out = pix.join(comps, Seq("glab"), "left")
+      .withColumn("global_region", coalesce(col("comp"), col("glab")))
+      .groupBy("global_region")
+      .agg(count(lit(1)).as("n_pixels"), sum("density").as("density"),
+        countDistinct(col("tile_x"), col("tile_y")).as("n_tiles"),
+        min("gx").as("gx_min"), min("gy").as("gy_min"),
+        max("gx").as("gx_max"), max("gy").as("gy_max"))
+    out
   }
 
   /** EPSG:3857 envelope of a pixel bbox — affine in the global pixel index,

@@ -12,7 +12,7 @@ object DriveRaster {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    for (name <- Seq("q_raster_density", "q_raster_regions", "q_pipe_raster", "q_stream_density")) {
+    for (name <- Seq("q_raster_density", "q_raster_regions", "q_pipe_raster", "q_stream_density", "q_raster_regions_global")) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.write.mode("overwrite").parquet(s"/tmp/raster_out/$name")
       println(s"WROTE $name rows=" + spark.read.parquet(s"/tmp/raster_out/$name").count())

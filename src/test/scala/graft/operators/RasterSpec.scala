@@ -83,6 +83,58 @@ class RasterSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("tile_x")).sorted.toSeq === Seq(10L, 11L))
   }
 
+  test("regionsGlobal: adjacency across a tile boundary DOES merge") {
+    // the same fixture regions() must keep separate (tile-local contract):
+    // px=15 of tile 10 and px=0 of tile 11, same gy
+    val r = raster((10L, 20L, 15, 7, 5L), (11L, 20L, 0, 7, 4L))
+    val out = Raster.regionsGlobal(r, 2L, Z, Res).collect()
+    assert(out.length === 1)
+    val row = out.head
+    assert(row.getAs[Long]("n_pixels") === 2L)
+    assert(row.getAs[Long]("density") === 9L)
+    assert(row.getAs[Long]("n_tiles") === 2L)
+    // global region id = min global pixel index = (20*16+7)*N + 10*16+15
+    val n = Raster.gridSize(Z, Res)
+    assert(row.getAs[Long]("global_region") === (20L * 16 + 7) * n + 10 * 16 + 15)
+    assert(row.getAs[Long]("gx_min") === 175L && row.getAs[Long]("gx_max") === 176L)
+  }
+
+  test("regionsGlobal: a chain across three tiles becomes one region") {
+    val r = raster(
+      (10L, 20L, 14, 3, 5L), (10L, 20L, 15, 3, 5L), // tile 10 pair
+      (11L, 20L, 0, 3, 5L),                         // bridges into tile 11
+      (11L, 20L, 15, 3, 5L), (12L, 20L, 0, 3, 5L))  // second bridge -> tile 12
+    // the middle of tile 11 is NOT contiguous between px=0 and px=15, so
+    // the chain is 10–11 merged and 11(e)–12 merged but the two groups stay
+    // apart (px 0 and 15 of tile 11 are not adjacent)
+    val out = Raster.regionsGlobal(r, 2L, Z, Res).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("n_pixels")).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("regionsGlobal: diagonal across a tile corner does NOT merge") {
+    // (15,15) of tile (0,0) vs (0,0) of tile (1,1): corner-diagonal
+    val r = raster((0L, 0L, 15, 15, 5L), (1L, 1L, 0, 0, 5L))
+    assert(Raster.regionsGlobal(r, 2L, Z, Res).count() === 2)
+  }
+
+  test("regionsGlobal: conserves pixels and density of the tile-local form") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { _ =>
+      (rnd.nextInt(2).toLong, rnd.nextInt(2).toLong,
+        rnd.nextInt(Res), rnd.nextInt(Res), (1 + rnd.nextInt(4)).toLong)
+    }
+    val r = raster(rows: _*)
+    val local = Raster.regions(r, 3L, Z, Res)
+    val global = Raster.regionsGlobal(r, 3L, Z, Res)
+    assert(global.agg(sum("n_pixels")).head.getLong(0) ===
+      local.agg(sum("n_pixels")).head.getLong(0))
+    assert(global.agg(sum("density")).head.getLong(0) ===
+      local.agg(sum("density")).head.getLong(0))
+    // merging can only reduce the region count
+    assert(global.count() <= local.count())
+  }
+
   test("regions: duplicate pixel rows are aggregated, not silently dropped") {
     // the same pixel twice at density 2+2: threshold 3 must see density 4,
     // and the adjacent pixel must land in the SAME component
