@@ -46,6 +46,50 @@ object SparkEntry {
           col("osm_element_id"),
           idsToStr(col("upstream_item_ids")).as("upstream_item_ids"))
     }),
+    // S7/S8/S9 sinks: osmChange + JOSM + GPX over a deterministic deviation
+    // frame derived from orders keys (driver-side XML build over the
+    // TakeOrdered top rows, as designed); projected to per-format counts —
+    // a change to escaping, the n-only-modify quirk or the bounds logic
+    // shifts the lengths
+    "q_pipe_exports" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val eng = graft.engine.Exports
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("k")).orderBy("k").limit(400)
+        .withColumn("x", (pmod(col("k") * 48271L, lit(500000L)) + 100000L).cast("double"))
+        .withColumn("y", (pmod(col("k") * 69621L, lit(500000L)) + 6400000L).cast("double"))
+      val devs = base.select(
+        lit(1L).as("dataset_id"), lit(1L).as("layer_id"),
+        array(col("k")).as("upstream_item_ids"),
+        when(pmod(col("k"), lit(2L)) === 0,
+          graft.functions.GeoFunctions.stPoint(col("x"), col("y"))).as("suggested_geom"),
+        map(lit("amenity"), lit("toilets"),
+          lit("name"), concat(lit("T"), col("k"))).as("suggested_tags"),
+        when(pmod(col("k"), lit(2L)) === 1, col("k") + 4000L).as("osm_element_id"),
+        when(pmod(col("k"), lit(2L)) === 1, "n").as("osm_element_type"),
+        when(pmod(col("k"), lit(2L)) === 0, "Missing").otherwise("Incomplete").as("title"),
+        lit("d").as("description"), lit("").as("note"), lit("v").as("view_name"),
+        graft.functions.GeoFunctions.stPoint(col("x"), col("y")).as("center"),
+        lit("0180").as("municipality_code"),
+        lit(null).cast("string").as("action"))
+      val elements = base.filter(pmod(col("k"), lit(2L)) === 1)
+        .select(lit("n").as("type"), (col("k") + 4000L).as("id"),
+          map(lit("amenity"), lit("toilets")).as("tags"))
+      val osc = eng.osmChange(devs, elements)
+      val josm = eng.josmChange(devs, elements)
+      val firstDev = devs.filter(col("suggested_geom").isNotNull)
+        .orderBy(element_at(col("upstream_item_ids"), 1)).head()
+      val gpx = eng.gpx(firstDev, Seq(Map("orig" -> "x")), "2026-01-01T00:00:00Z")
+      def count(hay: String, needle: String): Long =
+        needle.r.findAllIn(hay).size.toLong
+      import s.implicits._
+      Seq(
+        ("osmchange", osc.length.toLong, count(osc, "<node"), count(osc, "<modify>")),
+        ("josm", josm.length.toLong, count(josm, "<node"), count(josm, "action=\"modify\"")),
+        ("gpx", gpx.length.toLong, count(gpx, "<wpt"), count(gpx, "<trk")))
+        .toDF("format", "n_chars", "n_a", "n_b")
+    }),
+
     // S6 byte sink: real MVT 2.1 blobs per tile (feature order pinned, so
     // bytes are deterministic); projected to counts+length for the harness
     "q_pipe_mvt" -> ((s, _) => {
