@@ -210,10 +210,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbr = e.join(labels.select(col("id").as("v"), col("comp")), "v")
         .groupBy(col("u").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      // localCheckpoint (eager) rather than cache: each round's plan embeds
+      // the previous round's TWICE (comp appears in both branches of the
+      // least/coalesce), so without lineage truncation the logical plan grows
+      // exponentially — a 24-round chain overflows the 2 GiB plan-string
+      // limit before any data moves. Checkpointing makes every round O(1)
+      // plan size, which is what a deep component chain needs at scale.
       val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
         .filter(col("comp") =!= col("old")).limit(1).count()
       labels.unpersist()

@@ -189,7 +189,12 @@ object Raster {
         .select(col("gx"), col("gy"), col("glab").as("b_id")), Seq("gx", "gy"))
       .select("a_id", "b_id")
     val edges = east.unionByName(south).filter(col("a_id") =!= col("b_id"))
-    val comps = graft.operators.Dedup.connectedComponents(edges)
+    // maxIter bounds the propagation rounds at one hop per round; a corridor
+    // region (river, road) can legitimately chain through MANY tiles, so the
+    // region graph gets a deep cap — each round is a tiny job over region
+    // edges and the loop exits early on convergence, so the cap only bites
+    // on >128-tile chains (where labels remain a valid refinement)
+    val comps = graft.operators.Dedup.connectedComponents(edges, maxIter = 128)
       .select(col("id").as("glab"), col("comp"))
     val out = pix.join(comps, Seq("glab"), "left")
       .withColumn("global_region", coalesce(col("comp"), col("glab")))

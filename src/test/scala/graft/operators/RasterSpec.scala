@@ -112,6 +112,18 @@ class RasterSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_pixels")).sorted.toSeq === Seq(2L, 3L))
   }
 
+  test("regionsGlobal: a 24-tile corridor merges fully (propagation depth > 15)") {
+    // a horizontal strip crossing 24 tile boundaries: full rows of py=5
+    // through tiles 0..24 — min-label needs ~24 rounds to reach the far end
+    val rows = (0L to 24L).flatMap { tx =>
+      (0 until Res).map(px => (tx, 3L, px, 5, 2L))
+    }
+    val out = Raster.regionsGlobal(raster(rows: _*), 2L, Z, Res).collect()
+    assert(out.length === 1, s"corridor must be ONE region, got ${out.length}")
+    assert(out.head.getAs[Long]("n_tiles") === 25L)
+    assert(out.head.getAs[Long]("n_pixels") === 25L * Res)
+  }
+
   test("regionsGlobal: diagonal across a tile corner does NOT merge") {
     // (15,15) of tile (0,0) vs (0,0) of tile (1,1): corner-diagonal
     val r = raster((0L, 0L, 15, 15, 5L), (1L, 1L, 0, 0, 5L))
