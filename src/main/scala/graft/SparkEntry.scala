@@ -139,6 +139,7 @@ object SparkEntry {
     QueriesRelational.queries ++ QueriesSpatial.queries ++
       QueriesText.queries ++ QueriesDatasetOracle.queries ++
       QueriesSchoolsOracle.queries ++ QueriesAtervinningOracle.queries ++
+      QueriesGavleOracle.queries ++
       QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +148,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle ++
       QueriesDatasetOracle.oracle ++ QueriesSchoolsOracle.oracle ++
-      QueriesAtervinningOracle.oracle ++ QueriesRaster.oracle
+      QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
+      QueriesRaster.oracle
 }
