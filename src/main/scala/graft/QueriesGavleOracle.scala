@@ -128,12 +128,118 @@ object QueriesGavleOracle {
   private val pKeys = Seq("amenity", "currency:SEK", "payment:credit_cards",
     "payment:debit_cards", "payment:others", "ref", "vending")
 
-  /** ref can be a NULL-valued suggestion (= delete the tag) — render it
-    * '__remove__' so the projection stays lossless. */
-  private def pDiffStr(m: Column): Column =
-    concat_ws(";", pKeys.map(key =>
+  // ======================= busshallplatser_gavle ==========================
+  //
+  // 35-v_deviation_busshallplatser_gavle.sql — the (10th) oracle reaches the
+  // last un-oracled match-machinery combination:
+  //  - GROUP-COLLAPSE BY GEOMETRY with MULTI-ID arrays (35:8-22): k%8==1
+  //    items get a second unit (id k+5e6) at the SAME point — ids collapse
+  //    to a sorted 2-array (n_ids asserts it), attributes collapse via MIN
+  //    (nulls ignored: the B unit's NULL HPLNR/LAGE never win; its KUR='N'
+  //    forces the pair's shelter to MIN('no', A) = 'no');
+  //  - REPLACE-ALL 'Gävle ' in the name (k%3==2 embeds the token
+  //    mid-string), MIN running BEFORE the replace;
+  //  - the production 2-REF overload (name, local_ref) 50/250/500 — the
+  //    500 m tier needs BOTH to overlap (k%10==2's wrong local_ref at 400 m
+  //    -> missing + anti row; k%10==1 with a NULL-LAGE item -> dead tier);
+  //    the 250 m name tier is case-insensitive (k%10==3 lowercase at 200 m
+  //    matches, and the case-differing name still lands in the diff);
+  //  - a LIVE anti leg: unmatched bus stops emit 'Busshållplats möjligen
+  //    stängd' rows with an EMPTY ids array (the ARRAY_LENGTH(…,1) IS NULL
+  //    title quirk, 35:57) — projected as item_id NULL + n_ids 0;
+  //  - no-strip NULL keys again: a null-HPLNR item matched to a
+  //    ref-carrying node (k%10==7 x k%4==0) suggests DELETING the ref.
+  // =========================================================================
+
+  private def busBase(s: SparkSession, dir: String): DataFrame = {
+    val m3 = kMod(3); val m13 = kMod(13)
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("ux", pmod(col("k") * 48271L, lit(1000000L)).cast("double"))
+      .withColumn("uy", pmod(col("k") * 69621L, lit(1000000L)).cast("double"))
+      .withColumn("namnA",
+        when(m3 === 0, concat(lit("Gävle Hpl "), kMod(100).cast("string")))
+          .when(m3 === 1, concat(lit("Hpl "), kMod(100).cast("string")))
+          .otherwise(concat(lit("Hpl Gävle Norr "), kMod(100).cast("string"))))
+      .withColumn("nr", when(kMod(4) =!= 0, (kMod(900) + 100).cast("string")))
+      .withColumn("lage", when(kMod(5) =!= 0, element_at(
+        array(lit("A"), lit("B"), lit("C"), lit("D"), lit("E"), lit("F")),
+        (kMod(6) + 1).cast("int"))))
+      .withColumn("bild", when(kMod(7) === 0,
+        concat(lit("https://img.example/"), col("k").cast("string"))))
+      .withColumn("kurA", when(m13 === 0, "N").when(m13 === 1, "NULL")
+        .when(m13 === 2, "").when(m13 === 3, lit(null).cast("string"))
+        .otherwise("J"))
+      // the collapsed values the oracle recomputes (nm: MIN picks the A unit
+      // — 'G'/'H' < 'Z'; shelter: the pair's B unit pins MIN to 'no')
+      .withColumn("nm", regexp_replace(col("namnA"), lit("Gävle "), lit("")))
+      .withColumn("shel", when(kMod(8) === 1, "no")
+        .otherwise(when(m13 <= 3, "no").otherwise("yes")))
+  }
+
+  private def busItem(b: DataFrame, unitB: Boolean): DataFrame = {
+    val src = if (unitB) b.filter(kMod(8) === 1) else b
+    val id = if (unitB) col("k") + 5000000L else col("k")
+    val attrs =
+      if (unitB) struct(
+        concat(lit("Zon Hpl "), kMod(100).cast("string")).as("HPLNAMN"),
+        lit(null).cast("string").as("HPLNR"),
+        lit(null).cast("string").as("LAGE"),
+        lit(null).cast("string").as("HPLBILDURL"),
+        lit("N").as("KUR"))
+      else struct(
+        col("namnA").as("HPLNAMN"), col("nr").as("HPLNR"),
+        col("lage").as("LAGE"), col("bild").as("HPLBILDURL"),
+        col("kurA").as("KUR"))
+    src.select(id.as("id"), lit(18L).as("dataset_id"),
+      to_json(attrs).as("original_attributes"),
+      stPoint(col("ux"), col("uy")).as("geometry"),
+      col("ux").as("cx"), col("uy").as("cy"), lit(true).as("is_point"))
+  }
+
+  /** bus stops by k%10 — 0: none; 1: 400 m, name + local_ref (ref tier);
+    * 2: 400 m, name + WRONG local_ref; 3: 200 m lowercase name (name tier);
+    * 4: 200 m wrong name; 5: 30 m wrong name (base tier); 6: past the muni
+    * cutoff; 7: 30 m full-tag twin (name/ref/shelter); 8/9: close bare. */
+  private def busOsm(b: DataFrame): DataFrame = {
+    val m10 = kMod(10)
+    val dx = when(m10 === 1 || m10 === 2, 400L).when(m10 === 3 || m10 === 4, 200L)
+      .when(m10 === 5 || m10 === 7, 30L)
+      .when(m10 === 6, lit(820001L) + kMod(100) - col("ux").cast("long"))
+      .otherwise(kMod(40))
+    val dy = when(m10 === 8 || m10 === 9, kMod(30)).otherwise(0L)
+    val oname = when(m10 === 1 || m10 === 2 || m10 === 7, col("nm"))
+      .when(m10 === 3, lower(col("nm")))
+      .when(m10 === 4 || m10 === 5, "Annan")
+    val olref = when(m10 === 1, coalesce(col("lage"), lit("X9")))
+      .when(m10 === 2, "Q7")
+    b.filter(m10 =!= 0)
+      .select(lit("n").as("type"), (col("k") + 1000000000L).as("id"),
+        map_filter(map(
+          lit("highway"), lit("bus_stop"),
+          lit("name"), oname,
+          lit("local_ref"), olref,
+          lit("ref"), when(m10 === 7, coalesce(col("nr"), lit("R-none"))),
+          lit("shelter"), when(m10 === 7, "yes"),
+          lit("image"), when(kMod(19) === 0, "https://osm.example/img"),
+          lit("public_transport"), when(kMod(21) === 0, "platform")),
+          (_, v) => v.isNotNull).as("tags"),
+        (col("ux") + dx).cast("double").as("cx"),
+        (col("uy") + dy).cast("double").as("cy"))
+      .withColumn("geom", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+  }
+
+  private val busKeys = Seq("bus", "highway", "image", "local_ref", "name",
+    "public_transport", "ref", "shelter")
+
+  /** ref/local_ref/image can be NULL-valued suggestions (= delete the tag)
+    * — render them '__remove__' so the projection stays lossless. */
+  private def diffStrRm(m: Column, keys: Seq[String]): Column =
+    concat_ws(";", keys.map(key =>
       when(map_contains_key(m, lit(key)),
         concat(lit(key + "="), coalesce(m(key), lit("__remove__"))))): _*)
+  private def pDiffStr(m: Column): Column = diffStrRm(m, pKeys)
 
   // ======================== lifesaving_gavle ==============================
 
@@ -292,6 +398,23 @@ object QueriesGavleOracle {
         stCentroid(col("center"))("_2").as("cy"))
     }),
 
+    "q_ds_busshallplatser_oracle" -> ((s, dir) => {
+      val b = busBase(s, dir)
+      val items = busItem(b, unitB = false).unionByName(busItem(b, unitB = true))
+      val dev = graft.engine.ReferenceDatasetsGavle.busshallplatserDeviations(
+        graft.engine.ReferenceDatasetsGavle.busshallplatserMatch(
+          busOsm(b), items, muni2180(s)))
+      dev.select(
+        // get (0-based, null-safe): the anti leg's EMPTY ids array -> NULL
+        get(col("upstream_item_ids"), lit(0)).as("item_id"),
+        size(col("upstream_item_ids")).as("n_ids"),
+        col("osm_element_id").as("osm_id"),
+        col("title"), col("description"),
+        diffStrRm(col("suggested_tags"), busKeys).as("diff"),
+        stCentroid(col("center"))("_1").as("cx"),
+        stCentroid(col("center"))("_2").as("cy"))
+    }),
+
     "q_ds_badplatser_oracle" -> ((s, dir) => {
       val b = bBase(s, dir)
       val dev = graft.engine.ReferenceDatasetsGavle.badplatserDeviations(
@@ -429,6 +552,118 @@ object QueriesGavleOracle {
         |    CASE WHEN w.osm_id IS NULL THEN u.uy ELSE w.oy END AS cy
         |  FROM b u LEFT JOIN best w ON u.k = w.uk)
         |SELECT item_id, osm_id, title, description, diff, cx, cy FROM dev""".stripMargin,
+
+    "q_ds_busshallplatser_oracle" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST((o_orderkey*48271)%1000000 AS DOUBLE) AS ux,
+        |    CAST((o_orderkey*69621)%1000000 AS DOUBLE) AS uy,
+        |    CASE o_orderkey%3
+        |      WHEN 0 THEN 'Gävle Hpl ' || CAST(o_orderkey%100 AS VARCHAR)
+        |      WHEN 1 THEN 'Hpl ' || CAST(o_orderkey%100 AS VARCHAR)
+        |      ELSE 'Hpl Gävle Norr ' || CAST(o_orderkey%100 AS VARCHAR)
+        |      END AS namna,
+        |    CASE WHEN o_orderkey%4<>0
+        |         THEN CAST(o_orderkey%900 + 100 AS VARCHAR) END AS nr,
+        |    CASE WHEN o_orderkey%5<>0 THEN
+        |      (CASE o_orderkey%6 WHEN 0 THEN 'A' WHEN 1 THEN 'B' WHEN 2 THEN 'C'
+        |        WHEN 3 THEN 'D' WHEN 4 THEN 'E' ELSE 'F' END) END AS lage,
+        |    CASE WHEN o_orderkey%7=0
+        |         THEN 'https://img.example/' || CAST(o_orderkey AS VARCHAR)
+        |         END AS bild,
+        |    CASE WHEN o_orderkey%8=1 THEN 2 ELSE 1 END AS n_ids,
+        |    CASE WHEN o_orderkey%8=1 THEN 'no'
+        |         WHEN o_orderkey%13<=3 THEN 'no' ELSE 'yes' END AS shel
+        |  FROM orders),
+        |u0 AS (
+        |  SELECT k, ux, uy, n_ids, nr, lage, bild, shel,
+        |    REPLACE(namna, 'Gävle ', '') AS nm
+        |  FROM b),
+        |osm0 AS (
+        |  SELECT k, k+1000000000 AS osm_id,
+        |    ux + (CASE WHEN k%10 IN (1,2) THEN 400 WHEN k%10 IN (3,4) THEN 200
+        |      WHEN k%10 IN (5,7) THEN 30
+        |      WHEN k%10=6 THEN 820001 + k%100 - CAST(ux AS BIGINT)
+        |      ELSE k%40 END) AS ox,
+        |    uy + (CASE WHEN k%10 IN (8,9) THEN k%30 ELSE 0 END) AS oy,
+        |    CASE WHEN k%10 IN (1,2,7) THEN nm WHEN k%10=3 THEN LOWER(nm)
+        |         WHEN k%10 IN (4,5) THEN 'Annan' END AS oname,
+        |    CASE WHEN k%10=1 THEN COALESCE(lage, 'X9')
+        |         WHEN k%10=2 THEN 'Q7' END AS olref,
+        |    CASE WHEN k%10=7 THEN COALESCE(nr, 'R-none') END AS oref,
+        |    CASE WHEN k%10=7 THEN 'yes' END AS oshel,
+        |    CASE WHEN k%19=0 THEN 'https://osm.example/img' END AS oimg,
+        |    k%21=0 AS opt
+        |  FROM u0 WHERE k%10 <> 0),
+        |osm AS (
+        |  SELECT * FROM osm0
+        |  WHERE ox >= 0 AND ox <= 820000 AND oy >= 0 AND oy <= 1000000),
+        |cand AS (
+        |  SELECT u.k AS uk, o.osm_id, o.oname, o.olref, o.oref, o.oshel,
+        |    o.oimg, o.opt, o.ox, o.oy,
+        |    CASE WHEN o.oname IS NOT NULL AND o.olref IS NOT NULL
+        |          AND o.oname = u.nm AND o.olref = u.lage
+        |         THEN 500 + SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy))
+        |         WHEN o.oname IS NOT NULL AND LOWER(o.oname) = LOWER(u.nm)
+        |         THEN 250 + SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy))
+        |         ELSE 50 + SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy))
+        |         END AS score
+        |  FROM u0 u JOIN osm o
+        |    ON ABS(u.ux-o.ox) <= 500 AND ABS(u.uy-o.oy) <= 500
+        |   AND ((o.oname IS NOT NULL AND o.olref IS NOT NULL AND o.oname = u.nm
+        |         AND o.olref = u.lage
+        |         AND SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 500)
+        |     OR (o.oname IS NOT NULL AND LOWER(o.oname) = LOWER(u.nm)
+        |         AND SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 250)
+        |     OR SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 50)),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY uk ORDER BY score, osm_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |dev AS (
+        |  SELECT u.k AS item_id, u.n_ids, w.osm_id,
+        |    CASE WHEN w.osm_id IS NULL THEN 'Busshållplats saknas'
+        |         ELSE 'Busshållplats saknar taggar' END AS title,
+        |    CASE WHEN w.osm_id IS NULL
+        |         THEN 'Enligt Gävle kommun ska det finnas en busshållplats här'
+        |         ELSE 'Följande taggar, härledda ur från Gävle kommuns data, saknas på busshållplatsen här'
+        |         END AS description,
+        |    CONCAT_WS(';',
+        |      'bus=yes',
+        |      CASE WHEN w.osm_id IS NULL THEN 'highway=bus_stop' END,
+        |      CASE WHEN u.bild IS NOT NULL
+        |            AND (w.osm_id IS NULL OR w.oimg IS DISTINCT FROM u.bild)
+        |           THEN 'image=' || u.bild
+        |           WHEN w.osm_id IS NOT NULL AND u.bild IS NULL
+        |            AND w.oimg IS NOT NULL THEN 'image=__remove__' END,
+        |      CASE WHEN u.lage IS NOT NULL
+        |            AND (w.osm_id IS NULL OR w.olref IS DISTINCT FROM u.lage)
+        |           THEN 'local_ref=' || u.lage
+        |           WHEN w.osm_id IS NOT NULL AND u.lage IS NULL
+        |            AND w.olref IS NOT NULL THEN 'local_ref=__remove__' END,
+        |      CASE WHEN w.osm_id IS NULL OR w.oname IS DISTINCT FROM u.nm
+        |           THEN 'name=' || u.nm END,
+        |      CASE WHEN w.osm_id IS NULL OR NOT w.opt
+        |           THEN 'public_transport=platform' END,
+        |      CASE WHEN u.nr IS NOT NULL
+        |            AND (w.osm_id IS NULL OR w.oref IS DISTINCT FROM u.nr)
+        |           THEN 'ref=' || u.nr
+        |           WHEN w.osm_id IS NOT NULL AND u.nr IS NULL
+        |            AND w.oref IS NOT NULL THEN 'ref=__remove__' END,
+        |      CASE WHEN w.osm_id IS NULL OR w.oshel IS DISTINCT FROM u.shel
+        |           THEN 'shelter=' || u.shel END) AS diff,
+        |    CASE WHEN w.osm_id IS NULL THEN u.ux ELSE w.ox END AS cx,
+        |    CASE WHEN w.osm_id IS NULL THEN u.uy ELSE w.oy END AS cy
+        |  FROM u0 u LEFT JOIN best w ON u.k = w.uk
+        |  UNION ALL
+        |  SELECT NULL AS item_id, 0 AS n_ids, o.osm_id,
+        |    'Busshållplats möjligen stängd' AS title,
+        |    'Enligt Gävle kommun finns det ingen busshållplats här, den kan vara stängd' AS description,
+        |    '' AS diff, o.ox AS cx, o.oy AS cy
+        |  FROM osm o
+        |  WHERE o.osm_id NOT IN (SELECT DISTINCT osm_id FROM cand))
+        |SELECT item_id, n_ids, osm_id, title, description, diff, cx, cy
+        |FROM dev""".stripMargin,
 
     "q_ds_badplatser_oracle" ->
       """WITH b AS (
