@@ -139,7 +139,7 @@ object SparkEntry {
     QueriesRelational.queries ++ QueriesSpatial.queries ++
       QueriesText.queries ++ QueriesDatasetOracle.queries ++
       QueriesSchoolsOracle.queries ++ QueriesAtervinningOracle.queries ++
-      QueriesGavleOracle.queries ++
+      QueriesGavleOracle.queries ++ QueriesMoreViewsOracle.queries ++
       QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +149,5 @@ object SparkEntry {
     QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle ++
       QueriesDatasetOracle.oracle ++ QueriesSchoolsOracle.oracle ++
       QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
-      QueriesRaster.oracle
+      QueriesMoreViewsOracle.oracle ++ QueriesRaster.oracle
 }

@@ -17,7 +17,8 @@ object DriveDatasetOracle {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (graft.QueriesDatasetOracle.queries ++ graft.QueriesSchoolsOracle.queries ++
-      graft.QueriesAtervinningOracle.queries ++ graft.QueriesGavleOracle.queries)
+      graft.QueriesAtervinningOracle.queries ++ graft.QueriesGavleOracle.queries ++
+      graft.QueriesMoreViewsOracle.queries)
       .foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/ds_oracle_out/$name")
