@@ -140,6 +140,7 @@ object SparkEntry {
       QueriesText.queries ++ QueriesDatasetOracle.queries ++
       QueriesSchoolsOracle.queries ++ QueriesAtervinningOracle.queries ++
       QueriesGavleOracle.queries ++ QueriesMoreViewsOracle.queries ++
+      QueriesTopo50Oracle.queries ++
       QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +150,6 @@ object SparkEntry {
     QueriesRelational.oracle ++ QueriesSpatial.oracle ++ QueriesText.oracle ++
       QueriesDatasetOracle.oracle ++ QueriesSchoolsOracle.oracle ++
       QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
-      QueriesMoreViewsOracle.oracle ++ QueriesRaster.oracle
+      QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
+      QueriesRaster.oracle
 }

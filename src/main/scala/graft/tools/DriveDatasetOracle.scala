@@ -18,7 +18,7 @@ object DriveDatasetOracle {
     spark.sparkContext.setLogLevel("WARN")
     (graft.QueriesDatasetOracle.queries ++ graft.QueriesSchoolsOracle.queries ++
       graft.QueriesAtervinningOracle.queries ++ graft.QueriesGavleOracle.queries ++
-      graft.QueriesMoreViewsOracle.queries)
+      graft.QueriesMoreViewsOracle.queries ++ graft.QueriesTopo50Oracle.queries)
       .foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/ds_oracle_out/$name")
