@@ -92,7 +92,9 @@ object QueriesText {
       Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))),
 
-    "q_mm_decode" -> ((s, dir) => // rows-only (stubbed decoder output)
+    "q_mm_decode" -> ((s, dir) =>
+      // oracled: the stub's features are pure byte arithmetic — the DuckDB
+      // side re-derives them from HEX(payload) pairs
       Multimodal.decodeStub(
         Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text")).toDF()))
 
@@ -174,5 +176,22 @@ object QueriesText {
       """SELECT doc_id,
         | CAST(OCTET_LENGTH(ENCODE('IMG|' || CAST(doc_id % 63 + 1 AS VARCHAR)
         |   || '|' || CAST(doc_id % 47 + 1 AS VARCHAR) || '|' || text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q_mm_decode" ->
+      // bytes of the payload re-derived from its HEX dump (charset-agnostic);
+      // mean_byte is the exact truncated 4-decimal rational, as in the stub
+      """WITH p AS (SELECT doc_id, ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |    || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|' || text) AS payload
+        |  FROM documents),
+        |h AS (SELECT doc_id, HEX(payload) AS hx, OCTET_LENGTH(payload) AS n FROM p),
+        |bytes AS (SELECT doc_id, n,
+        |    (STRPOS('0123456789ABCDEF', SUBSTR(hx, 2*i-1, 1))-1)*16
+        |    + STRPOS('0123456789ABCDEF', SUBSTR(hx, 2*i, 1))-1 AS bv
+        |  FROM h, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, n)) AS i) t)
+        |SELECT doc_id, 'IMG' AS kind,
+        |  CAST(doc_id%63+1 AS INT) AS width, CAST(doc_id%47+1 AS INT) AS height,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  (CAST(SUM(bv) AS BIGINT)*10000 // CAST(n AS BIGINT)) / 10000.0 AS mean_byte,
+        |  CAST(COUNT(DISTINCT bv) AS INT) AS distinct_bytes
+        |FROM bytes GROUP BY doc_id, n""".stripMargin)
 }

@@ -140,7 +140,7 @@ object SparkEntry {
       QueriesText.queries ++ QueriesDatasetOracle.queries ++
       QueriesSchoolsOracle.queries ++ QueriesAtervinningOracle.queries ++
       QueriesGavleOracle.queries ++ QueriesMoreViewsOracle.queries ++
-      QueriesTopo50Oracle.queries ++
+      QueriesTopo50Oracle.queries ++ QueriesEmbOracle.queries ++
       QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +151,5 @@ object SparkEntry {
       QueriesDatasetOracle.oracle ++ QueriesSchoolsOracle.oracle ++
       QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
       QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
-      QueriesRaster.oracle
+      QueriesEmbOracle.oracle ++ QueriesRaster.oracle
 }

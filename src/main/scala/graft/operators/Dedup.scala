@@ -261,4 +261,58 @@ object Dedup {
       .select(col("id").as("rep_id"), coalesce(col("comp"), col("id")).as("canonical_id"))
     mapped.join(repCanon, "rep_id").select(col("id"), col("canonical_id"))
   }
+
+  /**
+   * Embedding-cosine near-duplicate grouping — the embedding-space sibling of
+   * `dedupPipeline`: candidate pairs → exact-cosine verify at `threshold` →
+   * connected components → (id, canonical_id); singletons map to themselves.
+   *
+   * `nTables = 0` scores ALL pairs (exact baseline — O(N²), oracle/test scale
+   * only). `nTables > 0` is the web-scale path: each of the nTables
+   * independent hyperplane-LSH tables (seed-stable planes, table t uses
+   * planes [t*nBits, (t+1)*nBits)) hashes every row to ONE nBits-bit bucket;
+   * candidates are same-(table, bucket) pairs, deduped across tables before
+   * the one exact-cosine verification per pair. OR-ing tables recovers recall
+   * exactly like minhash banding: a pair at cosine angle θ collides in ≥1
+   * table with prob 1-(1-(1-θ/π)^nBits)^nTables. At the 10^12 design point
+   * nBits ≈ 30 bounds buckets to ~10^3 rows, so per-table candidate volume
+   * is ~N·bucketWidth, never all-pairs; the join shuffles by (table, bucket).
+   */
+  def embeddingNearDupGroups(docs: DataFrame, idCol: String, embCol: String,
+                             threshold: Double, nTables: Int = 0,
+                             nBits: Int = 12, maxIter: Int = 64): DataFrame = {
+    val base = Similarity.withNorm(
+        docs.select(col(idCol).as("id"), col(embCol).as("emb")), "emb")
+      .select(col("id"), col("vd"), col("vnorm"))
+    val aSide = (d: DataFrame) => d.select(
+      (Seq(col("id").as("a_id"), col("vd").as("avd"), col("vnorm").as("an")) ++
+        (if (nTables > 0) Seq(col("tbl"), col("bucket")) else Nil)): _*)
+    val bSide = (d: DataFrame) => d.select(
+      (Seq(col("id").as("b_id"), col("vd").as("bvd"), col("vnorm").as("bn")) ++
+        (if (nTables > 0) Seq(col("tbl"), col("bucket")) else Nil)): _*)
+    val candidates =
+      if (nTables <= 0)
+        aSide(base).join(bSide(base), col("a_id") < col("b_id"))
+      else {
+        val keyed = (0 until nTables).map { t =>
+          Similarity.withLshBucketAt(base, "vd", nBits, t * nBits)
+            .withColumn("tbl", lit(t))
+        }.reduce(_ unionByName _)
+        aSide(keyed).join(bSide(keyed), Seq("tbl", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          // a pair colliding in several tables is verified once; the key is
+          // scalar (no array hashing in the dedup shuffle)
+          .dropDuplicates("a_id", "b_id")
+      }
+    val edges = candidates
+      .withColumn("cos",
+        Similarity.dot(col("avd"), col("bvd")) / (col("an") * col("bn")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    // embedding clusters can be CHAINS (a~b~c with cos(a,c) < threshold), not
+    // just near-cliques — allow a deeper propagation bound than the text path
+    val comps = connectedComponents(edges, maxIter)
+    docs.select(col(idCol).as("id")).join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("canonical_id"))
+  }
 }

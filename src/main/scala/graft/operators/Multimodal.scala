@@ -51,9 +51,12 @@ object Multimodal {
           val b = r.payload(i) & 0xFF
           sum += b; seen.set(b); i += 1
         }
+        // mean truncated to 4 decimals via INTEGER arithmetic (sum*10000/len)
+        // — exact, so the value is engine-independent (DuckDB-oracleable);
+        // a float mean would differ at ULP level between summation orders
         MediaFeatures(r.doc_id, kind, w, h, r.payload.length,
           if (r.payload.length == 0) 0.0
-          else math.round(sum.toDouble / r.payload.length * 10000).toDouble / 10000,
+          else (sum * 10000L / r.payload.length).toDouble / 10000,
           seen.cardinality())
       }
     }

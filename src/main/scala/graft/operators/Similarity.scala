@@ -92,6 +92,27 @@ object Similarity {
     df.withColumn("bucket", sigUdf(col(embCol)))
   }
 
+  /** like `withLshBucket` but over the DOUBLE vector column and starting at
+    * plane index `planeOffset` — `nTables` independent tables share one
+    * seed-stable plane family (table t uses planes [t*nBits, (t+1)*nBits)). */
+  def withLshBucketAt(df: DataFrame, vecCol: String, nBits: Int,
+                      planeOffset: Int): DataFrame = {
+    val sigUdf = udf((v: Seq[Double]) => {
+      var sig = 0L
+      var p = 0
+      while (p < nBits) {
+        var s = 0.0
+        var d = 0
+        val n = v.length
+        while (d < n) { s += v(d) * planeCoef(planeOffset + p, d); d += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    })
+    df.withColumn("bucket", sigUdf(col(vecCol)))
+  }
+
   /**
    * Approximate top-k: score only same-bucket candidates (the LSH/IVF scale
    * path). MULTI-PROBE: each query additionally probes every bucket within

@@ -89,6 +89,74 @@ class DedupSpec extends AnyFunSuite {
     canon.unpersist()
   }
 
+  // clustered embedding corpus: 15 centers × 5 jittered members (dims 8);
+  // within-cluster cosine ~0.999, cross-cluster ~uniform — ground truth is
+  // recomputed in the test by union-find over the operator's OWN edge
+  // predicate, so no distribution assumption leaks into the assertion
+  private val embDocs: Seq[(Long, Array[Float])] = {
+    val r = rng(23)
+    (0 until 15).flatMap { cl =>
+      val center = Array.fill(8)(r.nextGaussian())
+      (0 until 5).map { j =>
+        val v = center.map(x => (x + 0.02 * r.nextGaussian()).toFloat)
+        ((cl * 5 + j).toLong, v)
+      }
+    }
+  }
+
+  private def bruteComponents(threshold: Double): Map[Long, Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val parent = scala.collection.mutable.Map(embDocs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (a, va) <- embDocs; (b, vb) <- embDocs if a < b && cos(va, vb) >= threshold } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    embDocs.map(d => d._1 -> find(d._1)).toMap
+  }
+
+  test("embeddingNearDupGroups (brute) == driver-side union-find ground truth") {
+    val docs = embDocs.toDF("doc_id", "emb")
+    val expected = bruteComponents(0.9)
+    assert(expected.values.toSet.size < embDocs.size, "fixture must form clusters")
+    val got = Dedup.embeddingNearDupGroups(docs, "doc_id", "emb", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected,
+      s"diff=${expected.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(5)}")
+  }
+
+  test("embeddingNearDupGroups (multi-table LSH) recovers the exact components") {
+    val docs = embDocs.toDF("doc_id", "emb")
+    val expected = bruteComponents(0.9)
+    // 8 tables × 4 bits: per-pair miss prob at within-cluster angles is
+    // ~(1-0.95^4)^8 < 1e-6 — deterministic planes make this repeatable
+    val got = Dedup.embeddingNearDupGroups(docs, "doc_id", "emb",
+      threshold = 0.9, nTables = 8, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("embeddingNearDupGroups LSH buckets stay balanced on a random corpus") {
+    val r = rng(31)
+    val big = (0L until 20000L).map(i => (i, Array.fill(8)(r.nextGaussian().toFloat)))
+      .toDF("doc_id", "emb")
+    val base = Similarity.withNorm(big.select(col("doc_id").as("id"), col("emb")), "emb")
+    val widest = Similarity.withLshBucketAt(base, "vd", 12, 0)
+      .groupBy("bucket").count().agg(max("count")).collect()(0).getLong(0)
+    // 20k rows over 12 hyperplanes: in only 8 ambient dims the realizable
+    // sign patterns carve UNEQUAL solid angles (observed hot bucket ~350),
+    // but the hot bucket still sits >1 order below the corpus — candidate
+    // volume stays ~N·bucketWidth, not N². At real embedding dims (>=64)
+    // the cells equalize further.
+    assert(widest <= 1000, s"hot LSH bucket $widest of 20000")
+  }
+
   test("connectedComponents: chains merge to min id, disjoint stay apart") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
     val comps = Dedup.connectedComponents(edges).collect()

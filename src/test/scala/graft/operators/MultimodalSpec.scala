@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SparkTestBase
+
+/** The stubbed per-partition media decode: header parse, byte features, and
+  * the exact truncated mean that makes the features DuckDB-oracleable. */
+class MultimodalSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("decodeStub: hand-computed features for a known payload") {
+    // "IMG|1|1|A" = bytes [73,77,71,124,49,124,49,124,65]: n=9, sum=756,
+    // mean = trunc(756*10000/9)/10000 = 84.0, 6 distinct byte values
+    val media = Seq((1L, "IMG|1|1|A".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val f = Multimodal.decodeStub(media).collect()(0)
+    assert(f.kind == "IMG" && f.width == 1 && f.height == 1)
+    assert(f.n_bytes == 9L && f.mean_byte == 84.0 && f.distinct_bytes == 6)
+  }
+
+  test("decodeStub: non-header payload falls back to RAW with zero dims") {
+    val media = Seq((2L, Array[Byte](1, 2, 2, 3))).toDF("doc_id", "payload")
+    val f = Multimodal.decodeStub(media).collect()(0)
+    assert(f.kind == "RAW" && f.width == 0 && f.height == 0)
+    assert(f.n_bytes == 4L && f.distinct_bytes == 3)
+    // sum=8, trunc(8*10000/4)/10000 = 2.0
+    assert(f.mean_byte == 2.0)
+  }
+
+  test("asFakeMedia -> decodeStub round trip: header fields match doc_id arithmetic") {
+    val docs = Seq((0L, "alpha"), (62L, "beta"), (63L, "gamma")).toDF("doc_id", "text")
+    val out = Multimodal.decodeStub(Multimodal.asFakeMedia(docs, "doc_id", "text"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(0L).width == 1 && out(0L).height == 1)
+    assert(out(62L).width == 63 && out(62L).height == 16)
+    assert(out(63L).width == 1 && out(63L).height == 17)
+    assert(out.values.forall(_.kind == "IMG"))
+    // mean is the exact truncated rational of the raw byte sum
+    val p = "IMG|1|1|alpha".getBytes("UTF-8")
+    val sum = p.map(_ & 0xFF).map(_.toLong).sum
+    assert(out(0L).mean_byte == (sum * 10000L / p.length).toDouble / 10000)
+  }
+}
