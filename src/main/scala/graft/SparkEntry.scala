@@ -141,6 +141,7 @@ object SparkEntry {
       QueriesSchoolsOracle.queries ++ QueriesAtervinningOracle.queries ++
       QueriesGavleOracle.queries ++ QueriesMoreViewsOracle.queries ++
       QueriesTopo50Oracle.queries ++ QueriesEmbOracle.queries ++
+      QueriesDedupOracle.queries ++
       QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +152,6 @@ object SparkEntry {
       QueriesDatasetOracle.oracle ++ QueriesSchoolsOracle.oracle ++
       QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
       QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
-      QueriesEmbOracle.oracle ++ QueriesRaster.oracle
+      QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
+      QueriesRaster.oracle
 }

@@ -12,6 +12,38 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /**
+   * Portable arithmetic hashes for the oracle twins of the hash-based dedup
+   * operators: a polynomial character digest mod a prime, computable as pure
+   * column expressions here AND as plain SQL in any engine (DuckDB recomputes
+   * it with list_reduce over the same recurrence) — so minhash/simhash/
+   * fingerprint outputs become hash-checkable instead of rows-only. The
+   * production default stays xxhash64 (faster, wider); only the hash is
+   * swapped, the operator machinery (shingling, min-signatures, banding,
+   * candidate dedup, verification) is IDENTICAL in both modes.
+   */
+  object PortableHash {
+    val P1: Long = 1000000007L   // minhash digest / affine modulus
+    val P2: Long = 2147483647L   // simhash half-digest + fingerprint modulus
+
+    /** digest(s) = fold over chars: acc <- (acc*b + code(c)) mod p, init 0. */
+    def charPoly(s: Column, b: Long, p: Long): Column =
+      aggregate(sequence(lit(1), length(s)), lit(0L),
+        (acc, i) => pmod(acc * b + ascii(s.substr(i, lit(1))), lit(p)))
+
+    /** minhash family member i: affine transform of the base-131 digest. */
+    val shingleHash: (Int, Column) => Column = (i, sh) =>
+      pmod(lit(37L + 2 * i) * charPoly(sh, 131L, P1) + lit(1000003L * i + 17L), lit(P1))
+
+    /** band-bucket key: polynomial fold of the band's minhash values. */
+    val bandHash: (Int, Seq[Column]) => Column = (b, hs) =>
+      hs.foldLeft(lit(1000003L + b): Column)((acc, h) => pmod(acc * 1048573L + h, lit(P1)))
+
+    /** 62-bit token hash: two independent digests packed side by side. */
+    val tokenHash: Column => Column = tok =>
+      charPoly(tok, 131L, P2) * 2147483648L + charPoly(tok, 137L, P2)
+  }
+
   /** word n-gram shingles, distinct per doc. Output: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     docs
@@ -95,10 +127,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.4,
-                      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                      maxDocFreq: Long = Long.MaxValue,
+                      hashFn: (Int, Column) => Column = defaultShingleHash,
+                      bandHashFn: (Int, Seq[Column]) => Column = defaultBandHash): DataFrame = {
     val sh = cappedShingles(docs, idCol, textCol, n, maxDocFreq).cache()
-    jaccardOfPairs(lshCandidates(sh, numHashes, bands), sh, threshold)
+    jaccardOfPairs(lshCandidates(sh, numHashes, bands, hashFn, bandHashFn), sh, threshold)
   }
+
+  /** production minhash member i (xxhash64-seeded, full 64-bit spread). */
+  val defaultShingleHash: (Int, Column) => Column = (i, sh) => xxhash64(lit(i), sh)
+  /** production band-bucket key (xxhash64 over the band's signature slice). */
+  val defaultBandHash: (Int, Seq[Column]) => Column =
+    (b, hs) => xxhash64((lit(b) +: hs): _*)
 
   /** band-bucket candidate pairs over a shingle table (the LSH core of
     * `minhashLshPairs`, exposed for pipeline composition + tests).
@@ -107,15 +147,17 @@ object Dedup {
     * band hash, so one bucket holds N rows and emits N² candidates — run
     * `exactGroups` first and band only one representative per distinct text,
     * as `dedupPipeline` does. */
-  private[operators] def lshCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[operators] def lshCandidates(sh: DataFrame, numHashes: Int, bands: Int,
+      hashFn: (Int, Column) => Column = defaultShingleHash,
+      bandHashFn: (Int, Seq[Column]) => Column = defaultBandHash): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val hashCols: Seq[Column] =
-      (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      (0 until numHashes).map(i => min(hashFn(i, col("shingle"))).as(s"h$i"))
     val sig = sh.groupBy("id").agg(hashCols.head, hashCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}"))): _*).as("bh"))
+        bandHashFn(b, (0 until rows).map(r => col(s"h${b * rows + r}"))).as("bh"))
     }
     val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
@@ -127,10 +169,11 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens (deterministic, hash = xxhash64
     * of the token via Spark's own function for engine-wide consistency). */
-  def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def withSimhash(docs: DataFrame, idCol: String, textCol: String,
+                  tokenHashFn: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHashFn(col("tok")))
     // per-bit vote: sum(+1/-1), sign -> bit
     val bitCols: Seq[Column] = (0 until 64).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
@@ -175,10 +218,11 @@ object Dedup {
     * `simhashKeyTable`). As with LSH, compose `exactGroups` first on
     * duplicate-heavy corpora (`dedupPipeline`). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   tokenHashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "combination blocking keys narrow below 31 bits beyond hamming 3")
-    val sig = withSimhash(docs, idCol, textCol)
+    val sig = withSimhash(docs, idCol, textCol, tokenHashFn)
     val keys = simhashKeyTable(sig, maxHamming).cache()
     val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
     keys.as("x").join(keys.as("y"),
@@ -247,14 +291,16 @@ object Dedup {
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                     threshold: Double = 0.4,
-                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                    maxDocFreq: Long = Long.MaxValue,
+                    hashFn: (Int, Column) => Column = defaultShingleHash,
+                    bandHashFn: (Int, Seq[Column]) => Column = defaultBandHash): DataFrame = {
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val withFp = d.withColumn("fp", md5(encode(col("text"), "UTF-8")))
     val repByFp = withFp.groupBy("fp").agg(min(col("id")).as("rep_id"))
     val mapped = withFp.join(repByFp, "fp").select(col("id"), col("rep_id")).cache()
     val reps = mapped.filter(col("id") === col("rep_id")).select("id").join(d, "id")
     val nearPairs = minhashLshPairs(reps, "id", "text", n, numHashes, bands,
-      threshold, maxDocFreq).select(col("a_id"), col("b_id"))
+      threshold, maxDocFreq, hashFn, bandHashFn).select(col("a_id"), col("b_id"))
     val comps = connectedComponents(nearPairs)
     val repCanon = mapped.select(col("rep_id").as("id")).distinct()
       .join(comps, Seq("id"), "left")
@@ -294,10 +340,11 @@ object Dedup {
       if (nTables <= 0)
         aSide(base).join(bSide(base), col("a_id") < col("b_id"))
       else {
-        val keyed = (0 until nTables).map { t =>
-          Similarity.withLshBucketAt(base, "vd", nBits, t * nBits)
-            .withColumn("tbl", lit(t))
-        }.reduce(_ unionByName _)
+        // all nTables buckets in ONE corpus scan (an array per row), then
+        // posexplode to (tbl, bucket) — vs a unionByName of nTables scans
+        val keyed = Similarity.withLshBucketsAll(base, "vd", nBits, nTables)
+          .select(col("id"), col("vd"), col("vnorm"),
+            posexplode(col("buckets")).as(Seq("tbl", "bucket")))
         aSide(keyed).join(bSide(keyed), Seq("tbl", "bucket"))
           .filter(col("a_id") < col("b_id"))
           // a pair colliding in several tables is verified once; the key is

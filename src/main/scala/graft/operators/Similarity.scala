@@ -97,20 +97,32 @@ object Similarity {
     * seed-stable plane family (table t uses planes [t*nBits, (t+1)*nBits)). */
   def withLshBucketAt(df: DataFrame, vecCol: String, nBits: Int,
                       planeOffset: Int): DataFrame = {
-    val sigUdf = udf((v: Seq[Double]) => {
-      var sig = 0L
-      var p = 0
-      while (p < nBits) {
-        var s = 0.0
-        var d = 0
-        val n = v.length
-        while (d < n) { s += v(d) * planeCoef(planeOffset + p, d); d += 1 }
-        if (s > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    })
+    val sigUdf = udf((v: Seq[Double]) => bucketOf(v, nBits, planeOffset))
     df.withColumn("bucket", sigUdf(col(vecCol)))
+  }
+
+  private def bucketOf(v: Seq[Double], nBits: Int, planeOffset: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var s = 0.0
+      var d = 0
+      val n = v.length
+      while (d < n) { s += v(d) * planeCoef(planeOffset + p, d); d += 1 }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** ALL `nTables` table buckets in ONE pass over the vector (same values as
+    * `withLshBucketAt(_, _, nBits, t*nBits)` for each t) — the multi-table
+    * caller posexplodes this array instead of scanning the corpus per table. */
+  def withLshBucketsAll(df: DataFrame, vecCol: String, nBits: Int,
+                        nTables: Int): DataFrame = {
+    val sigUdf = udf((v: Seq[Double]) =>
+      (0 until nTables).map(t => bucketOf(v, nBits, t * nBits)).toArray)
+    df.withColumn("buckets", sigUdf(col(vecCol)))
   }
 
   /**

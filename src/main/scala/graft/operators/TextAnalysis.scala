@@ -91,4 +91,30 @@ object TextAnalysis {
     docs.withColumn("fps", fingerprintUdf(col(textCol)))
       .withColumn("n_fps", size(col("fps")).cast("long"))
       .withColumn("min_fp", array_min(col("fps")))
+
+  /**
+   * The same winnowing scheme with a PORTABLE mod-p rolling hash, as pure
+   * column expressions (no UDF): k-char polynomial hashes
+   * acc <- (acc*31 + code) mod 2^31-1 at every position, then the min of each
+   * non-overlapping `win`-window of hashes. Engine-independent arithmetic, so
+   * a SQL oracle can recompute the fingerprints exactly (the production
+   * `fingerprintUdf` keeps the wrapping 64-bit Java hash, which no SQL engine
+   * reproduces). Docs shorter than k+win-1 chars yield an empty array.
+   */
+  def portableFingerprintCol(text: Column, k: Int = 8, win: Int = 16): Column = {
+    val p = 2147483647L
+    val hs = transform(sequence(lit(1), length(text) - (k - 1)),
+      i => aggregate(sequence(i, i + (k - 1)), lit(0L),
+        (acc, j) => pmod(acc * 31 + ascii(text.substr(j, lit(1))), lit(p))))
+    when(length(text) >= k + win - 1,
+      transform(sequence(lit(0), ((size(hs) - win) / win).cast("int")),
+        s => array_min(slice(hs, s * win + 1, lit(win)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** distinct (id, fp) fingerprint pairs — the oracle-checkable surface. */
+  def portableFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, win: Int = 16): DataFrame =
+    docs.select(col(idCol), explode(portableFingerprintCol(col(textCol), k, win)).as("fp"))
+      .distinct()
 }

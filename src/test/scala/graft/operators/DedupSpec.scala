@@ -157,6 +157,43 @@ class DedupSpec extends AnyFunSuite {
     assert(widest <= 1000, s"hot LSH bucket $widest of 20000")
   }
 
+  test("portable-hash simhashPairs == brute-force hamming over portable signatures") {
+    val docs = simDocs.toDF("doc_id", "text")
+    val sigs = Dedup.withSimhash(docs, "doc_id", "text", Dedup.PortableHash.tokenHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // portable token hash is 62-bit — signatures must stay non-negative
+    assert(sigs.forall(_._2 >= 0))
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        tokenHashFn = Dedup.PortableHash.tokenHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture must produce close pairs")
+  }
+
+  test("portable-hash minhashLshPairs: sound vs exact Jaccard, complete on exact dups") {
+    val docs = simDocs.toDF("doc_id", "text")
+      // inject exact duplicates: every 5th doc re-keyed
+      .unionByName(simDocs.filter(_._1 % 5 == 0).map { case (i, t) => (i + 5000L, t) }
+        .toDF("doc_id", "text"))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        hashFn = Dedup.PortableHash.shingleHash,
+        bandHashFn = Dedup.PortableHash.bandHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH pair passed the exact-Jaccard verify -> subset of ground truth
+    assert(lsh.subsetOf(exact), s"unsound pairs: ${(lsh -- exact).take(5)}")
+    // exact duplicates agree on every band -> always candidates -> always found
+    val dupPairs = simDocs.filter(_._1 % 5 == 0)
+      .map { case (i, _) => (i, i + 5000L) }.toSet
+    assert(dupPairs.subsetOf(lsh), s"missed dups: ${(dupPairs -- lsh).take(5)}")
+  }
+
   test("connectedComponents: chains merge to min id, disjoint stay apart") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
     val comps = Dedup.connectedComponents(edges).collect()

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.SparkTestBase
+
+/** Portable (mod-p, column-expression) winnowing fingerprint vs a direct
+  * Scala recompute of the same recurrence — the variant behind the
+  * q_txt_fingerprint_oracle DuckDB gate entry. */
+class TextAnalysisSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val k = 8
+  private val win = 16
+  private val p = 2147483647L
+
+  /** reference implementation: k-char poly hashes mod p, min of each
+    * non-overlapping win-window, distinct. */
+  private def reference(text: String): Set[Long] = {
+    val n = text.length - k + 1
+    if (text.length < k + win - 1) Set.empty
+    else {
+      val hs = (0 until n).map { i =>
+        text.substring(i, i + k).foldLeft(0L)((acc, c) => (acc * 31 + c) % p)
+      }
+      (0 to (n - win) / win).map(s => hs.slice(s * win, s * win + win).min).toSet
+    }
+  }
+
+  test("portableFingerprints == reference recompute on varied texts") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "a" * 40),                        // constant text -> single fp value
+      (3L, "short"),                         // < k chars -> no fingerprints
+      (4L, "exactly twenty-three c"),        // 22 chars -> below k+win-1 -> none
+      (5L, (0 until 50).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.portableFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog again and again and again",
+      2L -> "a" * 40,
+      3L -> "short",
+      4L -> "exactly twenty-three c",
+      5L -> (0 until 50).map(i => s"tok$i").mkString(" "))
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == reference(t), s"doc $id")
+    }
+    assert(reference(texts(1L)).nonEmpty && reference(texts(3L)).isEmpty)
+  }
+
+  test("portable fingerprint values stay in [0, 2^31)") {
+    val docs = Seq((1L, ('a' to 'z').mkString(" "))).toDF("doc_id", "text")
+    val vals = TextAnalysis.portableFingerprints(docs, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    assert(vals.nonEmpty && vals.forall(v => v >= 0 && v < p))
+  }
+}
