@@ -63,7 +63,16 @@ object QueriesEmbOracle {
     "q_dedup_embcos_oracle" -> ((s, dir) =>
       Dedup.embeddingNearDupGroups(
         base(s, dir).filter(pmod(col("vid"), lit(7L)) === 0),
-        "vid", "emb", threshold = 0.8)))
+        "vid", "emb", threshold = 0.8)),
+
+    "q_emb_ann_oracle" -> ((s, dir) => {
+      // multi-probe hyperplane ANN: the oracle embeds the exact plane
+      // coefficients as double literals and expresses the radius-1 probe set
+      // as bit_count(xor(bucket_q, bucket_c)) <= 1
+      val f = base(s, dir)
+      Similarity.annTopK(f, f.filter(pmod(col("vid"), lit(50L)) === 0),
+        "vid", "emb", k = 5, nBits = 8, probeRadius = 1)
+    }))
 
   // ---- oracle SQL (generated — 16 explicit dims keep DuckDB plan simple) --
 
@@ -90,10 +99,39 @@ object QueriesEmbOracle {
        |  FROM s)
        |SELECT qid, nid, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5""".stripMargin
 
+  /** per-plane signed projection, chained left-to-right in dimension order
+    * (matches the UDF's accumulation order bit for bit). */
+  private val annSql: String = {
+    val planes = Similarity.lshPlanes(8, 16)
+    val sCols = planes.zipWithIndex.map { case (cs, p) =>
+      cs.zipWithIndex.map { case (c, d) => s"v$d*(${c})" }.mkString(" + ") + s" AS s$p"
+    }.mkString(",\n    ")
+    val bucket = (0 until 8)
+      .map(p => s"(CASE WHEN s$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT o_orderkey AS k,
+       |    $vecSqlCols
+       |  FROM orders),
+       |sp AS (SELECT *,
+       |    $sCols
+       |  FROM b),
+       |bk AS (SELECT *, CAST($bucket AS BIGINT) AS bucket FROM sp),
+       |q AS (SELECT * FROM bk WHERE k%50=0),
+       |sc AS (SELECT q.k AS qid, c.k AS nid,
+       |  (${dotExpr("q", "c")})/(${normExpr("q")}*${normExpr("c")}) AS cos
+       |  FROM q JOIN bk c ON c.k <> q.k
+       |    AND BIT_COUNT(XOR(q.bucket, c.bucket)) <= 1),
+       |r AS (SELECT qid, nid, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |  FROM sc)
+       |SELECT qid, nid, CAST(rk AS INT) AS rank, ROUND(cos, 4) AS cos
+       |FROM r WHERE rk <= 5""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_emb_topk_oracle" -> topkSql,
     // IVF probing all cells is exactly the brute-force ranking
     "q_emb_ivf_oracle" -> topkSql,
+    "q_emb_ann_oracle" -> annSql,
 
     "q_dedup_embcos_oracle" ->
       s"""WITH RECURSIVE b AS (SELECT o_orderkey AS k,

@@ -72,6 +72,13 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** The fixed hyperplane coefficient matrix (plane, dim) — public so oracle
+    * SQL can embed the exact double literals and recompute the buckets
+    * (Double.toString round-trips, and the sign test is reproducible because
+    * both engines chain the products left-to-right in dimension order). */
+  def lshPlanes(nBits: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dims)(planeCoef)
+
   /** add an LSH `bucket` column: sign pattern against nBits hyperplanes. */
   def withLshBucket(df: DataFrame, embCol: String, nBits: Int = 12): DataFrame = {
     // dimension read from each vector (r2 hardcoded 64 — VERDICT r2 #8);
