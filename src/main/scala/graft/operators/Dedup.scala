@@ -224,11 +224,11 @@ object Dedup {
       "combination blocking keys narrow below 31 bits beyond hamming 3")
     val sig = withSimhash(docs, idCol, textCol, tokenHashFn)
     val keys = simhashKeyTable(sig, maxHamming).cache()
-    val popcnt = udf((x: Long) => java.lang.Long.bitCount(x))
     keys.as("x").join(keys.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        popcnt(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        // native bit_count stays in WholeStageCodegen (was a popcount UDF)
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -330,28 +330,7 @@ object Dedup {
     val base = Similarity.withNorm(
         docs.select(col(idCol).as("id"), col(embCol).as("emb")), "emb")
       .select(col("id"), col("vd"), col("vnorm"))
-    val aSide = (d: DataFrame) => d.select(
-      (Seq(col("id").as("a_id"), col("vd").as("avd"), col("vnorm").as("an")) ++
-        (if (nTables > 0) Seq(col("tbl"), col("bucket")) else Nil)): _*)
-    val bSide = (d: DataFrame) => d.select(
-      (Seq(col("id").as("b_id"), col("vd").as("bvd"), col("vnorm").as("bn")) ++
-        (if (nTables > 0) Seq(col("tbl"), col("bucket")) else Nil)): _*)
-    val candidates =
-      if (nTables <= 0)
-        aSide(base).join(bSide(base), col("a_id") < col("b_id"))
-      else {
-        // all nTables buckets in ONE corpus scan (an array per row), then
-        // posexplode to (tbl, bucket) — vs a unionByName of nTables scans
-        val keyed = Similarity.withLshBucketsAll(base, "vd", nBits, nTables)
-          .select(col("id"), col("vd"), col("vnorm"),
-            posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-        aSide(keyed).join(bSide(keyed), Seq("tbl", "bucket"))
-          .filter(col("a_id") < col("b_id"))
-          // a pair colliding in several tables is verified once; the key is
-          // scalar (no array hashing in the dedup shuffle)
-          .dropDuplicates("a_id", "b_id")
-      }
-    val edges = candidates
+    val edges = embeddingCandidates(base, nTables, nBits)
       .withColumn("cos",
         Similarity.dot(col("avd"), col("bvd")) / (col("an") * col("bn")))
       .filter(col("cos") >= threshold)
@@ -361,5 +340,33 @@ object Dedup {
     val comps = connectedComponents(edges, maxIter)
     docs.select(col(idCol).as("id")).join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("canonical_id"))
+  }
+
+  /** candidate (a_id, b_id) pairs with both vectors/norms attached — exposed
+    * for the plan-shape test: the multi-table path must be ONE bucketing
+    * pass posexploded (no per-table unions of corpus scans). */
+  private[operators] def embeddingCandidates(base: DataFrame, nTables: Int,
+                                             nBits: Int): DataFrame = {
+    val withKeys = nTables > 0
+    val aSide = (d: DataFrame) => d.select(
+      (Seq(col("id").as("a_id"), col("vd").as("avd"), col("vnorm").as("an")) ++
+        (if (withKeys) Seq(col("tbl"), col("bucket")) else Nil)): _*)
+    val bSide = (d: DataFrame) => d.select(
+      (Seq(col("id").as("b_id"), col("vd").as("bvd"), col("vnorm").as("bn")) ++
+        (if (withKeys) Seq(col("tbl"), col("bucket")) else Nil)): _*)
+    if (!withKeys)
+      aSide(base).join(bSide(base), col("a_id") < col("b_id"))
+    else {
+      // all nTables buckets in ONE corpus scan (an array per row), then
+      // posexplode to (tbl, bucket) — vs a unionByName of nTables scans
+      val keyed = Similarity.withLshBucketsAll(base, "vd", nBits, nTables)
+        .select(col("id"), col("vd"), col("vnorm"),
+          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      aSide(keyed).join(bSide(keyed), Seq("tbl", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        // a pair colliding in several tables is verified once; the key is
+        // scalar (no array hashing in the dedup shuffle)
+        .dropDuplicates("a_id", "b_id")
+    }
   }
 }

@@ -194,6 +194,18 @@ class DedupSpec extends AnyFunSuite {
     assert(dupPairs.subsetOf(lsh), s"missed dups: ${(dupPairs -- lsh).take(5)}")
   }
 
+  test("multi-table LSH candidates: one bucketing pass, no per-table unions") {
+    val docs = embDocs.toDF("doc_id", "emb")
+    val base = Similarity.withNorm(
+        docs.select(col("doc_id").as("id"), col("emb")), "emb")
+      .select(col("id"), col("vd"), col("vnorm"))
+    val plan = Dedup.embeddingCandidates(base, nTables = 8, nBits = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), plan.take(1500))
+    // one Generate (posexplode) per self-join side
+    assert("Generate".r.findAllMatchIn(plan).size == 2, plan.take(1500))
+  }
+
   test("connectedComponents: chains merge to min id, disjoint stay apart") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
     val comps = Dedup.connectedComponents(edges).collect()
