@@ -103,8 +103,9 @@ object Mvt {
    * Project a 3857 geometry into tile-local integer coordinates for
    * `bounds3857`, clipping to the buffered tile (buffer in tile units, 256
    * like PostGIS). Returns None when fully outside — the reference drops the
-   * row (ST_AsMVTGeom NULL). Points and 2+-point lines only (the tile
-   * features are centroids and centroid→centroid arrows).
+   * row (ST_AsMVTGeom NULL). Points and polylines (the tile features are
+   * centroids and 2-point centroid→centroid arrows; longer lines are clipped
+   * per segment, keeping the longest contiguous visible chain).
    */
   def asMvtGeom(g3857: Seq[(Double, Double)], isLine: Boolean, bounds3857: Envelope,
                 extent: Int = DefaultExtent, buffer: Int = DefaultBuffer): Option[(Int, Array[(Int, Int)])] = {
@@ -118,8 +119,28 @@ object Mvt {
     def inside(p: (Int, Int)) = p._1 >= lo && p._1 <= hi && p._2 >= lo && p._2 <= hi
     if (!isLine) {
       if (inside(local(0))) Some((GeomPoint, local)) else None
+    } else if (local.length < 2) {
+      None // degenerate 1-point "line" — drop, as ST_AsMVTGeom yields NULL
     } else {
-      clipSegment(local(0), local(1), lo, hi).map { case (a, b) => (GeomLine, Array(a, b)) }
+      // clip every consecutive segment and stitch contiguous survivors into
+      // chains; keep the longest (tile features are 2-point arrows, so this
+      // is the plain segment clip in practice — but a >2-point polyline now
+      // keeps all its visible vertices instead of being silently truncated
+      // to the first segment; multi-part output is out of scope for the
+      // tile sink, which never produces clip-split lines)
+      val chains = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+      var cur: scala.collection.mutable.ArrayBuffer[(Int, Int)] = null
+      var i = 0
+      while (i < local.length - 1) {
+        clipSegment(local(i), local(i + 1), lo, hi) match {
+          case Some((a, b)) =>
+            if (cur != null && cur.last == a) cur += b
+            else { cur = scala.collection.mutable.ArrayBuffer(a, b); chains += cur }
+          case None => cur = null
+        }
+        i += 1
+      }
+      if (chains.isEmpty) None else Some((GeomLine, chains.maxBy(_.length).toArray))
     }
   }
 

@@ -37,19 +37,36 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
       .drop("__c", "__rx", "__ry")
   }
 
-  /** full (re)write of all ranges. */
+  /** full (re)write of all ranges — STATIC overwrite, so ranges that vanished
+    * from the input (e.g. every feature of a cell was deleted upstream) have
+    * their stale partition directories deleted too; dynamic mode would leave
+    * them behind and read() would resurrect deleted rows. */
   def writeAll(matchDf: DataFrame, lineage: String): Unit = {
     val df = withRange(matchDf)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode(SaveMode.Overwrite).partitionBy("range").parquet(path)
     writeMetrics(lineage)
   }
 
-  /** recompute + overwrite ONLY the given ranges (idempotent resume). */
+  /** recompute + overwrite ONLY the given ranges (idempotent resume). The
+    * overwrite mode is scoped to THIS write via the DataFrameWriter option —
+    * mutating the session conf would silently flip every later partitioned
+    * overwrite in the session to dynamic semantics. A resumed range whose
+    * recompute came out empty is deleted explicitly (dynamic overwrite never
+    * touches partitions absent from the written frame). */
   def resume(matchDf: DataFrame, ranges: Seq[Long], lineage: String): Unit = {
-    val df = withRange(matchDf).filter(col("range").isin(ranges: _*))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy("range").parquet(path)
+    val df = withRange(matchDf).filter(col("range").isin(ranges: _*)).cache()
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("range").parquet(path)
+    val present = df.select("range").distinct().collect().map(_.getLong(0)).toSet
+    df.unpersist()
+    ranges.filterNot(present).foreach { r =>
+      val dir = Paths.get(path, s"range=$r")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
     // metrics over the RESUMED ranges only (partition-pruned) — a resume
     // must not re-scan the whole store
     writeMetrics(s"$lineage resume=[${ranges.mkString(",")}]", Some(ranges))
@@ -62,6 +79,29 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
   def ranges(): Seq[Long] =
     read().select("range").distinct().collect().map(_.getLong(0)).toSeq
 
+  /** proper JSON string escaping (same scheme as DeviationStore.q). */
+  private def q(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  /** next sequential metrics version: max existing + 1 (durable across JVM
+    * restarts — System.nanoTime has an arbitrary per-JVM origin and would
+    * mis-order runs after a restart). */
+  private def nextVersion(): Long = {
+    val dir = Paths.get(path, "_metrics")
+    if (!Files.exists(dir)) 1L
+    else {
+      val it = Files.list(dir).iterator()
+      var mx = 0L
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".json"))
+          scala.util.Try(n.stripSuffix(".json").toLong).foreach(v => mx = math.max(mx, v))
+      }
+      mx + 1
+    }
+  }
+
   private def writeMetrics(lineage: String, only: Option[Seq[Long]] = None): Unit = {
     val scoped = only match {
       case Some(rs) => read().filter(col("range").isin(rs: _*))
@@ -70,9 +110,9 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
     val counts = scoped.groupBy("range").count().collect()
       .map(r => s"""{"range":${r.getLong(0)},"rows":${r.getLong(1)}}""")
     Files.createDirectories(Paths.get(path, "_metrics"))
-    val v = System.nanoTime() // monotone version tag for the metrics file
+    val v = nextVersion()
     Files.write(Paths.get(path, "_metrics", s"$v.json"),
-      s"""{"lineage":"${lineage.replace("\"", "'")}","ranges":[${counts.mkString(",")}]}"""
+      s"""{"version":$v,"lineage":${q(lineage)},"ranges":[${counts.mkString(",")}]}"""
         .getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)

@@ -84,11 +84,20 @@ object Dedup {
     * O(|pairs| × shingles/doc), never a corpus self-join. */
   private def jaccardOfPairs(pairs: DataFrame, sh: DataFrame,
                              threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    pairs
+    val shared = pairs
       .join(sh.select(col("id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    jaccardTail(shared, sh, threshold)
+  }
+
+  /** shared tail of both Jaccard paths: attach set sizes, compute and
+    * threshold the coefficient (ONE formula/rounding contract to keep in
+    * sync with the oracle SQL). */
+  private def jaccardTail(shared: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    shared
       .join(sizes.select(col("id").as("a_id"), col("n_sh").as("na")), "a_id")
       .join(sizes.select(col("id").as("b_id"), col("n_sh").as("nb")), "b_id")
       .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
@@ -103,17 +112,11 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val sh = cappedShingles(docs, idCol, textCol, n, maxDocFreq).cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("x").join(sh.as("y"),
+    val shared = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("nb")), "b_id")
-      .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jac") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+    jaccardTail(shared, sh, threshold)
   }
 
   /**
@@ -294,7 +297,13 @@ object Dedup {
                     maxDocFreq: Long = Long.MaxValue,
                     hashFn: (Int, Column) => Column = defaultShingleHash,
                     bandHashFn: (Int, Seq[Column]) => Column = defaultBandHash): DataFrame = {
-    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val d0 = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    // null-text docs carry no content signal: they map to themselves (the
+    // md5 equi-join would otherwise null-reject them and DROP them from the
+    // returned mapping, so a keep-one filter would delete them outright)
+    val d = d0.filter(col("text").isNotNull)
+    val nullSelf = d0.filter(col("text").isNull)
+      .select(col("id"), col("id").as("canonical_id"))
     val withFp = d.withColumn("fp", md5(encode(col("text"), "UTF-8")))
     val repByFp = withFp.groupBy("fp").agg(min(col("id")).as("rep_id"))
     val mapped = withFp.join(repByFp, "fp").select(col("id"), col("rep_id")).cache()
@@ -306,6 +315,7 @@ object Dedup {
       .join(comps, Seq("id"), "left")
       .select(col("id").as("rep_id"), coalesce(col("comp"), col("id")).as("canonical_id"))
     mapped.join(repCanon, "rep_id").select(col("id"), col("canonical_id"))
+      .unionByName(nullSelf)
   }
 
   /**

@@ -46,11 +46,19 @@ object Raster {
     * (see streaming.StreamingIngest.streamingDensity). */
   def withPixel(df: DataFrame, lonCol: Column, latCol: Column,
                 z: Int, res: Int): DataFrame = {
-    val n = lit(gridSize(z, res).toDouble)
+    val nGrid = gridSize(z, res)
+    val n = lit(nGrid.toDouble)
     val latR = radians(latCol)
-    val gx = floor((lonCol + 180.0) / 360.0 * n).cast("long")
-    val gy = floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / 2.0 * n)
-      .cast("long")
+    // clamp to the web-mercator grid: lon=180 maps to column nGrid and
+    // |lat| beyond ±85.051° escapes [0, nGrid) vertically (bad-GPS rows in
+    // the streaming path would otherwise land in nonexistent tiles like
+    // tile_y = -1); clamping pins them to the edge pixel, matching the
+    // usual slippy-map convention
+    val gx = least(greatest(
+      floor((lonCol + 180.0) / 360.0 * n), lit(0.0)), lit((nGrid - 1).toDouble)).cast("long")
+    val gy = least(greatest(
+      floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / 2.0 * n),
+      lit(0.0)), lit((nGrid - 1).toDouble)).cast("long")
     df.withColumn("gx", gx).withColumn("gy", gy)
       .withColumn("px", pmod(col("gx"), lit(res.toLong)).cast("int"))
       .withColumn("py", pmod(col("gy"), lit(res.toLong)).cast("int"))

@@ -187,8 +187,10 @@ object Similarity {
                         trainMod: Long = 1L): Array[Array[Double]] = {
     val train0 = if (trainMod <= 1L) corpus
       else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    // cache: the init collect + every Lloyd round re-reads the training set
+    // otherwise (iters+1 full corpus scans at the 10^12-row design point)
     val train = withNorm(train0, embCol)
-      .select(col(idCol).as("id"), col("vd"), col("vnorm"))
+      .select(col(idCol).as("id"), col("vd"), col("vnorm")).cache()
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select("vd").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
@@ -211,6 +213,7 @@ object Similarity {
       }
       centroids = next
     }
+    train.unpersist()
     centroids
   }
 

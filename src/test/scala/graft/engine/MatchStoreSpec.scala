@@ -47,6 +47,33 @@ class MatchStoreSpec extends AnyFunSuite {
     // metrics present
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_metrics")).count() >= 2)
   }
+
+  test("writeAll deletes ranges absent from the new input; empty resume deletes the range") {
+    val dir = java.nio.file.Files.createTempDirectory("matchstore2").toString
+    val store = new MatchStore(spark, dir)
+    val pages = Pages.synthesize(spark, 3000L).cache()
+    val m = BenchPipeline.matchRows(pages).cache()
+    store.writeAll(m, "full")
+    val allRanges = store.ranges()
+    assert(allRanges.size >= 2)
+
+    // full rewrite WITHOUT one range: its partition dir must be gone (static
+    // overwrite; dynamic mode would leave the stale dir and resurrect rows)
+    val dropped = allRanges.max
+    // materialize on the driver before overwriting the same path (a lazy
+    // read-then-overwrite would recompute from deleted files)
+    val prev = store.read().filter(col("range") =!= dropped).drop("range")
+    val shrunk = spark.createDataFrame(
+      java.util.Arrays.asList(prev.collect(): _*), prev.schema)
+    store.writeAll(shrunk, "shrunk")
+    assert(!store.ranges().contains(dropped), "stale range partition survived writeAll")
+
+    // resume of a range whose recompute is EMPTY deletes that partition
+    val victim = store.ranges().head
+    store.resume(m.limit(0), Seq(victim), "empty-resume")
+    assert(!store.ranges().contains(victim), "empty resume left stale partition")
+    m.unpersist(); pages.unpersist()
+  }
 }
 
 /** tiny recursive delete helper */

@@ -194,6 +194,14 @@ class DedupSpec extends AnyFunSuite {
     assert(dupPairs.subsetOf(lsh), s"missed dups: ${(dupPairs -- lsh).take(5)}")
   }
 
+  test("dedupPipeline maps null-text docs to themselves instead of dropping them") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupPipeline(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("multi-table LSH candidates: one bucketing pass, no per-table unions") {
     val docs = embDocs.toDF("doc_id", "emb")
     val base = Similarity.withNorm(
