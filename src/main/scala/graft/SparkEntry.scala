@@ -142,7 +142,8 @@ object SparkEntry {
       QueriesGavleOracle.queries ++ QueriesMoreViewsOracle.queries ++
       QueriesTopo50Oracle.queries ++ QueriesEmbOracle.queries ++
       QueriesDedupOracle.queries ++
-      QueriesRaster.queries ++ pipelineQueries ++ datasetQueries
+      QueriesRaster.queries ++ QueriesStore.queries ++
+      pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based / synthesized-input
@@ -153,5 +154,5 @@ object SparkEntry {
       QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
       QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
       QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
-      QueriesRaster.oracle
+      QueriesRaster.oracle ++ QueriesStore.oracle
 }
