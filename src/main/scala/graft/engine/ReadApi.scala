@@ -95,14 +95,20 @@ object ReadApi {
     * deviations within 250 m of each deviation — k-ring kNN self-join.
     * `keyCol` must uniquely identify rows (e.g. a surrogate id). */
   def nearby(devs: DataFrame, keyCol: String, k: Int = 10, radius: Double = 250.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withC = SpatialJoin.withGeoMeta(devs.filter(col("center").isNotNull), "center")
+    // k+1 then RE-RANK after self-exclusion: with co-located deviations the
+    // dist-0 tie-break by key can sort self BEHIND another row, so the naive
+    // `rank - 1` would misnumber (0, 2, 3, ...) for such probes
+    val w = Window.partitionBy(col(s"p_$keyCol"))
+      .orderBy(col("dist"), col(s"b_$keyCol"))
     SpatialJoin.knn(
         build = withC, probe = withC,
         buildGeom = "center", probeGeom = "center",
         probeKey = keyCol, buildKey = keyCol,
         k = k + 1, radius = radius, cellSize = math.max(radius, 250.0))
       .filter(col(s"p_$keyCol") =!= col(s"b_$keyCol")) // exclude self
-      .withColumn("rank", col("rank") - 1)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 }

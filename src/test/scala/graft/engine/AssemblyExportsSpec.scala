@@ -145,4 +145,23 @@ class AssemblyExportsSpec extends AnyFunSuite {
     // within 250 m: 1<->2 (100 m), 2<->3 (50 m), 1<->3 (150 m); 4 isolated
     assert(nb == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L)), nb)
   }
+
+  test("nearby ranks stay 1..k when deviations are co-located (self not rank-1)") {
+    // three deviations at the SAME point: for probe key=2, the dist-0 ties
+    // sort (b_key 1, 2, 3) so self sits at rank 2 of the raw kNN — the rank
+    // must still come out 1..k after self-exclusion, not (0, 2)
+    val devs = Seq(
+      (1L, 1L, "T", "0001", pt(1000, 1000), 1L),
+      (1L, 1L, "T", "0001", pt(1000, 1000), 2L),
+      (1L, 1L, "T", "0001", pt(1000, 1000), 3L))
+      .toDF("dataset_id", "layer_id", "title", "municipality_code", "center", "key")
+    val nb = ReadApi.nearby(devs, "key", k = 10, radius = 250.0)
+      .select(col("p_key"), col("b_key"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(nb.length == 6)
+    nb.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(Array(1, 2)), s"probe $p ranks: ${rows.mkString(",")}")
+      assert(!rows.exists(_._2 == p), s"self pair leaked for $p")
+    }
+  }
 }
