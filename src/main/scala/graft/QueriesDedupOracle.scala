@@ -137,9 +137,9 @@ object QueriesDedupOracle {
          |  UNION
          |  SELECT e.u, r.lbl FROM reach r JOIN e ON e.v = r.id WHERE r.lbl < e.u),
          |comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
-         |SELECT c.doc_id AS id, cp.comp AS canonical_id
-         |FROM corpus c JOIN rep rp ON rp.text = c.text
-         |              JOIN comp cp ON cp.id = rp.rep_id""".stripMargin,
+         |SELECT c.doc_id AS id, COALESCE(cp.comp, c.doc_id) AS canonical_id
+         |FROM corpus c LEFT JOIN rep rp ON rp.text = c.text
+         |              LEFT JOIN comp cp ON cp.id = rp.rep_id""".stripMargin,
 
     "q_txt_fingerprint_oracle" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 23),

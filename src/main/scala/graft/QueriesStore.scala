@@ -57,8 +57,14 @@ object QueriesStore {
       store.resume(full.filter(col("r") =!= dead), targets,
         "gate: repair missing ranges + drop stale")
 
-      store.read().groupBy("range")
+      // materialize the (small, per-range) aggregate on the driver, then
+      // delete the temp store — repeated gate runs must not accumulate
+      // parquet trees under /tmp
+      val agg = store.read().groupBy("range")
         .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      val rows = agg.collect()
+      MatchStore.deleteRecursively(java.nio.file.Paths.get(path))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
     }))
 
   val oracle: Map[String, String] = Map(

@@ -118,7 +118,10 @@ object Mvt {
     val lo = -buffer; val hi = extent + buffer
     def inside(p: (Int, Int)) = p._1 >= lo && p._1 <= hi && p._2 >= lo && p._2 <= hi
     if (!isLine) {
-      if (inside(local(0))) Some((GeomPoint, local)) else None
+      // clip EVERY point (a multipoint keeps exactly its in-buffer members,
+      // as ST_AsMVTGeom does); empty input or all-outside -> None, not a crash
+      val kept = local.filter(inside)
+      if (kept.nonEmpty) Some((GeomPoint, kept)) else None
     } else if (local.length < 2) {
       None // degenerate 1-point "line" — drop, as ST_AsMVTGeom yields NULL
     } else {

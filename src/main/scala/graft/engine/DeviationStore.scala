@@ -111,7 +111,7 @@ class DeviationStore(spark: SparkSession, path: String) {
     d.unpersist()
   }
 
-  private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def q(s: String) = graft.core.Json.quote(s)
 
   /**
    * sync_deviations(view): merge `newDevs` (output of DeviationView.deviations,

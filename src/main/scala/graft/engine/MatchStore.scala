@@ -17,9 +17,16 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  *    overwrites only them — byte-stable because every stage is deterministic.
  *
  * On a cluster this maps onto Iceberg identity-partitioned tables +
- * overwritePartitions; here the layout is plain parquet `range=<id>` dirs.
+ * overwritePartitions; here the layout is plain parquet `data/range=<id>`
+ * dirs beside `_metrics/` (data and metadata separated, as Iceberg does).
  */
 class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 100000.0) {
+
+  /** data lives in its own subdir so writeAll's STATIC overwrite replaces the
+    * table without wiping `_metrics/` (which would reset the version sequence
+    * and destroy lineage history) — the parquet analog of Iceberg's
+    * data/ vs metadata/ split. */
+  private val dataPath = s"$path/data"
 
   private val rangeCol = {
     // coarse range id from the feature centroid (upstream side if present,
@@ -43,7 +50,7 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
     * them behind and read() would resurrect deleted rows. */
   def writeAll(matchDf: DataFrame, lineage: String): Unit = {
     val df = withRange(matchDf)
-    df.write.mode(SaveMode.Overwrite).partitionBy("range").parquet(path)
+    df.write.mode(SaveMode.Overwrite).partitionBy("range").parquet(dataPath)
     writeMetrics(lineage)
   }
 
@@ -57,15 +64,11 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
     val df = withRange(matchDf).filter(col("range").isin(ranges: _*)).cache()
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("range").parquet(path)
+      .partitionBy("range").parquet(dataPath)
     val present = df.select("range").distinct().collect().map(_.getLong(0)).toSet
     df.unpersist()
     ranges.filterNot(present).foreach { r =>
-      val dir = Paths.get(path, s"range=$r")
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      MatchStore.deleteRecursively(Paths.get(dataPath, s"range=$r"))
     }
     // metrics over the RESUMED ranges only (partition-pruned) — a resume
     // must not re-scan the whole store
@@ -74,15 +77,12 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
 
   /** partition-dir values are re-inferred as int on read — pin long. */
   def read(): DataFrame =
-    spark.read.parquet(path).withColumn("range", col("range").cast("long"))
+    spark.read.parquet(dataPath).withColumn("range", col("range").cast("long"))
 
   def ranges(): Seq[Long] =
     read().select("range").distinct().collect().map(_.getLong(0)).toSeq
 
-  /** proper JSON string escaping (same scheme as DeviationStore.q). */
-  private def q(s: String) =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+  private def q(s: String) = graft.core.Json.quote(s)
 
   /** next sequential metrics version: max existing + 1 (durable across JVM
     * restarts — System.nanoTime has an arbitrary per-JVM origin and would
@@ -91,14 +91,17 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
     val dir = Paths.get(path, "_metrics")
     if (!Files.exists(dir)) 1L
     else {
-      val it = Files.list(dir).iterator()
-      var mx = 0L
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.endsWith(".json"))
-          scala.util.Try(n.stripSuffix(".json").toLong).foreach(v => mx = math.max(mx, v))
-      }
-      mx + 1
+      val st = Files.list(dir) // closed below: Files.list holds an open fd
+      try {
+        var mx = 0L
+        val it = st.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.endsWith(".json"))
+            scala.util.Try(n.stripSuffix(".json").toLong).foreach(v => mx = math.max(mx, v))
+        }
+        mx + 1
+      } finally st.close()
     }
   }
 
@@ -117,4 +120,15 @@ class MatchStore(spark: SparkSession, path: String, rangeCellMeters: Double = 10
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
   }
+}
+
+object MatchStore {
+  /** recursive delete with the Files.walk stream properly closed. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally st.close()
+    }
 }

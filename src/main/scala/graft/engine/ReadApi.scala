@@ -24,6 +24,17 @@ object ReadApi {
       .agg(min(col("cx")).as("min_x"), min(col("cy")).as("min_y"),
            max(col("cx")).as("max_x"), max(col("cy")).as("max_y"))
 
+  /** api.extent(api.municipality) (08-api-base.sql:29-34): bbox of the
+    * municipality's OWN geometry — the PG overload is IMMUTABLE over one
+    * row, so this is a per-row envelope, not an aggregate. Shuffle-free. */
+  def municipalityExtent(munis: DataFrame, geomCol: String = "geom"): DataFrame =
+    munis
+      // one WKB decode per row: the struct is named once, fields projected out
+      .withColumn("__env", graft.functions.GeoFunctions.stEnvelope(col(geomCol)))
+      .select(munis.columns.map(col) ++ Seq(
+        col("__env._1").as("min_x"), col("__env._2").as("min_y"),
+        col("__env._3").as("max_x"), col("__env._4").as("max_y")): _*)
+
   /** api.region seed (08c-regions.sql) — the 21 Swedish regions; data values
     * the region_name lookup semantics require (like the operator-translation
     * table, equivalent to a golden fixture). Codes 02/11/15/16 are unassigned

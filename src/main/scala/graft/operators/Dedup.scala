@@ -116,7 +116,11 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
-    jaccardTail(shared, sh, threshold)
+    // materialize the (small) pair output, then free the shingle cache — a
+    // lazy return would leave it pinned in executor storage for the session
+    val out = jaccardTail(shared, sh, threshold).localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /**
@@ -134,7 +138,12 @@ object Dedup {
                       hashFn: (Int, Column) => Column = defaultShingleHash,
                       bandHashFn: (Int, Seq[Column]) => Column = defaultBandHash): DataFrame = {
     val sh = cappedShingles(docs, idCol, textCol, n, maxDocFreq).cache()
-    jaccardOfPairs(lshCandidates(sh, numHashes, bands, hashFn, bandHashFn), sh, threshold)
+    // materialize, then free the shingle cache (see jaccardPairs)
+    val out = jaccardOfPairs(
+      lshCandidates(sh, numHashes, bands, hashFn, bandHashFn), sh, threshold)
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** production minhash member i (xxhash64-seeded, full 64-bit spread). */
@@ -227,13 +236,19 @@ object Dedup {
       "combination blocking keys narrow below 31 bits beyond hamming 3")
     val sig = withSimhash(docs, idCol, textCol, tokenHashFn)
     val keys = simhashKeyTable(sig, maxHamming).cache()
-    keys.as("x").join(keys.as("y"),
+    val out = keys.as("x").join(keys.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         // native bit_count stays in WholeStageCodegen (was a popcount UDF)
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: a pair colliding on any of the 20 combination
+      // keys but differing by > maxHamming bits would otherwise carry up to
+      // 20 duplicate rows through the distinct's shuffle just to be dropped
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .localCheckpoint(true) // materialize, then free the 20-keys/doc cache
+    keys.unpersist()
+    out
   }
 
   /**
@@ -314,8 +329,14 @@ object Dedup {
     val repCanon = mapped.select(col("rep_id").as("id")).distinct()
       .join(comps, Seq("id"), "left")
       .select(col("id").as("rep_id"), coalesce(col("comp"), col("id")).as("canonical_id"))
-    mapped.join(repCanon, "rep_id").select(col("id"), col("canonical_id"))
+    // materialize the final (id, canonical_id) mapping, then free the
+    // exact-collapse cache (it is read twice above; a lazy return would
+    // leave it pinned for the session)
+    val out = mapped.join(repCanon, "rep_id").select(col("id"), col("canonical_id"))
       .unionByName(nullSelf)
+      .localCheckpoint(true)
+    mapped.unpersist()
+    out
   }
 
   /**

@@ -35,9 +35,15 @@ object StreamingIngest {
         col("n_events"), col("sum_value"))
   }
 
-  def startEventsHourly(spark: SparkSession, eventsDir: String, queryName: String): StreamingQuery =
+  /** `outputMode` defaults to `update` — the mode under which the watermark
+    * actually evicts closed windows from the state store. `complete` keeps
+    * ALL windows in state forever (eviction is disabled by definition) and is
+    * only sound for finite AvailableNow replays into a memory sink, where the
+    * parity tests pass it explicitly. */
+  def startEventsHourly(spark: SparkSession, eventsDir: String, queryName: String,
+                        outputMode: String = "update"): StreamingQuery =
     eventsHourly(spark, eventsDir).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -50,7 +56,9 @@ object StreamingIngest {
    * aggregation's codegen; state is bounded by open-windows × occupied
    * pixels and the watermark evicts closed windows — at the 10^12-row
    * design point the state store never holds more than one watermark-delay's
-   * worth of pixel rows per window.
+   * worth of pixel rows per window. The eviction bound holds only under
+   * `update`/`append` output modes — `complete` mode keeps every window in
+   * state forever, so the start helpers default to `update`.
    */
   def streamingDensity(pts: DataFrame, tsCol: String,
                        lonCol: org.apache.spark.sql.Column,
@@ -68,14 +76,16 @@ object StreamingIngest {
       .select(col("w.start").as("hour"), col("tile_x"), col("tile_y"),
         col("px"), col("py"), col("density"))
 
+  /** see `startEventsHourly` for the `outputMode` contract. */
   def startStreamingDensity(spark: SparkSession, eventsDir: String, queryName: String,
                             lonCol: org.apache.spark.sql.Column,
                             latCol: org.apache.spark.sql.Column,
-                            z: Int = 14, res: Int = 256): StreamingQuery = {
+                            z: Int = 14, res: Int = 256,
+                            outputMode: String = "update"): StreamingQuery = {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
     streamingDensity(stream, "ts", lonCol, latCol, z, res).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

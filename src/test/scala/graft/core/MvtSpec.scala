@@ -117,5 +117,15 @@ class MvtSpec extends AnyFunSuite {
     assert(t == Mvt.GeomLine && cs(0) == (-256, 2048) && cs(1) == (4352, 2048))
     // a line fully outside -> dropped
     assert(Mvt.asMvtGeom(Seq((-2000.0, -2000.0), (-1500.0, -1800.0)), isLine = true, bounds).isEmpty)
+    // multipoint: first point outside, second inside -> the visible point is
+    // KEPT (not dropped with the whole feature); first-inside/rest-outside
+    // keeps only the in-buffer member (no out-of-extent coords emitted)
+    assert(Mvt.asMvtGeom(Seq((-400.0, 2048.0), (2048.0, 2048.0)), isLine = false, bounds)
+      .get._2.sameElements(Array((2048, 2048))))
+    assert(Mvt.asMvtGeom(Seq((2048.0, 2048.0), (9999.0, 2048.0)), isLine = false, bounds)
+      .get._2.sameElements(Array((2048, 2048))))
+    // all outside / empty -> None, not a crash
+    assert(Mvt.asMvtGeom(Seq((-400.0, 2048.0), (9999.0, 0.0)), isLine = false, bounds).isEmpty)
+    assert(Mvt.asMvtGeom(Seq.empty, isLine = false, bounds).isEmpty)
   }
 }

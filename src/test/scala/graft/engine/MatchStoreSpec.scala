@@ -28,8 +28,8 @@ class MatchStoreSpec extends AnyFunSuite {
     // wipe the victim partition on disk, then resume just that range
     // (drop the cache first — it would otherwise serve the deleted files)
     before.unpersist(blocking = true)
-    val vdir = java.nio.file.Paths.get(dir, s"range=$victim")
-    Files.walkDelete(vdir)
+    val vdir = java.nio.file.Paths.get(dir, "data", s"range=$victim")
+    MatchStore.deleteRecursively(vdir)
     assert(store.read().filter(col("range") === victim).count() == 0)
 
     store.resume(BenchPipeline.matchRows(pages), Seq(victim), "test")
@@ -72,17 +72,20 @@ class MatchStoreSpec extends AnyFunSuite {
     val victim = store.ranges().head
     store.resume(m.limit(0), Seq(victim), "empty-resume")
     assert(!store.ranges().contains(victim), "empty resume left stale partition")
-    m.unpersist(); pages.unpersist()
-  }
-}
 
-/** tiny recursive delete helper */
-object Files {
-  def walkDelete(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-    }
+    // writeAll's static overwrite is scoped to data/: the metrics version
+    // sequence (lineage history) survives full rewrites — writeAll, writeAll,
+    // resume must have produced versions 1..3, not a reset-to-1
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_metrics"))
+    val versions =
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+        st.iterator().forEachRemaining(p =>
+          b += p.getFileName.toString.stripSuffix(".json").toLong)
+        b.sorted.toSeq
+      } finally st.close()
+    assert(versions == Seq(1L, 2L, 3L),
+      s"writeAll wiped or reset the metrics history: $versions")
+    m.unpersist(); pages.unpersist()
   }
 }

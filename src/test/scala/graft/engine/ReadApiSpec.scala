@@ -58,6 +58,16 @@ class ReadApiSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("project_link") == "https://example.org/projekt")
   }
 
+  test("municipality extent: per-row bbox of the muni's own geometry") {
+    // 08-api-base.sql:29-34 — ST_Extent($1.geom) over ONE row, not an agg
+    val tri = Geom.toWkb(Geom.fromWkt("POLYGON ((0 0, 10 0, 5 8, 0 0))"))
+    val munis = Seq(("2180", "Gävle", tri)).toDF("code", "name", "geom")
+    val r = ReadApi.municipalityExtent(munis).head()
+    assert(r.getAs[Double]("min_x") == 0.0 && r.getAs[Double]("min_y") == 0.0)
+    assert(r.getAs[Double]("max_x") == 10.0 && r.getAs[Double]("max_y") == 8.0)
+    assert(r.getAs[String]("code") == "2180", "input columns pass through")
+  }
+
   test("osm_geom: deviation -> current element geometry, NULL when missing") {
     val g1 = Geom.toWkb(Geom.point(10.0, 20.0))
     val elements = Seq(("n", 7L, g1)).toDF("type", "id", "geom")

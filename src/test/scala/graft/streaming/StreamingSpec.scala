@@ -49,6 +49,45 @@ class StreamingSpec extends AnyFunSuite {
       "every (window, pixel) cell must agree between stream and batch")
   }
 
+  test("update-mode density across two micro-batches: last update per key == batch") {
+    // complete mode would disable watermark eviction (state grows with every
+    // window ever seen); this drives the PRODUCTION default — update mode,
+    // two time-ordered micro-batches — and checks the re-emitted aggregates
+    // converge on the batch answer (density is a count, so the final value
+    // per key is the max over its update emissions)
+    val evDir = java.nio.file.Files.createTempDirectory("events_u").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartitionByRange(2, col("ts")) // part-0 = early rows, part-1 = late
+      .write.mode("overwrite").parquet(evDir)
+    def lon = lit(11.0) + pmod(col("event_id"), lit(50L)) * 0.1
+    def lat = lit(55.0) + pmod(col("event_id"), lit(50L)) * 0.2
+    val schema = spark.read.parquet(evDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(evDir)
+    val q = StreamingIngest.streamingDensity(stream, "ts", lon, lat, z = 14, res = 16)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dens_upd")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "the file split must actually produce two micro-batches")
+    val streamed = spark.sql("SELECT * FROM dens_upd")
+      .groupBy("hour", "tile_x", "tile_y", "px", "py")
+      .agg(max(col("density")).as("density"))
+    val batch = graft.operators.Raster.withPixel(
+        spark.read.parquet(evDir), lon, lat, 14, 16)
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        col("tile_x"), col("tile_y"), col("px"), col("py"))
+      .agg(count(lit(1)).as("density"))
+      .select(col("w.start").as("hour"), col("tile_x"), col("tile_y"),
+        col("px"), col("py"), col("density"))
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("hour", "tile_x", "tile_y", "px", "py"), "full_outer")
+    assert(joined.filter(col("s.density") =!= col("b.density") ||
+      col("s.density").isNull || col("b.density").isNull).count() == 0,
+      "update-mode final state must equal the batch rasterization")
+  }
+
   test("foreachBatch deviation sync is incremental (frontier-scoped) and replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("stream_pages").toString
     val storeDir = java.nio.file.Files.createTempDirectory("stream_store").toString
