@@ -69,8 +69,8 @@ object QueriesRaster {
     // match rows rasterized onto z14 tiles (sweref -> lon/lat projection is
     // the engine's own series expansion -> rows-only check)
     "q_pipe_raster" -> ((s, _) => {
-      val m = graft.engine.BenchPipeline.matchRows(
-        graft.sources.Pages.synthesize(s, 3000L))
+      val (osm, ups) = graft.engine.BenchPipeline.sharedInputs(s, 3000L)
+      val m = graft.engine.BenchPipeline.matchRowsFrom(osm, ups)
       val withC = m.withColumn("_c",
         graft.functions.GeoFunctions.stCentroid(
           coalesce(col("upstream_geom"), col("osm_geom"))))
@@ -127,10 +127,12 @@ object QueriesRaster {
          |px2 AS (SELECT r.*, lab.region FROM r JOIN lab ON r.gy*262144+r.gx=lab.p)
          |SELECT region AS global_region,
          |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
-         |  CAST(SUM(density) AS BIGINT) AS density,
+         |  CAST(SUM(density) AS DOUBLE) AS density,
          |  CAST(COUNT(DISTINCT tile_x*262144+tile_y) AS BIGINT) AS n_tiles,
          |  MIN(gx) AS gx_min, MIN(gy) AS gy_min, MAX(gx) AS gx_max, MAX(gy) AS gy_max
          |FROM px2 GROUP BY 1""".stripMargin,
+    // density is DOUBLE in both regions oracles: the operator keeps density
+    // as double (weighted rasters carry fractions; counts are exact in double)
     "q_raster_regions" ->
       s"""WITH RECURSIVE $sqlGrid,
          |r AS (SELECT * FROM rast WHERE density >= $MinDensity),
@@ -150,7 +152,7 @@ object QueriesRaster {
          |   AND r.py*16+r.px=lab.p)
          |SELECT tile_x, tile_y, region,
          |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
-         |  CAST(SUM(density) AS BIGINT) AS density,
+         |  CAST(SUM(density) AS DOUBLE) AS density,
          |  MIN(px) AS px_min, MIN(py) AS py_min, MAX(px) AS px_max, MAX(py) AS py_max,
          |  (tile_x*16 + MIN(px)) * (2.0*PI()*6378137.0/262144.0) - (2.0*PI()*6378137.0)/2.0 AS env_min_x,
          |  (tile_x*16 + MAX(px) + 1) * (2.0*PI()*6378137.0/262144.0) - (2.0*PI()*6378137.0)/2.0 AS env_max_x,

@@ -15,6 +15,9 @@ object SparkEntry {
 
   /** Geospatial engine exposed through the gate on synthesized pages.
     * xxhash-seeded synthesis isn't reproducible in DuckDB -> rows-only. */
+  private def pipeInputs(s: SparkSession) =
+    graft.engine.BenchPipeline.sharedInputs(s, 3000L)
+
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipe_extract" -> ((s, _) => {
       val pages = graft.sources.Pages.synthesize(s, 3000L)
@@ -23,25 +26,25 @@ object SparkEntry {
           graft.functions.GeoFunctions.tagsToJson(col("tags")).as("tags_json"))
     }),
     "q_pipe_match" -> ((s, _) => {
-      val pages = graft.sources.Pages.synthesize(s, 3000L)
-      graft.engine.BenchPipeline.matchRows(pages, saltThreshold = 200L)
+      val (osm, ups) = pipeInputs(s)
+      graft.engine.BenchPipeline.matchRowsFrom(osm, ups, saltThreshold = 200L)
         .select(idsToStr(col("upstream_item_ids")).as("upstream_item_ids"),
           col("osm_element_id"),
           col("osm_element_type"), round(col("dist"), 3).as("dist"))
     }),
     "q_pipe_deviations" -> ((s, _) => {
-      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      val (osm, ups) = pipeInputs(s)
       graft.engine.BenchPipeline
-        .deviations(graft.engine.BenchPipeline.matchRows(pages))
+        .deviations(graft.engine.BenchPipeline.matchRowsFrom(osm, ups))
         .select(col("dataset_id"), col("layer_id"),
           idsToStr(col("upstream_item_ids")).as("upstream_item_ids"),
           col("osm_element_id"), col("osm_element_type"), col("title"),
           graft.functions.GeoFunctions.tagsToJson(col("suggested_tags")).as("suggested_tags_json"))
     }),
     "q_pipe_tiles" -> ((s, _) => {
-      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      val (osm, ups) = pipeInputs(s)
       graft.engine.Tiles
-        .tileAssignment(graft.engine.BenchPipeline.matchRows(pages), z = 14)
+        .tileAssignment(graft.engine.BenchPipeline.matchRowsFrom(osm, ups), z = 14)
         .select(col("tile_x"), col("tile_y"), col("z"), col("state"),
           col("osm_element_id"),
           idsToStr(col("upstream_item_ids")).as("upstream_item_ids"))
@@ -93,10 +96,11 @@ object SparkEntry {
     // S6 byte sink: real MVT 2.1 blobs per tile (feature order pinned, so
     // bytes are deterministic); projected to counts+length for the harness
     "q_pipe_mvt" -> ((s, _) => {
-      val pages = graft.sources.Pages.synthesize(s, 3000L)
+      val (osm, ups) = pipeInputs(s)
       graft.engine.Tiles
         .mvtTiles(graft.engine.Tiles.tileAssignment(
-          graft.engine.BenchPipeline.matchRows(pages), z = 14))
+          graft.engine.BenchPipeline.matchRowsFrom(osm, ups), z = 14),
+          tagsJsonCol = Some("tags_json")) // reference ST_AsMVT attrs 12:88-92
         .select(col("z"), col("tile_x"), col("tile_y"), col("n_features"),
           length(col("mvt")).as("mvt_bytes"))
     }))

@@ -72,8 +72,26 @@ object BenchPipeline {
                 cacheInputs: Boolean = true): DataFrame = {
     val (osm0, ups0) = extract(pages)
     val (osm, ups) = if (cacheInputs) (osm0.cache(), ups0.cache()) else (osm0, ups0)
-    MatchEngine.matchView(osm, ups, config(saltThreshold))
+    matchRowsFrom(osm, ups, saltThreshold)
   }
+
+  /** match over ALREADY-extracted (and caller-cached) sides — lets several
+    * gate queries share ONE cached input pair instead of each `matchRows`
+    * call pinning a fresh never-freed pair for the session. */
+  def matchRowsFrom(osm: DataFrame, ups: DataFrame,
+                    saltThreshold: Long = Long.MaxValue): DataFrame =
+    MatchEngine.matchView(osm, ups, config(saltThreshold))
+
+  /** memoized extracted inputs for the driver-gate entries: the five
+    * q_pipe_* queries consume the same synthesized corpus within one
+    * session — one shared cached pair replaces five leaked ones. */
+  private val sharedInputCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long), (DataFrame, DataFrame)]()
+  def sharedInputs(spark: SparkSession, nSites: Long = 3000L): (DataFrame, DataFrame) =
+    sharedInputCache.computeIfAbsent((spark, nSites), { case (s, n) =>
+      val (osm, ups) = extract(Pages.synthesize(s, n))
+      (osm.cache(), ups.cache())
+    })
 
   def deviations(matchDf: DataFrame): DataFrame =
     DeviationView.deviations(matchDf, DeviationConfig(
@@ -99,8 +117,9 @@ object BenchPipeline {
     val all = DeviationView.deviations(m, DeviationConfig(
       datasetId = Pages.BenchDatasetId, layerId = 1L, viewName = "bench_pois",
       titles = titles, postFilter = CustomFilter(lit(true))))
-      .withColumn("emitted",
-        (col("osm_element_id").isNull || size(col("suggested_tags")) > 0).cast("long"))
+      // SAME predicate object the production view filters by — an inline
+      // re-statement here could silently count a different population
+      .withColumn("emitted", MissingOrDiffNonEmpty.pred.cast("long"))
     val r = all.agg(count(lit(1)).as("m"), sum(col("emitted")).as("d")).collect()(0)
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }

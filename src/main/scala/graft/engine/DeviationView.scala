@@ -27,14 +27,25 @@ object DeviationView {
       possiblyClosed: Option[(String, String)],
       missingTags: (String, String))
 
-  sealed trait PostFilter
+  /** Each variant carries its predicate so every consumer (the view filter,
+    * BenchPipeline's emitted-flag counting) evaluates the SAME expression —
+    * a re-implementation could silently diverge from what the view emits. */
+  sealed trait PostFilter { def pred: Column }
   /** WHERE osm_tags IS NULL OR upstream_tags IS NULL OR tag_diff <> '{}' (14:62) */
-  case object DiffNonEmptyOrEitherNull extends PostFilter
+  case object DiffNonEmptyOrEitherNull extends PostFilter {
+    def pred: Column = col("osm_tags").isNull || col("ups_tags").isNull ||
+      size(col("suggested_tags")) > 0
+  }
   /** WHERE osm_element_id IS NULL OR suggested_tags <> '{}' (12:69) */
-  case object MissingOrDiffNonEmpty extends PostFilter
+  case object MissingOrDiffNonEmpty extends PostFilter {
+    def pred: Column = col("osm_element_id").isNull || size(col("suggested_tags")) > 0
+  }
   /** WHERE osm IS NULL OR ids IS EMPTY OR diff <> '{}' (36:74) — keeps all
     * three states including the anti leg */
-  case object MissingOrClosedOrDiffNonEmpty extends PostFilter
+  case object MissingOrClosedOrDiffNonEmpty extends PostFilter {
+    def pred: Column = col("osm_element_id").isNull ||
+      size(col("upstream_item_ids")) === 0 || size(col("suggested_tags")) > 0
+  }
   /** custom column predicate over the pre-projection frame */
   final case class CustomFilter(pred: Column) extends PostFilter
 
@@ -105,17 +116,7 @@ object DeviationView {
         when(col("osm_element_id").isNull, col("upstream_geom"))
           .otherwise(lit(null).cast("binary")))
 
-    val filtered = cfg.postFilter match {
-      case DiffNonEmptyOrEitherNull =>
-        withDiff.filter(col("osm_tags").isNull || col("ups_tags").isNull ||
-          size(col("suggested_tags")) > 0)
-      case MissingOrDiffNonEmpty =>
-        withDiff.filter(col("osm_element_id").isNull || size(col("suggested_tags")) > 0)
-      case MissingOrClosedOrDiffNonEmpty =>
-        withDiff.filter(col("osm_element_id").isNull ||
-          size(col("upstream_item_ids")) === 0 || size(col("suggested_tags")) > 0)
-      case CustomFilter(pred) => withDiff.filter(pred)
-    }
+    val filtered = withDiff.filter(cfg.postFilter.pred)
 
     val (mT, mD) = cfg.titles.missing
     val (tT, tD) = cfg.titles.missingTags

@@ -44,19 +44,23 @@ object Incremental {
    * INSERT but reads OLD — the set-based semantics implemented here are the
    * intended ones.)
    */
+  /** surrogate row key: NULLS-NOT-DISTINCT uniq tuple as a hash — avoids both
+    * null-eq pitfalls and ambiguous self-join references. ONE definition for
+    * every incremental path (invalidation + edit merge) so they can never
+    * disagree on row identity. */
+  private def withK(d: DataFrame): DataFrame =
+    d.withColumn("__k", sha2(to_json(struct(
+      (DeviationStore.keyCols :+ "view_name").map(col): _*)), 256))
+
   def invalidateReplacedItems(store: DeviationStore, replacedIds: DataFrame): Long = {
     val ids = replacedIds.select(col("id").as("__iid")).distinct().cache()
     val deleted = store.views.map { view =>
       val dev = store.latestFor(view)
-      val hitKeys = dev
-        .withColumn("__k", sha2(to_json(struct(
-          (DeviationStore.keyCols :+ "view_name").map(col): _*)), 256))
+      val hitKeys = withK(dev)
         .withColumn("__iid", explode(col("upstream_item_ids")))
         .join(ids, Seq("__iid"), "left_semi")
         .select("__k").distinct()
-      val keep = dev
-        .withColumn("__k", sha2(to_json(struct(
-          (DeviationStore.keyCols :+ "view_name").map(col): _*)), 256))
+      val keep = withK(dev)
         .join(hitKeys, Seq("__k"), "left_anti")
         .drop("__k")
       val n = hitKeys.count()
@@ -108,6 +112,13 @@ object Incremental {
         "inner").drop("e_id", "e_type")
     }.getOrElse(dev.limit(0))
 
+    // QUIRK PARITY (15:172-180): the reference's tag_diff never returns NULL
+    // (it coalesces to '{}'), so no view writer ever stores NULL
+    // suggested_tags and the delete trigger's both-NULL "mark fixed" branch
+    // is dead in the reference too; likewise an anti-leg row (ids = [],
+    // array_length = NULL in PG) matches NEITHER branch and keeps its
+    // dangling element reference after a delete. Both behaviors reproduced
+    // deliberately.
     val delFixed = onDeleted.filter(col("suggested_geom").isNull && col("suggested_tags").isNull)
     val delRecalc = onDeleted.filter(
       !(col("suggested_geom").isNull && col("suggested_tags").isNull) &&
@@ -141,29 +152,50 @@ object Incremental {
     }.getOrElse(dev.limit(0))
 
     val key = DeviationStore.keyCols :+ "view_name"
-    // surrogate key: NULLS-NOT-DISTINCT uniq tuple as a hash — avoids both
-    // null-eq pitfalls and ambiguous self-join references
-    def withK(d: DataFrame): DataFrame =
-      d.withColumn("__k", sha2(to_json(struct(key.map(col): _*)), 256))
 
+    // toRecalc is read FOUR times (match join, unmatched split, counts,
+    // touchedKeys) — cache it; it is bounded by the edit batch's dirty rows
     val toRecalc = withK(delRecalc.unionByName(updRecalc).unionByName(insRecalc)
-      .dropDuplicates(key))
+      .dropDuplicates(key)).cache()
     val toFix = delFixed.unionByName(updFixed).dropDuplicates(key)
 
     // --- recalculate against the fresh view ---
-    val view = recomputeView().withColumn("view_name", lit(viewName))
+    // cache the recompute: it feeds both the counts action and commitView's
+    // write — uncached, the (dominant) view recompute ran twice per batch.
+    // The reference materializes the same thing (mv_match + the view scan).
+    val view = recomputeView().withColumn("view_name", lit(viewName)).cache()
     val vk = view.columns.foldLeft(view)((d, c) => d.withColumnRenamed(c, "v_" + c))
+    // The reference matches `upstream_item_ids = $1.upstream_item_ids OR
+    // (element equality)` (15:73-75) — but PG's `'{}' = '{}'` is TRUE, and
+    // SELECT INTO then picks ONE arbitrary row. A join form must NOT
+    // replicate the empty-to-empty disjunct: it would cross-match every
+    // anti-leg row of the view (same dataset/layer, ids = []) instead of
+    // picking one. Anti-leg rows carry their identity in the element columns,
+    // so the element disjunct alone finds the intended row deterministically.
     val matchCond =
       col("dataset_id") === col("v_dataset_id") &&
       col("layer_id") === col("v_layer_id") && (
-        col("upstream_item_ids") <=> col("v_upstream_item_ids") ||
+        (size(col("upstream_item_ids")) > 0 &&
+         col("upstream_item_ids") <=> col("v_upstream_item_ids")) ||
         (col("osm_element_id").isNotNull &&
          col("osm_element_id") <=> col("v_osm_element_id") &&
          col("osm_element_type") <=> col("v_osm_element_type")))
 
     val joined = toRecalc.join(vk, matchCond, "left")
 
+    // ONE view row per recalculated deviation, like the reference's SELECT
+    // INTO (15:73) — but deterministic: prefer the ids-equality match, then
+    // order by the view row's identity columns. Without this, a store row
+    // whose item re-matched a new element AND whose old element is still in
+    // the view would emit TWO updates where the reference writes one.
+    val pickW = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(
+        (!(col("upstream_item_ids") <=> col("v_upstream_item_ids"))).cast("int"),
+        element_at(col("v_upstream_item_ids"), 1).asc_nulls_last,
+        col("v_osm_element_id").asc_nulls_last, col("v_osm_element_type"))
     val matched = joined.filter(col("v_dataset_id").isNotNull)
+      .withColumn("__pick", row_number().over(pickW))
+      .filter(col("__pick") === 1)
       .select(
         col("dataset_id"), col("layer_id"),
         col("upstream_item_ids"),
@@ -176,7 +208,7 @@ object Incremental {
         col("note"), col("view_name"), col("center"),
         col("municipality_code"), col("action"), col("action_at"))
       .dropDuplicates(Seq("dataset_id", "layer_id", "upstream_item_ids",
-        "osm_element_id", "osm_element_type")) // SELECT INTO takes one row
+        "osm_element_id", "osm_element_type")) // store key stays unique
 
     val unmatched = joined.filter(col("v_dataset_id").isNull)
       .select(toRecalc.columns.map(col): _*)
@@ -222,7 +254,7 @@ object Incremental {
     val nFixed = cnts.getOrElse("fixed", 0L)
     val nDeleted = cnts.getOrElse("deleted", 0L)
     store.commitView(viewName, result, s"incremental:$viewName")
-    dev.unpersist()
+    dev.unpersist(); toRecalc.unpersist(); view.unpersist()
     (nRecalc, nFixed, nDeleted)
   }
 }

@@ -70,9 +70,20 @@ object Tiles {
   /**
    * matchDf: output of MatchEngine.matchView (carries upstream_geom,
    * osm_geom, upstream_item_ids, osm_element_id, upstream_tags).
-   * Returns (tile_x, tile_y, z, state, feature WKB in 3006, upstream_tags).
+   * Returns (tile_x, tile_y, z, state, feature WKB in 3006, ids/element
+   * columns, tags_json) — tags_json is the canonical-JSON text of
+   * `upstream_tags` (NULL when the input lacks the column), the attr the
+   * reference's ST_AsMVT emits per feature (12:88-92); feed it to
+   * `mvtTiles(tagsJsonCol = Some("tags_json"))`.
    */
   def tileAssignment(matchDf: DataFrame, z: Int = 14): DataFrame = {
+    val tagsJson: org.apache.spark.sql.Column =
+      matchDf.schema.find(_.name == "upstream_tags").map(_.dataType) match {
+        case Some(_: org.apache.spark.sql.types.MapType) =>
+          tagsToJson(col("upstream_tags"))
+        case Some(_) => to_json(col("upstream_tags")) // e.g. alternatives ARRAY<MAP>
+        case None    => lit(null).cast("string")
+      }
     matchDf
       .withColumn("state",
         when(col("osm_element_id").isNull, "not-in-osm")
@@ -92,7 +103,8 @@ object Tiles {
         col("feature"),
         col("upstream_item_ids"),
         col("osm_element_id"),
-        col("osm_element_type"))
+        col("osm_element_type"),
+        tagsJson.as("tags_json"))
   }
 
   // ---- MVT byte encoding (S6 completion) -----------------------------------

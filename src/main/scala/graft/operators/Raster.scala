@@ -49,6 +49,10 @@ object Raster {
     val nGrid = gridSize(z, res)
     val n = lit(nGrid.toDouble)
     val latR = radians(latCol)
+    // NULL coordinates must DROP, not clamp: greatest/least skip null
+    // arguments, so a null lon would otherwise fall through the clamp as
+    // pixel 0 and silently inflate tile (0,0)'s density
+    val dfNn = df.filter(lonCol.isNotNull && latCol.isNotNull)
     // clamp to the web-mercator grid: lon=180 maps to column nGrid and
     // |lat| beyond ±85.051° escapes [0, nGrid) vertically (bad-GPS rows in
     // the streaming path would otherwise land in nonexistent tiles like
@@ -59,7 +63,7 @@ object Raster {
     val gy = least(greatest(
       floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / 2.0 * n),
       lit(0.0)), lit((nGrid - 1).toDouble)).cast("long")
-    df.withColumn("gx", gx).withColumn("gy", gy)
+    dfNn.withColumn("gx", gx).withColumn("gy", gy)
       .withColumn("px", pmod(col("gx"), lit(res.toLong)).cast("int"))
       .withColumn("py", pmod(col("gy"), lit(res.toLong)).cast("int"))
       .withColumn("tile_x", ((col("gx") - col("px")) / res).cast("long"))
@@ -111,11 +115,14 @@ object Raster {
       .groupBy("tile_x", "tile_y", "px", "py")
       .agg(sum("density").as("density"))
       .filter(col("density") >= minDensity)
+      // density stays DOUBLE: weighted rasters (rasterize(weight=...)) carry
+      // fractional densities — a long cast here silently truncated them;
+      // count densities are integers < 2^53, exact in double
       .select(col("tile_x").cast("long"), col("tile_y").cast("long"),
-        col("px").cast("int"), col("py").cast("int"), col("density").cast("long"))
-      .as[(Long, Long, Int, Int, Long)]
+        col("px").cast("int"), col("py").cast("int"), col("density").cast("double"))
+      .as[(Long, Long, Int, Int, Double)]
       .groupByKey { case (tx, ty, _, _, _) => (tx, ty) }
-      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Long)]) =>
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Int, Int, Double)]) =>
         val (tx, ty) = key
         // bounded by res^2 pixels per tile — safe to materialize
         val pix = it.toArray
@@ -211,6 +218,10 @@ object Raster {
         countDistinct(col("tile_x"), col("tile_y")).as("n_tiles"),
         min("gx").as("gx_min"), min("gy").as("gy_min"),
         max("gx").as("gx_max"), max("gy").as("gy_max"))
+      // materialize the (region-sized) result, then free the labeled-pixel
+      // cache — a lazy return would leave it pinned for the session
+      .localCheckpoint(true)
+    pix.unpersist()
     out
   }
 

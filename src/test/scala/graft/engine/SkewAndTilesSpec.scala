@@ -127,4 +127,23 @@ class SkewAndTilesSpec extends AnyFunSuite {
     val s2 = new String(both(0).getAs[Array[Byte]]("mvt"), "ISO-8859-1")
     assert(s2.contains("in-both") && s2.contains("not-in-osm"))
   }
+
+  test("mvtTiles: upstream_tags attr reaches the blob via tileAssignment's tags_json") {
+    // the reference's ST_AsMVT emits the row's tags as an attr (12:88-92);
+    // tileAssignment must CARRY the column for mvtTiles to encode it
+    val gavle = (617000.0, 6728000.0)
+    val rows = Seq(
+      (Seq(1L), Geom.toWkb(Geom.point(gavle._1, gavle._2)),
+        java.lang.Long.valueOf(11L), "n",
+        Geom.toWkb(Geom.point(gavle._1 + 80, gavle._2)),
+        Map("amenity" -> "toilets", "name" -> "Slottstorget")))
+      .toDF("upstream_item_ids", "upstream_geom", "osm_element_id",
+        "osm_element_type", "osm_geom", "upstream_tags")
+    val tiles = Tiles.mvtTiles(
+      Tiles.tileAssignment(rows, z = 14), tagsJsonCol = Some("tags_json")).collect()
+    assert(tiles.nonEmpty)
+    val s = new String(tiles.head.getAs[Array[Byte]]("mvt"), "ISO-8859-1")
+    assert(s.contains("upstream_tags"), "tags attr key must be in the dictionary")
+    assert(s.contains("Slottstorget"), "tag json value must be in the dictionary")
+  }
 }

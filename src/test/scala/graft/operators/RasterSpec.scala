@@ -61,12 +61,12 @@ class RasterSpec extends AnyFunSuite {
       (10L, 20L, 5, 5, 9L), (10L, 20L, 8, 8, 1L))
     val out = Raster.regions(r, minDensity = 2L, Z, Res)
       .select("region", "n_pixels", "density", "px_min", "py_min", "px_max", "py_max")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).sortBy(_._1)
     // labels: L-shape min linear idx = 1*16+1 = 17; isolated = 5*16+5 = 85
     assert(out.toSeq === Seq(
-      (17L, 3L, 9L, 1, 1, 2, 2),
-      (85L, 1L, 9L, 5, 5, 5, 5)))
+      (17L, 3L, 9.0, 1, 1, 2, 2),
+      (85L, 1L, 9.0, 5, 5, 5, 5)))
   }
 
   test("regions: diagonal pixels do NOT merge (4-connectivity, not 8)") {
@@ -91,7 +91,7 @@ class RasterSpec extends AnyFunSuite {
     assert(out.length === 1)
     val row = out.head
     assert(row.getAs[Long]("n_pixels") === 2L)
-    assert(row.getAs[Long]("density") === 9L)
+    assert(row.getAs[Double]("density") === 9.0)
     assert(row.getAs[Long]("n_tiles") === 2L)
     // global region id = min global pixel index = (20*16+7)*N + 10*16+15
     val n = Raster.gridSize(Z, Res)
@@ -141,8 +141,8 @@ class RasterSpec extends AnyFunSuite {
     val global = Raster.regionsGlobal(r, 3L, Z, Res)
     assert(global.agg(sum("n_pixels")).head.getLong(0) ===
       local.agg(sum("n_pixels")).head.getLong(0))
-    assert(global.agg(sum("density")).head.getLong(0) ===
-      local.agg(sum("density")).head.getLong(0))
+    assert(global.agg(sum("density")).head.getDouble(0) ===
+      local.agg(sum("density")).head.getDouble(0))
     // merging can only reduce the region count
     assert(global.count() <= local.count())
   }
@@ -154,7 +154,7 @@ class RasterSpec extends AnyFunSuite {
     val out = Raster.regions(r, 3L, Z, Res).collect()
     assert(out.length === 1)
     assert(out.head.getAs[Long]("n_pixels") === 2L)
-    assert(out.head.getAs[Long]("density") === 7L)
+    assert(out.head.getAs[Double]("density") === 7.0)
   }
 
   test("regions: partition property — every above-threshold pixel in exactly one region") {
@@ -173,7 +173,7 @@ class RasterSpec extends AnyFunSuite {
     // density conservation
     val totalDensity = r.filter(col("density") >= 3)
       .agg(sum("density")).head.getLong(0)
-    assert(regs.agg(sum("density")).head.getLong(0) === totalDensity)
+    assert(regs.agg(sum("density")).head.getDouble(0) === totalDensity.toDouble)
   }
 
   test("regions: 3857 envelope is the pixel-edge affine of the bbox") {
@@ -190,6 +190,29 @@ class RasterSpec extends AnyFunSuite {
     assert(math.abs((row.getDouble(1) - row.getDouble(0)) - 2 * psz) < 1e-9)
     assert(math.abs((row.getDouble(2) - row.getDouble(3)) + psz) < 1e-9 ||
       math.abs((row.getDouble(2) - row.getDouble(3)) - psz) < 1e-9)
+  }
+
+  test("withPixel: NULL coordinates are dropped, not clamped into pixel 0") {
+    // greatest/least skip nulls, so without the guard a null lon would fall
+    // through the clamp as gx=0 and inflate tile (0,0)
+    val df = Seq(
+      (java.lang.Double.valueOf(11.0), java.lang.Double.valueOf(57.0)),
+      (null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(57.0)),
+      (java.lang.Double.valueOf(11.0), null.asInstanceOf[java.lang.Double]))
+      .toDF("lon", "lat")
+    val out = Raster.rasterize(df, col("lon"), col("lat"), Z, Res).collect()
+    assert(out.length === 1 && out.head.getLong(4) === 1L,
+      "only the fully-geocoded row may be counted")
+    assert(out.head.getLong(0) !== 0L, "the surviving row is not in tile 0")
+  }
+
+  test("regions: fractional weighted densities survive polygonization (no long cast)") {
+    val pts = Seq((11.0, 57.0, 0.6), (11.0, 57.0, 0.9)).toDF("lon", "lat", "w")
+    val rast = Raster.rasterize(pts, col("lon"), col("lat"), Z, Res, Some(col("w")))
+    val regs = Raster.regions(rast, minDensity = 1L, Z, Res).collect()
+    assert(regs.length === 1)
+    assert(math.abs(regs.head.getAs[Double]("density") - 1.5) < 1e-12,
+      "weighted density 0.6+0.9 must stay 1.5, not truncate to 1")
   }
 
   test("rasterizeSweref: round-trips the engine's native plane") {
