@@ -206,12 +206,15 @@ object QueriesSpatial {
          |SELECT a_id, b_id, rank FROM (
          |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rank
          |  FROM cand) WHERE rank <= 3""".stripMargin,
+    // STRICT bounds: ST_Within excludes the boundary (PostGIS), so a point
+    // exactly on a box edge is within NO box — the Spark side's winding
+    // kernel implements the same exclusion
     "q_sp_pip" ->
       s"""WITH $sqlPts
          |SELECT b_id, n_nationkey AS box_id FROM b, nation
-         |WHERE bx >= (n_nationkey%5)*200000 AND bx <= (n_nationkey%5)*200000+200000
-         |  AND byy >= CAST(FLOOR(n_nationkey/5) AS BIGINT)*200000
-         |  AND byy <= CAST(FLOOR(n_nationkey/5) AS BIGINT)*200000+200000""".stripMargin,
+         |WHERE bx > (n_nationkey%5)*200000 AND bx < (n_nationkey%5)*200000+200000
+         |  AND byy > CAST(FLOOR(n_nationkey/5) AS BIGINT)*200000
+         |  AND byy < CAST(FLOOR(n_nationkey/5) AS BIGINT)*200000+200000""".stripMargin,
     "q_sp_tile" ->
       """WITH pts AS (SELECT c_custkey AS b_id,
         |  11.0 + ((c_custkey*7919)%10000)/1000.0 AS lon,

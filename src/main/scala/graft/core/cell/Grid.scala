@@ -16,7 +16,10 @@ import graft.core.geom.{Envelope, Geom}
  * deterministic, sortable; ids never collide for |coord| < OFF * cellSize.
  */
 object Grid {
-  private val OFF = 1 << 30
+  /** visible to the engine so Column-form re-expressions of the packing
+    * (ElementStore.blockCol) share THIS constant instead of a private copy
+    * that could silently desynchronize from kRing's decode. */
+  private[graft] val OFF = 1 << 30
 
   def cellOf(x: Double, y: Double, cellSize: Double): Long = {
     val ix = math.floor(x / cellSize).toLong + OFF

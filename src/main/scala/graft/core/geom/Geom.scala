@@ -91,12 +91,19 @@ final case class PolygonG(rings: Array[Array[Pt]]) extends Geom {
     while (i < rings.length) { a -= math.abs(Geom.signedArea(rings(i))); i += 1 }
     a
   }
+  /** ST_Within point semantics: the boundary is NOT within (PostGIS excludes
+    * it), so a point exactly on a shared municipality border stamps NO code —
+    * matching the reference trigger AND making the answer independent of
+    * polygon iteration order (the r3 boundary-inclusive form could stamp
+    * whichever bordering municipality was scanned first). */
   def containsPoint(p: Pt): Boolean = {
     if (!envelope.contains(p)) return false
-    if (Geom.windingNumber(p, rings(0)) == 0 && !Geom.onRing(p, rings(0))) return false
+    if (Geom.onRing(p, rings(0))) return false
+    if (Geom.windingNumber(p, rings(0)) == 0) return false
     var i = 1
     while (i < rings.length) {
-      if (Geom.windingNumber(p, rings(i)) != 0 && !Geom.onRing(p, rings(i))) return false
+      // on a hole ring = on the boundary -> outside; inside a hole -> outside
+      if (Geom.onRing(p, rings(i)) || Geom.windingNumber(p, rings(i)) != 0) return false
       i += 1
     }
     true
@@ -281,9 +288,16 @@ object Geom {
       if (vertices(a).exists(containsPt(b, _)) || vertices(b).exists(containsPt(a, _))) 0.0
       else {
         val sa = boundarySegments(a); val sb = boundarySegments(b)
-        if (sa.isEmpty || sb.isEmpty) {
+        if (sa.isEmpty && sb.isEmpty) {
           val va = vertices(a); val vb = vertices(b)
           va.flatMap(p => vb.map(p.distTo)).min
+        } else if (sa.isEmpty) {
+          // one side is point-only (MultiPoint): its vertices against the
+          // other side's SEGMENTS — vertex-to-vertex alone overestimates
+          // (nearest point of an edge is usually not a corner)
+          vertices(a).map(p => sb.map { case (s, e) => distPointSegment(p, s, e) }.min).min
+        } else if (sb.isEmpty) {
+          vertices(b).map(p => sa.map { case (s, e) => distPointSegment(p, s, e) }.min).min
         } else {
           var d = Double.MaxValue
           for ((a1, a2) <- sa; (b1, b2) <- sb) {
@@ -300,13 +314,27 @@ object Geom {
     else distance(a, b) <= d
   }
 
-  /** ST_Within(point-ish, polygon) — the only Within shape the reference uses. */
+  /** ST_Within(point-ish, polygon) — the only Within shape the reference
+    * uses. For extended geometries: all vertices strictly inside AND no edge
+    * crossing the container's rings (all-vertices alone misses an edge
+    * bulging out through a concavity). Not handled (pathological for the
+    * reference's data): a polygon encircling one of the container's holes. */
   def within(a: Geom, b: Geom): Boolean = (a, b) match {
     case (PointG(p), pg: PolygonG)      => pg.containsPoint(p)
     case (PointG(p), mp: MultiPolygonG) => mp.containsPoint(p)
-    case (_, pg: PolygonG)              => vertices(a).forall(pg.containsPoint)
-    case (_, mp: MultiPolygonG)         => vertices(a).forall(mp.containsPoint)
+    case (_, pg: PolygonG)              =>
+      vertices(a).forall(pg.containsPoint) && !crossesBoundary(a, pg)
+    case (_, mp: MultiPolygonG)         =>
+      vertices(a).forall(mp.containsPoint) && !crossesBoundary(a, mp)
     case _                              => false
+  }
+
+  /** any segment of `a` touching/crossing a ring segment of `b` */
+  private def crossesBoundary(a: Geom, b: Geom): Boolean = {
+    val sa = boundarySegments(a); val sb = boundarySegments(b)
+    sa.exists { case (a1, a2) =>
+      sb.exists { case (b1, b2) => segSegDistance(a1, a2, b1, b2) == 0.0 }
+    }
   }
 
   def intersectsEnvelope(g: Geom, env: Envelope): Boolean = {
@@ -447,35 +475,51 @@ object Geom {
       while (i < extraDims) { buf.getDouble(); i += 1 }
       p
     }
+    // empty geometries (POLYGON EMPTY etc.) are legal WKB but would crash
+    // far from the parse (rings(0), .min on no vertices) or, worse, produce
+    // a wrapped-envelope phantom cell cover — fail HERE with a clear message
+    def nonEmpty(n: Int, what: String): Int = {
+      if (n <= 0) throw new IllegalArgumentException(
+        s"empty $what geometry in WKB (EMPTY geometries are unsupported)")
+      n
+    }
     typ match {
       case PointT => PointG(readPt())
       case LineT =>
-        val n = buf.getInt()
+        val n = nonEmpty(buf.getInt(), "LINESTRING")
         val pts = Array.fill(n)(readPt())
         LineStringG(pts)
       case PolyT =>
-        val nr = buf.getInt()
+        val nr = nonEmpty(buf.getInt(), "POLYGON")
         val rings = Array.fill(nr) {
-          val n = buf.getInt()
+          val n = nonEmpty(buf.getInt(), "POLYGON ring")
           Array.fill(n)(readPt())
         }
         PolygonG(rings)
       case MPointT =>
-        val n = buf.getInt()
+        val n = nonEmpty(buf.getInt(), "MULTIPOINT")
         MultiPointG(Array.fill(n)(readGeom(buf).asInstanceOf[PointG].p))
       case MLineT =>
-        val n = buf.getInt()
+        val n = nonEmpty(buf.getInt(), "MULTILINESTRING")
         MultiLineStringG(Array.fill(n)(readGeom(buf).asInstanceOf[LineStringG]))
       case MPolyT =>
-        val n = buf.getInt()
+        val n = nonEmpty(buf.getInt(), "MULTIPOLYGON")
         MultiPolygonG(Array.fill(n)(readGeom(buf).asInstanceOf[PolygonG]))
       case CollT =>
-        val n = buf.getInt()
+        val n = nonEmpty(buf.getInt(), "GEOMETRYCOLLECTION")
         val parts = Array.fill(n)(readGeom(buf))
-        // flatten to multipolygon/multiline where possible; else first part
+        // flatten homogeneous collections; a heterogeneous one has no lossless
+        // representation here — FAIL rather than silently truncate to parts(0)
+        // (envelope/distance/cover on a fragment give wrong answers, no error)
         if (parts.forall(_.isInstanceOf[PolygonG]))
           MultiPolygonG(parts.map(_.asInstanceOf[PolygonG]))
-        else parts(0)
+        else if (parts.forall(_.isInstanceOf[LineStringG]))
+          MultiLineStringG(parts.map(_.asInstanceOf[LineStringG]))
+        else if (parts.forall(_.isInstanceOf[PointG]))
+          MultiPointG(parts.map(_.asInstanceOf[PointG].p))
+        else if (parts.length == 1) parts(0)
+        else throw new IllegalArgumentException(
+          "heterogeneous GEOMETRYCOLLECTION is unsupported (refusing to truncate)")
       case other => throw new IllegalArgumentException(s"unsupported WKB type $other")
     }
   }

@@ -277,7 +277,11 @@ object Tags {
 
   private def multiValueOverlap(a: String, b: String): Boolean = {
     if (a == null || b == null) return false
-    val sa = a.split(";"); val sb = b.split(";")
+    // limit -1 KEEPS trailing empty elements: PG's STRING_TO_ARRAY('A;', ';')
+    // is {A,""} (03a-match.sql:9), so "A;" overlaps "B;" on the shared "" —
+    // Java's default split dropped them and diverged from both the reference
+    // and the native Column form (Spark's split also keeps them)
+    val sa = a.split(";", -1); val sb = b.split(";", -1)
     sa.exists(x => sb.contains(x))
   }
 

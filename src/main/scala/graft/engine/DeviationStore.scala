@@ -51,14 +51,15 @@ class DeviationStore(spark: SparkSession, path: String) {
     val root = Paths.get(path)
     if (!Files.exists(root)) Nil
     else {
-      val it = Files.list(root).iterator()
+      val st = Files.list(root) // closed below: holds an open directory fd
+      val it = st.iterator()
       val b = Seq.newBuilder[String]
-      while (it.hasNext) {
+      try while (it.hasNext) {
         val d = it.next()
         val n = d.getFileName.toString
         if (n.startsWith("view=") && Files.exists(d.resolve("_latest")))
           b += n.stripPrefix("view=")
-      }
+      } finally st.close()
       b.result().sorted
     }
   }
@@ -140,6 +141,15 @@ class DeviationStore(spark: SparkSession, path: String) {
     }
 
     val nw = newDevs.withColumn("view_name", lit(viewName)).cache()
+    // PG's NULLS-NOT-DISTINCT uniq index rejects a batch that affects the
+    // same key twice ("cannot affect row a second time"); silently committing
+    // duplicates would be self-sustaining (both rows re-match old every later
+    // sync) — fail loudly like the reference. One small agg over the batch.
+    val dupKeys = nw.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"sync_deviations($viewName): view emitted duplicate uniq-key rows — " +
+        "the reference's ON CONFLICT would reject this batch")
     val nwK = keyed(nw, "n_")
     val oldK = keyed(oldView, "o_")
     val joinCond = keyCols.map(k => col(s"n_$k") <=> col(s"o_$k")).reduce(_ && _)

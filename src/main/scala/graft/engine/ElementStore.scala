@@ -27,9 +27,11 @@ import graft.core.cell.Grid
 class ElementStore(spark: SparkSession, path: String,
                    val blockMeters: Double = 10000.0, idxBuckets: Int = 64) {
 
-  /** native block id of a point — Grid.cellOf packing at blockMeters. */
+  /** native block id of a point — the Column form of Grid.cellOf's packing
+    * at blockMeters (shares Grid.OFF: kRing decodes these ids, so the two
+    * sides must never drift). */
   def blockCol(cx: Column, cy: Column): Column = {
-    val OFF = 1L << 30
+    val OFF = Grid.OFF.toLong
     shiftleft(floor(cx / blockMeters).cast("long") + OFF, 32)
       .bitwiseOR(floor(cy / blockMeters).cast("long") + OFF)
   }
@@ -41,11 +43,6 @@ class ElementStore(spark: SparkSession, path: String,
 
   private def dataPath(name: String) = s"$path/$name/data"
   private def idxPath(name: String) = s"$path/$name/idx"
-
-  private def readOrEmpty(p: String, like: DataFrame): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      spark.read.parquet(p)
-    else like.limit(0)
 
   /** current state (optionally partition-pruned to `blocks`). */
   def read(name: String, blocks: Option[Seq[Long]] = None): DataFrame = {
@@ -91,13 +88,14 @@ class ElementStore(spark: SparkSession, path: String,
     val bKeys = b.select(keyCols.map(col): _*).distinct().cache()
 
     val first = !exists(name)
+    if (!first) ensureIndex(name, keyCols)
     val dirtyBlocks: Seq[Long] =
       if (first) b.select("cb").distinct().collect().map(_.getLong(0)).toSeq
       else {
         // previous locations of the batch's keys, via the touched index buckets
         val touchedKb = bKeys.select(keyHash.as("kb")).distinct()
           .collect().map(_.getInt(0)).toSeq
-        val idx = readOrEmpty(idxPath(name), b.select((keyCols.map(col) :+ col("cb")): _*))
+        val idx = spark.read.parquet(idxPath(name)) // ensureIndex guarantees it
           .withColumn("cb", col("cb").cast("long"))
           .filter(col("kb").isin(touchedKb: _*))
         val oldBlocks = idx.join(bKeys, keyCols, "left_semi")
@@ -147,7 +145,7 @@ class ElementStore(spark: SparkSession, path: String,
       if (first) idxNew
       else {
         val touchedKb = idxNew.select("kb").distinct().collect().map(_.getInt(0)).toSeq
-        readOrEmpty(idxPath(name), idxNew)
+        spark.read.parquet(idxPath(name)) // ensureIndex guarantees existence
           .filter(col("kb").isin(touchedKb: _*))
           .withColumn("cb", col("cb").cast("long"))
           .join(bKeys, keyCols, "left_anti")
@@ -160,5 +158,24 @@ class ElementStore(spark: SparkSession, path: String,
 
     b.unpersist(); bKeys.unpersist()
     dirtyBlocks
+  }
+
+  /** Crash-recovery: a failure between merge's data write and index write
+    * leaves data without an index — the old readOrEmpty fallback then threw
+    * on the missing `kb` column, permanently sticking the checkpoint, and a
+    * silently-empty index would skip moved-key cleanup (duplicate rows).
+    * REBUILD the index from data instead: one bounded scan, then the normal
+    * per-bucket merge proceeds. (Mid-write partial index overwrites need a
+    * transactional table format — the Iceberg mapping in the scaladoc — and
+    * are out of scope for the parquet stand-in.) */
+  private def ensureIndex(name: String, keyCols: Seq[String]): Unit = {
+    val ip = idxPath(name)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ip))) {
+      val keyHash = pmod(xxhash64(keyCols.map(col): _*), lit(idxBuckets.toLong)).cast("int")
+      read(name).select((keyCols.map(col) :+ col("cb")): _*)
+        .dropDuplicates(keyCols)
+        .withColumn("kb", keyHash)
+        .write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(ip)
+    }
   }
 }

@@ -141,6 +141,10 @@ object MatchEngine {
         .map(matchConditionCol(spec, col("b_tags"), tagsB, col("dist")) && _)
         .getOrElse(matchConditionCol(spec, col("b_tags"), tagsB, col("dist"))))
       .withColumn("score", matchScoreCol(spec, col("b_tags"), tagsB, col("dist")))
+    // NOTE: when enabled, this cache lives until the session ends (the legs
+    // that consume it are returned lazily, so there is no safe unpersist
+    // point inside this function) — cacheCandidates is a per-session probe
+    // switch (default OFF, see BenchPipeline.config), not a production mode
     val matched0 = if (cfg.cacheCandidates) matched00.cache() else matched00
 
     val matched =
@@ -176,7 +180,12 @@ object MatchEngine {
     // rank-window key: the FIRST item id is a scalar surrogate for the ids
     // array (group-collapse always emits disjoint sorted arrays, so first
     // elements are unique across ups rows) — hashing a LONG for the window
-    // shuffle instead of an ARRAY<LONG> per row (VERDICT r1 watch item)
+    // shuffle instead of an ARRAY<LONG> per row (VERDICT r1 watch item).
+    // CONTRACT: every ups row must carry a NON-EMPTY ids array with a unique
+    // first element — an empty/null-first array keys to __pk = NULL and all
+    // such rows collapse into one window partition (rank-1 keeps a single
+    // row, silently dropping the rest). All registry views satisfy this by
+    // construction (array(id) / sorted collect_list of ≥1 id).
     // rank-1: sort window by default; SPARK_GRAFT_RANK_MINBY=true switches
     // to a min_by aggregation over the same unique total order (score,
     // b_type, b_id). The aggregation partial-combines map-side (one
@@ -231,7 +240,13 @@ object MatchEngine {
             buildGeom = "geom", probeGeom = "geometry",
             spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
             extraKeys = antiKeys)
-          .filter(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist")))
+          // extraCandidateFilter applies here too — the reuse branch above
+          // (matched0) includes it, and the two branches must agree on what
+          // counts as "matched" or the anti population depends on which
+          // branch a config happens to take
+          .filter(cfg.extraCandidateFilter
+            .map(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist")) && _)
+            .getOrElse(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist"))))
       val antiCands = antiMatched
         .select(col("b_type").as("type"), col("b_id").as("id"))
         .distinct()

@@ -36,11 +36,24 @@ class UpstreamSync(spark: SparkSession, path: String) {
   private def itemId(datasetId: Long) =
     xxhash64(lit(datasetId), col("original_id")).bitwiseAND(lit(Long.MaxValue))
 
-  /** fail loudly if two distinct original_ids hash to one id (ADVICE r1). */
+  /** fail loudly if two distinct original_ids hash to one id (ADVICE r1), OR
+    * if one original_id appears twice in a batch — PG's INSERT .. ON CONFLICT
+    * DO UPDATE errors with "cannot affect row a second time" on intra-batch
+    * duplicates, and committing both would silently violate the reference's
+    * (dataset_id, original_id) uniqueness forever (the next upsert's inner
+    * join reproduces one row per surviving duplicate). */
   private def auditIds(fresh: DataFrame): Unit = {
-    val dup = fresh.groupBy("id")
-      .agg(countDistinct(col("original_id")).as("n")).filter(col("n") > 1).count()
-    require(dup == 0, s"upstream item id collision on $dup ids — re-key the dataset")
+    val bad = fresh.groupBy("id")
+      .agg(countDistinct(col("original_id")).as("n_oids"), count(lit(1)).as("n_rows"))
+      .filter(col("n_oids") > 1 || col("n_rows") > 1)
+      .agg(sum(when(col("n_oids") > 1, 1).otherwise(0)).as("collisions"),
+           sum(when(col("n_rows") > col("n_oids"), 1).otherwise(0)).as("dups"))
+      .head()
+    val collisions = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+    val dups = if (bad.isNullAt(1)) 0L else bad.getLong(1)
+    require(collisions == 0, s"upstream item id collision on $collisions ids — re-key the dataset")
+    require(dups == 0, s"batch carries $dups duplicated original_ids — " +
+      "the reference's ON CONFLICT would reject this batch (dirty upstream data)")
   }
 
   private val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -60,11 +73,12 @@ class UpstreamSync(spark: SparkSession, path: String) {
     if (!Files.exists(root)) Nil
     else {
       val b = Seq.newBuilder[Long]
-      Files.list(root).forEach { d =>
+      val st = Files.list(root) // closed below: holds an open directory fd
+      try st.forEach { d =>
         val n = d.getFileName.toString
         if (n.startsWith("ds=") && Files.exists(d.resolve("_latest")))
           b += n.stripPrefix("ds=").toLong
-      }
+      } finally st.close()
       b.result().sorted
     }
   }

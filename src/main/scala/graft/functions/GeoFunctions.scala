@@ -94,17 +94,23 @@ object GeoFunctions {
   val fixNameU = udf((s: String) => Tags.fixName(s))
   val fixPhoneU = udf((s: String) => Tags.fixPhone(s))
   /** PG 3-arg REGEXP_REPLACE: non-global (first occurrence only) — Spark's
-    * regexp_replace is global, so views using the PG form need this. */
+    * regexp_replace is global, so views using the PG form need this.
+    * CAVEAT: pattern AND replacement use JAVA regex semantics, not POSIX —
+    * `$`/`\` in the replacement are group references here (PG uses `\1`).
+    * Current call sites pass literal patterns + empty replacements; a port
+    * needing PG group refs must translate them (or quoteReplacement). */
   val regexpReplaceFirstU = udf((s: String, pattern: String, repl: String) =>
     if (s == null) null else s.replaceFirst(pattern, repl))
   val translateOperatorU = udf((s: String) => Tags.translateOperator(s))
 
-  /** Serialize a tag map to canonical sorted JSON (stable for oracle hashing). */
+  /** Serialize a tag map to canonical sorted JSON (stable for oracle hashing).
+    * Json.quote escapes control characters too — OSM description/note values
+    * can carry newlines, and a raw 0x0A inside a JSON string is invalid. */
   val tagsToJson = udf((m: Map[String, String]) =>
     if (m == null) null
     else m.toSeq.sortBy(_._1).map { case (k, v) =>
-      val vs = if (v == null) "null" else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + vs
+      val vs = if (v == null) "null" else graft.core.Json.quote(v)
+      graft.core.Json.quote(k) + ":" + vs
     }.mkString("{", ",", "}"))
 
   /** match_condition / match_score for a fixed spec, over tag maps + distance. */

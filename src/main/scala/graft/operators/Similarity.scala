@@ -81,6 +81,7 @@ object Similarity {
 
   /** add an LSH `bucket` column: sign pattern against nBits hyperplanes. */
   def withLshBucket(df: DataFrame, embCol: String, nBits: Int = 12): DataFrame = {
+    requireNBits(nBits)
     // dimension read from each vector (r2 hardcoded 64 — VERDICT r2 #8);
     // planeCoef is seed-stable in (plane, dim) so any corpus dim works
     val sigUdf = udf((v: Seq[Float]) => {
@@ -104,9 +105,16 @@ object Similarity {
     * seed-stable plane family (table t uses planes [t*nBits, (t+1)*nBits)). */
   def withLshBucketAt(df: DataFrame, vecCol: String, nBits: Int,
                       planeOffset: Int): DataFrame = {
+    requireNBits(nBits)
     val sigUdf = udf((v: Seq[Double]) => bucketOf(v, nBits, planeOffset))
     df.withColumn("bucket", sigUdf(col(vecCol)))
   }
+
+  /** long shifts wrap mod 64: nBits >= 64 would silently alias signature
+    * bits (and probe flips), degrading recall with no error. */
+  private def requireNBits(nBits: Int): Unit =
+    require(nBits >= 1 && nBits <= 63,
+      s"nBits must be in [1, 63] (got $nBits): 1L << $nBits wraps mod 64")
 
   private def bucketOf(v: Seq[Double], nBits: Int, planeOffset: Int): Long = {
     var sig = 0L
@@ -127,6 +135,7 @@ object Similarity {
     * caller posexplodes this array instead of scanning the corpus per table. */
   def withLshBucketsAll(df: DataFrame, vecCol: String, nBits: Int,
                         nTables: Int): DataFrame = {
+    requireNBits(nBits)
     val sigUdf = udf((v: Seq[Double]) =>
       (0 until nTables).map(t => bucketOf(v, nBits, t * nBits)).toArray)
     df.withColumn("buckets", sigUdf(col(vecCol)))
@@ -193,6 +202,12 @@ object Similarity {
       .select(col(idCol).as("id"), col("vd"), col("vnorm")).cache()
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select("vd").collect().map(_.getSeq[Double](0).toArray)
+    // an over-aggressive trainMod on a small corpus samples ZERO rows; with
+    // no centroids every probe list is empty and ivfTopK silently returns no
+    // neighbors for a perfectly valid corpus — fail loudly instead
+    require(centroids.nonEmpty,
+      s"trainIvfCentroids sampled 0 training rows (trainMod=$trainMod too " +
+        "large for this corpus) — lower trainMod")
     for (_ <- 0 until iters) {
       val cellCol = nearestCellUdf(centroids)(col("vd"), col("vnorm"))
       // round the means to 1e-9: double summation is non-associative and a

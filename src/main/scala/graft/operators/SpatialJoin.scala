@@ -16,8 +16,11 @@ import graft.functions.GeoFunctions._
  * Correctness: the k-ring expansion guarantees every true pair shares ≥1 cell
  * (property-tested in GeomSpec); the refinement drops false positives. A pair
  * can surface once per shared cell only when the BUILD geometry spans
- * multiple cells — `dedup=true` adds a dropDuplicates on the key columns for
- * that case (point build sides skip it: each build row owns exactly one cell).
+ * multiple cells — `dedup=true` adds a FULL-ROW dropDuplicates for that case
+ * (point build sides skip it: each build row owns exactly one cell). NOTE:
+ * full-row dedup also collapses genuinely identical input rows, changing
+ * join multiplicity — callers needing exact cardinality over non-distinct
+ * inputs must dedup on their own key columns instead (as `knn` does).
  *
  * Scale: the equi-join shuffles both sides by cellId, so 1000 executors
  * partition cleanly. Hot cells (Stockholm: ~1000× denser per the north rule)
@@ -178,6 +181,10 @@ object SpatialJoin {
     import org.apache.spark.sql.expressions.Window
     val cands = dwithinCandidates(build, probe, buildGeom, probeGeom,
       DWithinSpec(radius, cellSize))
+      // a non-point build geometry covering several cells surfaces the same
+      // (probe, build) pair once per shared cell; undeduped, the duplicate
+      // occupies extra ranks and crowds a true neighbor out of the top k
+      .dropDuplicates(s"p_$probeKey", s"b_$buildKey")
     val w = Window.partitionBy(col(s"p_$probeKey"))
       .orderBy(col("dist"), col(s"b_$buildKey"))
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -43,6 +43,81 @@ class GeomSpec extends AnyFunSuite {
     assert(Geom.distance(Geom.point(13, 14), poly) == 5.0)     // corner
   }
 
+  test("distance multipoint vs segments uses point-to-edge, not corner-to-corner") {
+    // ST_Distance(MULTIPOINT(0.5 10), unit square) = 9.0 (to edge y=1);
+    // a vertex-pair fallback would read hypot(0.5, 9) ≈ 9.0139
+    val mp = MultiPointG(Array(Pt(0.5, 10.0)))
+    val sq = Geom.envelopePoly(0, 0, 1, 1)
+    assert(Geom.distance(mp, sq) == 9.0)
+    assert(Geom.distance(sq, mp) == 9.0)
+    assert(Geom.dwithin(mp, sq, 9.005), "true dwithin pair must not be dropped")
+    // multipoint vs linestring too
+    assert(Geom.distance(mp, Geom.line((0, 0), (1, 0))) == 10.0)
+  }
+
+  test("ST_Within boundary semantics: boundary points are NOT within") {
+    val sq = Geom.envelopePoly(0, 0, 10, 10)
+    assert(!sq.containsPoint(Pt(0, 5)), "point on edge is boundary, not within")
+    assert(!sq.containsPoint(Pt(0, 0)), "corner is boundary, not within")
+    assert(sq.containsPoint(Pt(5, 5)))
+    // distance is still 0 for a boundary point (ST_Distance touches)
+    assert(Geom.distance(Geom.point(0.0, 5.0), sq) == 0.0)
+    // hole boundary + inside-hole are both outside
+    val withHole = PolygonG(Array(
+      Array(Pt(0, 0), Pt(10, 0), Pt(10, 10), Pt(0, 10), Pt(0, 0)),
+      Array(Pt(4, 4), Pt(6, 4), Pt(6, 6), Pt(4, 6), Pt(4, 4))))
+    assert(!withHole.containsPoint(Pt(5, 5)), "inside the hole")
+    assert(!withHole.containsPoint(Pt(4, 5)), "on the hole ring")
+    assert(withHole.containsPoint(Pt(2, 2)))
+  }
+
+  test("within(line, polygon): all-vertices-in is not enough — edges must not cross") {
+    // concave "C" polygon; a chord with both endpoints inside the arms but
+    // crossing the notch is NOT within
+    val c = PolygonG(Array(Array(
+      Pt(0, 0), Pt(10, 0), Pt(10, 3), Pt(3, 3), Pt(3, 7), Pt(10, 7),
+      Pt(10, 10), Pt(0, 10), Pt(0, 0))))
+    val chord = Geom.line((1.0, 1.5), (9.0, 1.5)) // inside the lower arm
+    assert(Geom.within(chord, c))
+    val bulge = Geom.line((1.0, 1.5), (1.0, 8.5)) // arms via the left wall: inside
+    assert(Geom.within(bulge, c))
+    val crossing = Geom.line((9.0, 1.5), (9.0, 8.5)) // exits through the notch
+    assert(!Geom.within(crossing, c),
+      "both endpoints inside but the edge leaves the polygon")
+  }
+
+  test("WKB edge cases: empty geometries and heterogeneous collections fail loudly") {
+    // hand-build WKB: little-endian, type, then counts
+    def wkb(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    // POLYGON EMPTY: 01 03000000 00000000
+    val polyEmpty = wkb(1, 3, 0, 0, 0, 0, 0, 0, 0)
+    val eP = intercept[IllegalArgumentException](Geom.fromWkb(polyEmpty))
+    assert(eP.getMessage.contains("empty"), s"got: ${eP.getMessage}")
+    // LINESTRING EMPTY: 01 02000000 00000000
+    val lineEmpty = wkb(1, 2, 0, 0, 0, 0, 0, 0, 0)
+    assert(intercept[IllegalArgumentException](
+      Geom.fromWkb(lineEmpty)).getMessage.contains("empty"))
+    // homogeneous collections flatten losslessly
+    def collection(parts: Array[Byte]*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(9 + parts.map(_.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).putInt(7).putInt(parts.length)
+      parts.foreach(bb.put)
+      bb.array()
+    }
+    val pt = Geom.toWkb(Geom.point(1, 2))
+    val ln = Geom.toWkb(Geom.line((0, 0), (1, 1)))
+    assert(Geom.toWkt(Geom.fromWkb(collection(pt, Geom.toWkb(Geom.point(3, 4)))))
+      == "MULTIPOINT(1 2,3 4)")
+    assert(Geom.fromWkb(collection(ln, Geom.toWkb(Geom.line((2, 2), (3, 3)))))
+      .isInstanceOf[MultiLineStringG])
+    // single-part homogeneous collection flattens like the multi-part case
+    assert(Geom.toWkt(Geom.fromWkb(collection(pt))) == "MULTIPOINT(1 2)")
+    // heterogeneous multi-part collection REFUSES rather than truncating
+    assert(intercept[IllegalArgumentException](
+      Geom.fromWkb(collection(pt, ln))).getMessage.contains("heterogeneous"))
+  }
+
   test("distance polygon-polygon: 0 when overlapping, gap when disjoint") {
     val a = Geom.envelopePoly(0, 0, 10, 10)
     val b = Geom.envelopePoly(5, 5, 15, 15)

@@ -25,6 +25,17 @@ class DeviationStoreSpec extends AnyFunSuite {
       "suggested_tags", "osm_element_id", "osm_element_type", "title",
       "description", "note", "center")
 
+  test("a view emitting duplicate uniq-key rows is rejected loudly (ON CONFLICT parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("store_dup").toString
+    val store = new DeviationStore(spark, dir)
+    // same (dataset, layer, ids, element, title) twice with differing payloads:
+    // PG's uniq index rejects the batch ("cannot affect row a second time")
+    val e = intercept[IllegalArgumentException](store.sync("v", toDf(Seq(
+      dev(Seq(1L), "T A", desc = "one"), dev(Seq(1L), "T A", desc = "two")))))
+    assert(e.getMessage.contains("duplicate uniq-key"), e.getMessage)
+    assert(store.views.isEmpty, "the rejected batch must not have committed")
+  }
+
   test("sync preserves actions, deletes unactioned, updates in place") {
     val dir = java.nio.file.Files.createTempDirectory("store").toString
     val store = new DeviationStore(spark, dir)

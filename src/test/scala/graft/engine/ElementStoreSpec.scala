@@ -48,6 +48,25 @@ class ElementStoreSpec extends AnyFunSuite {
     assert(es.read("elements", Some(Seq(b1))).count() == 1)
   }
 
+  test("a missing key index is rebuilt from data (crash between data and index writes)") {
+    val dir = java.nio.file.Files.createTempDirectory("estore_rebuild").toString
+    val es = new ElementStore(spark, dir, blockMeters = 10000.0)
+    es.merge("elements", Seq("type", "id"),
+      df(("n", 1L, 5000.0, 5000.0), ("n", 2L, 105000.0, 105000.0)))
+    // simulate a crash that persisted data but lost the index
+    MatchStore.deleteRecursively(java.nio.file.Paths.get(dir, "elements", "idx"))
+    val oldBlock = es.read("elements", None).filter(col("id") === 2)
+      .select("cb").collect()(0).getLong(0)
+    // next merge MOVES feature 2: the rebuilt index must find its old block
+    // (pre-fix behavior: AnalysisException on the missing kb column)
+    val dirty = es.merge("elements", Seq("type", "id"),
+      df(("n", 2L, 205000.0, 205000.0)))
+    assert(dirty.contains(oldBlock), "rebuilt index must expose the previous block")
+    val rows = es.read("elements", None).filter(col("id") === 2).collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("cx") == 205000.0,
+      "stale row in the old block must be dropped via the rebuilt index")
+  }
+
   test("a batch with duplicate keys writes exactly one row per key (ADVICE r2)") {
     val dir = java.nio.file.Files.createTempDirectory("estore_dup").toString
     val es = new ElementStore(spark, dir)

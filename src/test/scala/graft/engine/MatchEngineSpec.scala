@@ -22,10 +22,14 @@ class MatchEngineSpec extends AnyFunSuite {
   private def randomTags(rnd: scala.util.Random): Map[String, String] = {
     val keys = Seq("name", "ref", "r1", "r2", "amenity")
     keys.filter(_ => rnd.nextBoolean()).map { k =>
-      val v = rnd.nextInt(4) match {
+      val v = rnd.nextInt(6) match {
         case 0 => "alpha"
         case 1 => "Alpha"
         case 2 => "alpha;beta"
+        // trailing/leading ';': PG's STRING_TO_ARRAY keeps the empty element,
+        // so "alpha;" overlaps "gamma;" on "" — both forms must agree on it
+        case 3 => "alpha;"
+        case 4 => ";gamma"
         case _ => "gamma"
       }
       k -> v

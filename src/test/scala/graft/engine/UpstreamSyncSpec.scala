@@ -61,4 +61,19 @@ class UpstreamSyncSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDs == Map(7L -> 1L, 8L -> 1L))
   }
+
+  test("a batch with duplicate original_ids is rejected loudly (PG ON CONFLICT parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("upssync_dup").toString
+    val sync = new UpstreamSync(spark, dir)
+    val dup = batch(
+      ("a", pt(1, 1), """{"v":1}""", ts),
+      ("a", pt(2, 2), """{"v":2}""", ts)) // same original_id twice
+    val e = intercept[IllegalArgumentException](sync.fullRefresh(7L, dup))
+    assert(e.getMessage.contains("duplicated original_ids"), e.getMessage)
+    // upsert path too, against an existing snapshot
+    sync.fullRefresh(7L, batch(("a", pt(1, 1), """{"v":1}""", ts)))
+    intercept[IllegalArgumentException](sync.upsert(7L, dup))
+    // the rejected batch must not have committed anything
+    assert(sync.items().count() == 1)
+  }
 }

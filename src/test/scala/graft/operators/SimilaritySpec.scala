@@ -33,6 +33,22 @@ class SimilaritySpec extends AnyFunSuite {
       perturbU(col("vec_id"), col("embedding")).as("embedding"))
   private val corpusPlus = embs.unionByName(perturbed)
 
+  test("guards: nBits >= 64 and an over-sampled IVF training set fail loudly") {
+    // long shifts wrap mod 64 — an aliased signature would silently degrade
+    // recall instead of erroring
+    intercept[IllegalArgumentException](
+      Similarity.withLshBucket(embs, "embedding", nBits = 64))
+    intercept[IllegalArgumentException](
+      Similarity.withLshBucketsAll(
+        Similarity.withNorm(embs, "embedding"), "vd", nBits = 70, nTables = 2))
+    // trainMod too large for the corpus -> zero training rows -> without the
+    // guard ivfTopK silently returns no neighbors for a valid corpus
+    val e = intercept[IllegalArgumentException](
+      Similarity.trainIvfCentroids(embs, "vec_id", "embedding",
+        nlist = 4, trainMod = Long.MaxValue / 2))
+    assert(e.getMessage.contains("0 training rows"), e.getMessage)
+  }
+
   test("multi-probe ANN near-dup recall@5 beats single-bucket and clears 0.7") {
     val nQueries = perturbed.count().toDouble
     def recall(nBits: Int, radius: Int): Double = {
