@@ -110,7 +110,7 @@ object QueriesText {
       """SELECT doc_id,
         | CAST(LENGTH(text) AS BIGINT) AS n_chars,
         | CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
-        | ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text), 4) AS alpha_ratio,
+        | ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / LENGTH(text), 4) AS alpha_ratio,
         | ROUND(CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
         |   / LEN(STRING_SPLIT(text, ' ')), 4) AS mean_token_len
         |FROM documents""".stripMargin,

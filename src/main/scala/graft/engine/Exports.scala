@@ -96,11 +96,16 @@ object Exports {
           tagXml(r.sTags, includeNulls = true) + "</node>"
       }.mkString
 
+    // Reference-parity shape (19:106-121): the modify <node> carries id +
+    // version ONLY — no lon/lat — exactly as the reference's XMLELEMENT does.
+    // NULL suggested_tags behaves like JSONB_EACH(NULL): an empty set, not an
+    // error (the filter admits Point-geom rows whose sTags is null).
     val modify = rows.filter(r => r.osmId.isDefined && r.osmType.contains("n") &&
         (r.sgType.contains("Point") || r.sTags != null))
       .map { r =>
-        val merged = tagXml(r.sTags.filter(_._2 != null), includeNulls = false) +
-          tagXml(r.elemTags.filter { case (k, _) => r.sTags == null || !r.sTags.contains(k) },
+        val sugg = if (r.sTags == null) Map.empty[String, String] else r.sTags
+        val merged = tagXml(sugg.filter(_._2 != null), includeNulls = false) +
+          tagXml(r.elemTags.filter { case (k, _) => !sugg.contains(k) },
             includeNulls = false)
         s"""<node id="${realElementId(r.osmType.get, r.osmId.get)}" version="${r.version}">$merged</node>"""
       }.mkString
@@ -135,8 +140,10 @@ object Exports {
     val modify = rows.filter(r => r.osmId.isDefined && r.osmType.contains("n") &&
         (r.sgType.contains("Point") || r.sTags != null))
       .map { r =>
-        val merged = tagXml(r.sTags.filter(_._2 != null), includeNulls = false) +
-          tagXml(r.elemTags.filter { case (k, _) => r.sTags == null || !r.sTags.contains(k) },
+        // same null-sTags contract as osmChange (JSONB_EACH(NULL) = empty set)
+        val sugg = if (r.sTags == null) Map.empty[String, String] else r.sTags
+        val merged = tagXml(sugg.filter(_._2 != null), includeNulls = false) +
+          tagXml(r.elemTags.filter { case (k, _) => !sugg.contains(k) },
             includeNulls = false)
         s"""<node id="${realElementId(r.osmType.get, r.osmId.get)}" version="${r.version}" action="modify">$merged</node>"""
       }.mkString
@@ -158,6 +165,10 @@ object Exports {
       case (k, v) if v != null => s"$k=$v"
     }.mkString("  -  ")
     val header = """<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="graft">"""
+    // Reference-parity layout (11:31-49): desc/name/time/keywords/cmt INSIDE
+    // wpt and trk in this exact order — GPX 1.1 XSD allows keywords only
+    // under <metadata> and trk has no time/keywords, but the reference's
+    // XMLELEMENT emits them here and strict validators reject its files too.
     val meta = s"<desc>${esc(title)}</desc><name>${esc(desc)}</name>" +
       s"<time>${esc(fetchedAt)}</time><keywords>${esc(keywords)}</keywords><cmt>${esc(cmt)}</cmt>"
     val g = Geom.fromWkb(sGeom)

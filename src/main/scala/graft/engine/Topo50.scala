@@ -167,7 +167,9 @@ object Topo50 {
     Category(Seq("Aktivitetspark"),
       col("tags")("tourism").isin("theme_park", "water_park"),
       Seq(Map("tourism" -> "theme_park"), Map("tourism" -> "water_park"))),
-    Category( // q17 (31:198-204): andamal carried from objekttyp
+    Category( // q17 (31:198-204): andamal carried from objekttyp.
+      // 'wasterwater_plant' [sic] is the REFERENCE's own misspelling of the
+      // OSM tag (31:199 + 31:203, verbatim) — preserved like 'Skjultfält'
       filterVals = Seq("Ospecificerad"),
       osmPred = col("tags")("landuse").isin("commercial", "institutional") ||
         col("tags")("man_made").isin("water_works", "wasterwater_plant"),
@@ -204,24 +206,37 @@ object Topo50 {
                 cats: Seq[Category] = anlaggningsomradespunkt,
                 datasetId: Long = DatasetId): DataFrame = {
     val maxDist = cats.map(_.distance).max
-    val ups = cats.zipWithIndex.map { case (cat, i) =>
-      val base = items.filter(col("dataset_id") === datasetId)
-      val filtered0 =
-        if (cat.filterVals.isEmpty) base
-        else base.filter(attrOf(cat.filterKey).isin(cat.filterVals: _*))
-      val filtered = cat.alsoObjekttyp match {
-        case Some(o) => filtered0.filter(attrOf("objekttyp") === o)
-        case None    => filtered0
-      }
-      filtered
-        .withColumn("ids", array(col("id")))
-        .withColumn("tag_alts", array(cat.alternatives.map(a =>
-          mapLit(Tags.stripNulls(cat.constants ++ a))): _*))
-        .withColumn("andamal", attrOf(cat.carryKey))
-        .withColumn("note_c", lit(cat.note))
-        .withColumn("__cat", lit(i))
-        .withColumn("__dmax", lit(cat.distance))
-    }.reduce(_ unionByName _)
+    // ONE scan of items, not |cats| filtered scans unioned: the per-category
+    // filters are DISJOINT (filterVals / alsoObjekttyp partition the
+    // dataset), so a first-match when-chain assigns each item its category
+    // id in a single pass — at 10^12 rows the union form re-read and
+    // re-JSON-parsed the items table 17 times for anlaggningsomrade.
+    // Identical get_json_object calls across the branches are deduplicated
+    // by Spark's subexpression elimination inside the one Project.
+    // Row-identity with the per-leg form stays parity-tested (Topo50Spec)
+    // and oracle-checked (q_ds_topo50_oracle + the per-view oracles).
+    val itemCat: Column = cats.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case ((cat, i), acc) =>
+        val cond0 =
+          if (cat.filterVals.isEmpty) lit(true)
+          else attrOf(cat.filterKey).isin(cat.filterVals: _*)
+        val cond = cat.alsoObjekttyp match {
+          case Some(o) => cond0 && attrOf("objekttyp") === o
+          case None    => cond0
+        }
+        when(cond, lit(i)).otherwise(acc)
+    }
+    def perCat(f: Category => Column): Column =
+      element_at(array(cats.map(f): _*), col("__cat") + 1)
+    val ups = items.filter(col("dataset_id") === datasetId)
+      .withColumn("__cat", itemCat)
+      .filter(col("__cat").isNotNull)
+      .withColumn("ids", array(col("id")))
+      .withColumn("tag_alts", perCat(cat => array(cat.alternatives.map(a =>
+        mapLit(Tags.stripNulls(cat.constants ++ a))): _*)))
+      .withColumn("andamal", perCat(cat => attrOf(cat.carryKey)))
+      .withColumn("note_c", perCat(cat => lit(cat.note)))
+      .withColumn("__dmax", perCat(cat => lit(cat.distance)))
     // an OSM element joins every category whose predicate it satisfies
     val catArr = array(cats.zipWithIndex.map { case (cat, i) =>
       when(cat.osmPred, lit(i)).otherwise(lit(null).cast("int"))
@@ -234,7 +249,8 @@ object Topo50 {
       extraJoinKeys = Seq("__cat"),
       extraCandidateFilter = Some(col("dist") <= col("p___dmax")),
       carryUps = Seq("andamal", "note_c")))
-      .drop("__cat", "__dmax")
+    // no drop needed: matchView's output projection emits only its fixed
+    // columns + carryUps — __cat/__dmax never leave the join
   }
 
   /** per-category legs (the literal reference shape) — kept as the parity
@@ -317,6 +333,8 @@ object Topo50 {
     DeviationView.deviations(matchDf, DeviationConfig(
       datasetId = datasetId, layerId = 20L, viewName = viewName,
       titles = Titles(
+        // 'Transformatområde' [sic]: the reference's own title misspelling
+        // (28:27-28 and 29:27-28, verbatim) — preserved like 'Skjultfält'
         missing = ("Transformatområde saknas", lmMissing + "ett transformatorområde här"),
         possiblyClosed = None,
         missingTags = ("Transformatområde saknar taggar", lmTags)),

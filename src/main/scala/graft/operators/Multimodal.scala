@@ -39,24 +39,31 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       // per-partition init happens HERE (codec/session/model handle)
       it.map { r =>
-        val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+        val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
         val parts = s.split("\\|", 4)
+        // a malformed 4-part payload (wrong magic / non-numeric dims) must
+        // fall back to RAW like any other undecodable input, not kill the
+        // task with a NumberFormatException — a real codec would do the same
         val (kind, w, h) =
-          if (parts.length == 4) (parts(0), parts(1).toInt, parts(2).toInt)
+          if (parts.length == 4 && parts(0) == "IMG" &&
+              parts(1).nonEmpty && parts(1).length <= 9 && parts(1).forall(_.isDigit) &&
+              parts(2).nonEmpty && parts(2).length <= 9 && parts(2).forall(_.isDigit))
+            (parts(0), parts(1).toInt, parts(2).toInt)
           else ("RAW", 0, 0)
         var sum = 0L
         val seen = new java.util.BitSet(256)
         var i = 0
-        while (i < r.payload.length) {
-          val b = r.payload(i) & 0xFF
+        while (i < payload.length) {
+          val b = payload(i) & 0xFF
           sum += b; seen.set(b); i += 1
         }
         // mean truncated to 4 decimals via INTEGER arithmetic (sum*10000/len)
         // — exact, so the value is engine-independent (DuckDB-oracleable);
         // a float mean would differ at ULP level between summation orders
-        MediaFeatures(r.doc_id, kind, w, h, r.payload.length,
-          if (r.payload.length == 0) 0.0
-          else (sum * 10000L / r.payload.length).toDouble / 10000,
+        MediaFeatures(r.doc_id, kind, w, h, payload.length,
+          if (payload.length == 0) 0.0
+          else (sum * 10000L / payload.length).toDouble / 10000,
           seen.cardinality())
       }
     }

@@ -30,8 +30,10 @@ object TextAnalysis {
     docs
       .withColumn("n_chars", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(ws).cast("long"))
+      // BOTH cases count as alphabetic — lowercase-only scored 'HELLO WORLD'
+      // like a pure-digit doc and under-scored normally-capitalized prose
       .withColumn("alpha_ratio",
-        round(length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+        round(length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
           length(col(textCol)), 4))
       .withColumn("mean_token_len",
         round((length(col(textCol)) - (size(ws) - 1)).cast("double") / size(ws), 4))

@@ -28,6 +28,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.mean_byte == 2.0)
   }
 
+  test("decodeStub: malformed pipe payloads and null payloads fall back to RAW, no crash") {
+    // 4 '|'-separated parts but wrong magic / non-numeric dims: a real codec
+    // rejects such input gracefully; the stub previously threw
+    // NumberFormatException and killed the task
+    val media = Seq(
+      (3L, "a|b|c|d".getBytes("UTF-8")),
+      (4L, "IMG|x|2|body".getBytes("UTF-8")),
+      (5L, "IMG|999999999999|2|body".getBytes("UTF-8")), // digits but > Int
+      (6L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeStub(media).collect().map(f => f.doc_id -> f).toMap
+    assert(out.values.forall(f => f.kind == "RAW" && f.width == 0 && f.height == 0))
+    assert(out(6L).n_bytes == 0L && out(6L).mean_byte == 0.0)
+  }
+
   test("asFakeMedia -> decodeStub round trip: header fields match doc_id arithmetic") {
     val docs = Seq((0L, "alpha"), (62L, "beta"), (63L, "gamma")).toDF("doc_id", "text")
     val out = Multimodal.decodeStub(Multimodal.asFakeMedia(docs, "doc_id", "text"))
