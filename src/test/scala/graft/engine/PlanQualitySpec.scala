@@ -128,6 +128,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan should read only c_custkey, got $rs")
   }
 
+  test("alternatives pick window partitions by scalar keys, not the ids ARRAY") {
+    import spark.implicits._
+    // hashing an ARRAY<LONG> per row for the rank shuffle was VERDICT r2 #7;
+    // the fix keys the window on (first id, osm id, osm type) — assert no
+    // ArrayType expression survives in any window partitionSpec
+    val g = graft.core.geom.Geom.toWkb(graft.core.geom.Geom.point(100, 100))
+    val matchDf = Seq(
+      (Seq(10L), Seq(Map("amenity" -> "x"), Map("amenity" -> "y")),
+        Map("amenity" -> "x"), Option(1L), Option("n"), g, g))
+      .toDF("upstream_item_ids", "upstream_tags", "osm_tags",
+        "osm_element_id", "osm_element_type", "upstream_geom", "osm_geom")
+    val out = DeviationView.deviations(matchDf, DeviationView.DeviationConfig(
+      datasetId = 1L, layerId = 1L, viewName = "t",
+      titles = BenchPipeline.titles))
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "alternatives path should plan a rank window")
+    for (w <- windows; e <- w.partitionSpec)
+      assert(!e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"window partition key must be scalar, got ${e.sql}")
+  }
+
   test("IVF top-k joins inverted lists on the cell key, never nested-loop") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
