@@ -96,7 +96,29 @@ object QueriesText {
       // oracled: the stub's features are pure byte arithmetic — the DuckDB
       // side re-derives them from HEX(payload) pairs
       Multimodal.decodeStub(
-        Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text")).toDF()))
+        Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text")).toDF()),
+
+    "q_mm_resize" -> ((s, dir) =>
+      // nearest-neighbor 8x8 resize of the fake image body; integer source
+      // mapping makes the output checksum engine-independent
+      Multimodal.resize(
+        Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text"), 8, 8)
+        .select("doc_id", "out_w", "out_h", "checksum")),
+
+    "q_mm_frames" -> ((s, dir) =>
+      // every 2nd 16-byte frame of the body (trailing partial frame dropped)
+      Multimodal.frameSample(
+        Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text"),
+        frameBytes = 16, every = 2)
+        .select("doc_id", "frame_idx", "n_frames", "checksum")),
+
+    "q_mm_embed" -> ((s, dir) =>
+      // byte-histogram-mod-8 feature vector, exploded to (doc_id, i, v) rows
+      // so the array is oracle-comparable position by position
+      Multimodal.featureExtract(
+        Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text"), 8)
+        .toDF().select(col("doc_id"),
+          posexplode(col("embedding")).as(Seq("i", "v")))))
 
   val oracle: Map[String, String] = Map(
     "q_txt_tokens" ->
@@ -193,5 +215,71 @@ object QueriesText {
         |  CAST(n AS BIGINT) AS n_bytes,
         |  (CAST(SUM(bv) AS BIGINT)*10000 // CAST(n AS BIGINT)) / 10000.0 AS mean_byte,
         |  CAST(COUNT(DISTINCT bv) AS INT) AS distinct_bytes
-        |FROM bytes GROUP BY doc_id, n""".stripMargin)
+        |FROM bytes GROUP BY doc_id, n""".stripMargin,
+    "q_mm_resize" ->
+      // nearest-neighbor 8x8: source pixel (ty*h/8, tx*w/8), row-major body
+      // after the ASCII header; bytes past a short body read 0
+      """WITH p AS (SELECT doc_id, doc_id%63+1 AS sw, doc_id%47+1 AS sh,
+        |    ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|' || text) AS payload,
+        |    OCTET_LENGTH(ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|')) AS noff
+        |  FROM documents),
+        |hx AS (SELECT doc_id, sw, sh, noff, HEX(payload) AS hs,
+        |       OCTET_LENGTH(payload) AS n FROM p),
+        |px AS (SELECT doc_id,
+        |    CASE WHEN noff + ((ty*sh)//8)*sw + (tx*sw)//8 < n THEN
+        |      (STRPOS('0123456789ABCDEF',
+        |         SUBSTR(hs, 2*(noff + ((ty*sh)//8)*sw + (tx*sw)//8)+1, 1))-1)*16
+        |      + STRPOS('0123456789ABCDEF',
+        |         SUBSTR(hs, 2*(noff + ((ty*sh)//8)*sw + (tx*sw)//8)+2, 1))-1
+        |    ELSE 0 END AS bv
+        |  FROM hx,
+        |    LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS ty) a,
+        |    LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS tx) b)
+        |SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        |  CAST(SUM(bv) AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      // every 2nd complete 16-byte frame of the body, byte-sum checksums
+      """WITH p AS (SELECT doc_id,
+        |    ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|' || text) AS payload,
+        |    OCTET_LENGTH(ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|')) AS noff
+        |  FROM documents),
+        |hx AS (SELECT doc_id, noff, HEX(payload) AS hs,
+        |       (OCTET_LENGTH(payload)-noff)//16 AS nf FROM p),
+        |fr AS (SELECT doc_id, noff, hs, nf, fi FROM hx,
+        |       LATERAL (SELECT UNNEST(GENERATE_SERIES(0, nf-1)) AS fi) f
+        |       WHERE fi % 2 = 0),
+        |bb AS (SELECT doc_id, nf, fi,
+        |    (STRPOS('0123456789ABCDEF', SUBSTR(hs, 2*(noff + fi*16 + k)+1, 1))-1)*16
+        |    + STRPOS('0123456789ABCDEF', SUBSTR(hs, 2*(noff + fi*16 + k)+2, 1))-1 AS bv
+        |  FROM fr, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS k) t)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+        |  CAST(SUM(bv) AS BIGINT) AS checksum
+        |FROM bb GROUP BY doc_id, fi, nf""".stripMargin,
+    "q_mm_embed" ->
+      // body byte-value histogram folded mod 8; zero buckets present (the
+      // dense cross join), counts as DOUBLE like the Spark embedding
+      """WITH p AS (SELECT doc_id,
+        |    ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|' || text) AS payload,
+        |    OCTET_LENGTH(ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|')) AS noff
+        |  FROM documents),
+        |hx AS (SELECT doc_id, noff, HEX(payload) AS hs,
+        |       OCTET_LENGTH(payload) AS n FROM p),
+        |bytes AS (SELECT doc_id,
+        |    ((STRPOS('0123456789ABCDEF', SUBSTR(hs, 2*j+1, 1))-1)*16
+        |     + STRPOS('0123456789ABCDEF', SUBSTR(hs, 2*j+2, 1))-1) % 8 AS bucket
+        |  FROM hx, LATERAL (SELECT UNNEST(GENERATE_SERIES(noff, n-1)) AS j) t),
+        |cnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bytes
+        |        GROUP BY doc_id, bucket)
+        |SELECT d.doc_id, CAST(s.i AS INT) AS i,
+        |  CAST(COALESCE(c.c, 0) AS DOUBLE) AS v
+        |FROM documents d
+        |CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS i) s
+        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = s.i""".stripMargin)
 }

@@ -22,6 +22,26 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, kind: String, width: Int, height: Int,
       n_bytes: Long, mean_byte: Double, distinct_bytes: Int)
+  final case class ResizedMedia(
+      doc_id: Long, kind: String, out_w: Int, out_h: Int,
+      payload: Array[Byte], checksum: Long)
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Int, n_frames: Int, checksum: Long)
+  final case class MediaEmbedding(doc_id: Long, embedding: Array[Double])
+
+  /** header parse shared by the decode family: Some((w, h, bodyOffset)) for a
+    * valid "IMG|w|h|" header, None for anything malformed (RAW fallback).
+    * The header is pure ASCII, so its char length IS its byte length. */
+  private def parseHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val parts = s.split("\\|", 4)
+    if (parts.length == 4 && parts(0) == "IMG" &&
+        parts(1).nonEmpty && parts(1).length <= 9 && parts(1).forall(_.isDigit) &&
+        parts(2).nonEmpty && parts(2).length <= 9 && parts(2).forall(_.isDigit))
+      Some((parts(1).toInt, parts(2).toInt,
+        4 + parts(1).length + 1 + parts(2).length + 1))
+    else None
+  }
 
   /** wrap text rows as fake media payloads: "IMG|<w>|<h>|" + body bytes. */
   def asFakeMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -65,6 +85,111 @@ object Multimodal {
           if (payload.length == 0) 0.0
           else (sum * 10000L / payload.length).toDouble / 10000,
           seen.cardinality())
+      }
+    }
+  }
+
+  /**
+   * Nearest-neighbor resize of the (stubbed) image body to outW × outH.
+   *
+   * The body bytes are the row-major w×h "pixel" stream after the header;
+   * source pixel for target (ty, tx) is (ty*h/outH, tx*w/outW) — pure integer
+   * arithmetic, so the checksum is engine-independent (DuckDB-oracleable).
+   * Bytes past the end of a short body read as 0, matching a real decoder's
+   * zero-padded scanline policy. Malformed headers fall back to an empty RAW
+   * result instead of killing the task. Runs per PARTITION (codec init
+   * amortized), output stays BINARY — the real 100-TB plumbing around a
+   * stubbed kernel.
+   */
+  def resize(media: DataFrame, outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    require(outW > 0 && outH > 0, s"resize dims must be positive: $outW x $outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+        parseHeader(payload) match {
+          case Some((w, h, off)) =>
+            val out = new Array[Byte](outW * outH)
+            var sum = 0L
+            var ty = 0
+            while (ty < outH) {
+              val sy = ty.toLong * h / outH
+              var tx = 0
+              while (tx < outW) {
+                val sx = tx.toLong * w / outW
+                val idx = off + (sy * w + sx)
+                val b: Byte =
+                  if (idx < payload.length) payload(idx.toInt) else 0
+                out(ty * outW + tx) = b
+                sum += (b & 0xFF)
+                tx += 1
+              }
+              ty += 1
+            }
+            ResizedMedia(r.doc_id, "IMG", outW, outH, out, sum)
+          case None =>
+            ResizedMedia(r.doc_id, "RAW", 0, 0, Array.empty[Byte], 0L)
+        }
+      }
+    }
+  }
+
+  /**
+   * Sample every `every`-th fixed-size frame from the media body (the
+   * frame-sample step of a video pipeline, over the stubbed container).
+   *
+   * The body is cut into consecutive `frameBytes`-byte frames (trailing
+   * partial frame dropped, as a codec drops a truncated last frame); frames
+   * with index % every == 0 are emitted with their byte-sum checksum.
+   * A payload without a container header is treated as a raw stream from
+   * byte 0. One input row fans out to n_frames/every rows — flatMap inside
+   * mapPartitions keeps it pipelined, never materializing a doc's frames.
+   */
+  def frameSample(media: DataFrame, frameBytes: Int, every: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && every > 0,
+      s"frameBytes and every must be positive: $frameBytes, $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+        val off = parseHeader(payload).map(_._3).getOrElse(0)
+        val nFrames = (payload.length - off) / frameBytes
+        (0 until nFrames).iterator.filter(_ % every == 0).map { fi =>
+          var sum = 0L
+          var j = off + fi * frameBytes
+          val end = j + frameBytes
+          while (j < end) { sum += (payload(j) & 0xFF); j += 1 }
+          FrameRow(r.doc_id, fi, nFrames, sum)
+        }
+      }
+    }
+  }
+
+  /**
+   * Feature-extract a fixed-dim embedding from the media body: the byte-value
+   * histogram folded mod `dims` (hist[b % dims] += 1 over body bytes).
+   *
+   * Integer counts stored as doubles — exact in both engines, and the output
+   * plugs straight into the Similarity operators (cosinePairs/topK/ANN) for
+   * cross-modal near-dup search. Headerless payloads hash the whole stream.
+   */
+  def featureExtract(media: DataFrame, dims: Int): Dataset[MediaEmbedding] = {
+    require(dims > 0, s"embedding dims must be positive: $dims")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+        val off = parseHeader(payload).map(_._3).getOrElse(0)
+        val hist = new Array[Double](dims)
+        var j = off
+        while (j < payload.length) {
+          hist((payload(j) & 0xFF) % dims) += 1.0
+          j += 1
+        }
+        MediaEmbedding(r.doc_id, hist)
       }
     }
   }

@@ -151,6 +151,16 @@ class PlanQualitySpec extends AnyFunSuite {
         s"window partition key must be scalar, got ${e.sql}")
   }
 
+  test("multimodal decode family prunes the documents scan to (doc_id, text)") {
+    // mapPartitions deserializes its INPUT projection, not the table — the
+    // parquet scan under asFakeMedia -> resize must still read only the two
+    // columns the fake-media header needs
+    val p = plan("q_mm_resize")
+    val rs = "ReadSchema: \\S+".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text"), rs)
+    assert(!rs.contains("source") && !rs.contains("lang"), s"scan over-reads: $rs")
+  }
+
   test("IVF top-k joins inverted lists on the cell key, never nested-loop") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -56,4 +56,52 @@ class MultimodalSpec extends AnyFunSuite {
     val sum = p.map(_ & 0xFF).map(_.toLong).sum
     assert(out(0L).mean_byte == (sum * 10000L / p.length).toDouble / 10000)
   }
+
+  test("resize: nearest-neighbor mapping, zero-fill past short bodies, RAW fallback") {
+    // body "WXYZ" = row-major 2x2 pixels [87,88 / 89,90]
+    val media = Seq(
+      (1L, "IMG|2|2|WXYZ".getBytes("UTF-8")),
+      (2L, "IMG|2|2|WX".getBytes("UTF-8")), // short body: bottom row reads 0
+      (3L, Array[Byte](1, 2, 3))) // no header
+      .toDF("doc_id", "payload")
+    val one = Multimodal.resize(media, 1, 1).collect().map(r => r.doc_id -> r).toMap
+    assert(one(1L).payload.toSeq == Seq(87.toByte) && one(1L).checksum == 87L)
+    val same = Multimodal.resize(media, 2, 2).collect().map(r => r.doc_id -> r).toMap
+    assert(same(1L).payload.toSeq == "WXYZ".getBytes("UTF-8").toSeq)
+    assert(same(1L).checksum == 87L + 88 + 89 + 90)
+    assert(same(2L).payload.toSeq == Seq[Byte](87, 88, 0, 0) && same(2L).checksum == 175L)
+    assert(same(3L).kind == "RAW" && same(3L).payload.isEmpty && same(3L).checksum == 0L)
+    // upscale 4x4 replicates each source pixel 2x2 (floor mapping)
+    val up = Multimodal.resize(media, 4, 4).collect().map(r => r.doc_id -> r).toMap
+    assert(up(1L).checksum == (87L + 88 + 89 + 90) * 4)
+    assert(up(1L).payload.toSeq == Seq[Byte](87, 87, 88, 88, 87, 87, 88, 88,
+      89, 89, 90, 90, 89, 89, 90, 90))
+  }
+
+  test("frameSample: complete frames only, stride sampling, headerless = raw stream") {
+    val body = "A" * 16 + "B" * 16 + "CCC" // 35 body bytes -> 2 complete frames
+    val media = Seq((1L, ("IMG|1|1|" + body).getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val all = Multimodal.frameSample(media, frameBytes = 16, every = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(all.map(f => (f.frame_idx, f.n_frames, f.checksum)).toSeq ==
+      Seq((0, 2, 65L * 16), (1, 2, 66L * 16)))
+    val strided = Multimodal.frameSample(media, frameBytes = 16, every = 2).collect()
+    assert(strided.map(f => (f.frame_idx, f.checksum)).toSeq == Seq((0, 65L * 16)))
+    // headerless payload: the whole stream is the body (offset 0)
+    val raw = Seq((2L, Array.fill[Byte](16)(7))).toDF("doc_id", "payload")
+    val rf = Multimodal.frameSample(raw, 16, 1).collect()
+    assert(rf.map(f => (f.frame_idx, f.n_frames, f.checksum)).toSeq == Seq((0, 1, 112L)))
+  }
+
+  test("featureExtract: folded byte histogram over the body, null-safe") {
+    val media = Seq(
+      (1L, "IMG|1|1|AB".getBytes("UTF-8")), // body bytes 65,66 -> buckets 1,2
+      (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.featureExtract(media, 8).collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).embedding.toSeq == Seq(0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(out(2L).embedding.toSeq == Seq.fill(8)(0.0))
+    // counts integrate with the Similarity cosine path: all-integer doubles
+    assert(out(1L).embedding.forall(v => v == Math.rint(v)))
+  }
 }
