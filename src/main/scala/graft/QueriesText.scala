@@ -118,7 +118,18 @@ object QueriesText {
       Multimodal.featureExtract(
         Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text"), 8)
         .toDF().select(col("doc_id"),
-          posexplode(col("embedding")).as(Seq("i", "v")))))
+          posexplode(col("embedding")).as(Seq("i", "v")))),
+
+    "q_mm_simsearch" -> ((s, dir) => {
+      // cross-modal composition: the extracted media embedding plugs straight
+      // into the Similarity operators — integer-count vectors keep the cosine
+      // bit-exact across engines (dot and squared norms are exact integers)
+      val emb = Multimodal.featureExtract(
+        Multimodal.asFakeMedia(docs(s, dir), "doc_id", "text"), 8).toDF()
+      Similarity.cosinePairs(emb,
+        emb.filter(pmod(col("doc_id"), lit(50L)) === 0),
+        "doc_id", "embedding", threshold = 0.99)
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_txt_tokens" ->
@@ -281,5 +292,32 @@ object QueriesText {
         |  CAST(COALESCE(c.c, 0) AS DOUBLE) AS v
         |FROM documents d
         |CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS i) s
-        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = s.i""".stripMargin)
+        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = s.i""".stripMargin,
+    "q_mm_simsearch" ->
+      // pairwise cosine over the folded histograms: dot and squared norms
+      // are exact integer sums, SQRT/division IEEE-identical in both engines
+      """WITH p AS (SELECT doc_id,
+        |    ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|' || text) AS payload,
+        |    OCTET_LENGTH(ENCODE('IMG|' || CAST(doc_id%63+1 AS VARCHAR)
+        |      || '|' || CAST(doc_id%47+1 AS VARCHAR) || '|')) AS noff
+        |  FROM documents),
+        |hx AS (SELECT doc_id, noff, HEX(payload) AS hs,
+        |       OCTET_LENGTH(payload) AS n FROM p),
+        |bytes AS (SELECT doc_id,
+        |    ((STRPOS('0123456789ABCDEF', SUBSTR(hs, 2*j+1, 1))-1)*16
+        |     + STRPOS('0123456789ABCDEF', SUBSTR(hs, 2*j+2, 1))-1) % 8 AS bucket
+        |  FROM hx, LATERAL (SELECT UNNEST(GENERATE_SERIES(noff, n-1)) AS j) t),
+        |hist AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c
+        |         FROM bytes GROUP BY doc_id, bucket),
+        |norms AS (SELECT doc_id, SQRT(SUM(c*c)) AS nrm FROM hist GROUP BY doc_id),
+        |qh AS (SELECT * FROM hist WHERE doc_id % 50 = 0),
+        |dots AS (SELECT qh.doc_id AS qid, hist.doc_id AS nid, SUM(qh.c*hist.c) AS dot
+        |         FROM qh JOIN hist ON qh.bucket = hist.bucket
+        |           AND qh.doc_id <> hist.doc_id
+        |         GROUP BY qh.doc_id, hist.doc_id)
+        |SELECT qid, nid, ROUND(dot/(nq.nrm*nc.nrm), 4) AS cos
+        |FROM dots JOIN norms nq ON nq.doc_id = qid
+        |JOIN norms nc ON nc.doc_id = nid
+        |WHERE dot/(nq.nrm*nc.nrm) >= 0.99""".stripMargin)
 }
