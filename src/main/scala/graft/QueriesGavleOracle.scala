@@ -297,6 +297,84 @@ object QueriesGavleOracle {
       .select("code", "name", "geom")
   }
 
+  // ===================== historiskaskyltar_gavle ==========================
+  //
+  // 25-v_deviation_historiskaskyltar_gavle.sql — the 20th and LAST view
+  // behind the oracle. Quirks this one uniquely reaches:
+  //  - tag_alternatives where the alternatives REPLACE the base's own
+  //    'information' value (25:11-16: base says 'sign', the board
+  //    alternative overrides it): a matched node's information value NEVER
+  //    lands in the diff — the alternative matching it is always one
+  //    diff-key cheaper (k%8==5: a 'board' node with a wrong inscription
+  //    diffs to inscription ONLY); for missing rows both alternatives tie
+  //    and jsonb array order pins 'sign'.
+  //  - TRIM(NAMN) (25:14): items carry '  …  '-padded names; the suggested
+  //    inscription is the trimmed form.
+  //  - NO anti leg (25:22 is a plain LEFT OUTER JOIN with no unmatched-OSM
+  //    leg — asserted by absence: k%8==7 plants an information='map' node
+  //    10 m away that is predicate-invisible, and no row reports it).
+  //  - distance-only 50 m tier (k%8==1 sits at 51 m -> missing) and the
+  //    rank-1 distance pick between two admissible nodes (k%8==6: 'sign'
+  //    at 30 m vs 'board' at 10 m — the board node wins, asserted via cx
+  //    and the empty-vs-inscription diff).
+  //  - NAMN NULL (k%11==0) drops 'inscription' from every alternative
+  //    (strip_nulls), so a matched bare node diffs to {} and the row dies
+  //    at the post-filter while the same item unmatched still emits
+  //    'information=sign' alone.
+  // =========================================================================
+
+  private def hBase(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("ux", pmod(col("k") * 48271L, lit(1000000L)).cast("double"))
+      .withColumn("uy", pmod(col("k") * 69621L, lit(1000000L)).cast("double"))
+      .withColumn("nm", when(kMod(11) =!= 0,
+        concat(lit("Skylt "), col("k").cast("string"))))
+
+  private def hItems(b: DataFrame): DataFrame =
+    b.select(col("k").as("id"), lit(27L).as("dataset_id"),
+      to_json(struct(
+        when(col("nm").isNotNull, concat(lit("  "), col("nm"), lit("  ")))
+          .as("NAMN"))).as("original_attributes"),
+      stPoint(col("ux"), col("uy")).as("geometry"),
+      col("ux").as("cx"), col("uy").as("cy"), lit(true).as("is_point"))
+
+  /** sign nodes by k%8 — 0: none; 1: 51 m (outside the 50 m tier);
+    * 2: relocated past the muni cutoff; 3: 40 m 'board' with the EXACT
+    * trimmed inscription (diff {} -> dropped); 4: 40 m 'sign', no
+    * inscription; 5: 40 m 'board', wrong inscription; 6: TWO nodes ('sign'
+    * 30 m + 'board' 10 m — distance rank picks board); 7: 10 m
+    * information='map' (predicate-invisible). k%13==0 carries an extra
+    * tourism tag that must never pollute the diff. */
+  private def hOsm(b: DataFrame): DataFrame = {
+    val m8 = kMod(8)
+    val dx = when(m8 === 1, 51L)
+      .when(m8 === 2, lit(820001L) + kMod(100) - col("ux").cast("long"))
+      .when(m8 === 3 || m8 === 4 || m8 === 5, 40L)
+      .when(m8 === 6, 30L)
+      .otherwise(10L) // m8 == 7 (m8 == 0 is filtered out)
+    val info = when(m8 === 3 || m8 === 5, "board")
+      .when(m8 === 7, "map").otherwise("sign")
+    val insc = when(m8 === 3, col("nm")).when(m8 === 5, lit("Annan text"))
+    val main = b.filter(m8 =!= 0)
+      .select(lit("n").as("type"), (col("k") + 1000000000L).as("id"),
+        map_filter(map(
+          lit("information"), info,
+          lit("inscription"), insc,
+          lit("tourism"), when(kMod(13) === 0, "information")),
+          (_, v) => v.isNotNull).as("tags"),
+        (col("ux") + dx).cast("double").as("cx"),
+        col("uy").as("cy"))
+    val boardProbe = b.filter(m8 === 6)
+      .select(lit("n").as("type"), (col("k") + 2000000000L).as("id"),
+        map(lit("information"), lit("board")).as("tags"),
+        (col("ux") + 10L).cast("double").as("cx"),
+        col("uy").as("cy"))
+    main.unionByName(boardProbe)
+      .withColumn("geom", stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+  }
+
   // ======================== badplatser_gavle ==============================
 
   private def bBase(s: SparkSession, dir: String): DataFrame = {
@@ -425,6 +503,21 @@ object QueriesGavleOracle {
         col("osm_element_id").as("osm_id"),
         col("title"), col("description"),
         diffStr(col("suggested_tags"), bKeys).as("diff"),
+        stCentroid(col("center"))("_1").as("cx"),
+        stCentroid(col("center"))("_2").as("cy"))
+    }),
+
+    "q_ds_historiskaskyltar_oracle" -> ((s, dir) => {
+      val b = hBase(s, dir)
+      val dev = graft.engine.ReferenceDatasetsGavle.historiskaskyltarDeviations(
+        graft.engine.ReferenceDatasetsGavle.historiskaskyltarMatch(
+          hOsm(b), hItems(b), muni2180(s)))
+      dev.select(
+        element_at(col("upstream_item_ids"), 1).as("item_id"),
+        col("osm_element_id").as("osm_id"),
+        col("title"), col("description"),
+        diffStr(col("suggested_tags"), Seq("information", "inscription"))
+          .as("diff"),
         stCentroid(col("center"))("_1").as("cx"),
         stCentroid(col("center"))("_2").as("cy"))
     }))
@@ -741,6 +834,66 @@ object QueriesGavleOracle {
         |    CASE WHEN w.osm_id IS NULL THEN u.ux ELSE w.ox END AS cx,
         |    CASE WHEN w.osm_id IS NULL THEN u.uy ELSE w.oy END AS cy
         |  FROM ups u LEFT JOIN best w ON u.k = w.uk)
+        |SELECT item_id, osm_id, title, description, diff, cx, cy
+        |FROM dev WHERE osm_id IS NULL OR diff <> ''""".stripMargin,
+
+    "q_ds_historiskaskyltar_oracle" ->
+      // the alternative matching the node's information value is always one
+      // diff-key cheaper, so matched diffs carry inscription ONLY; missing
+      // rows tie and array order pins the 'sign' alternative
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST((o_orderkey*48271)%1000000 AS DOUBLE) AS ux,
+        |    CAST((o_orderkey*69621)%1000000 AS DOUBLE) AS uy,
+        |    CASE WHEN o_orderkey%11<>0
+        |         THEN 'Skylt ' || CAST(o_orderkey AS VARCHAR) END AS nm
+        |  FROM orders),
+        |osm0 AS (
+        |  SELECT k, k+1000000000 AS osm_id,
+        |    ux + (CASE WHEN k%8=1 THEN 51
+        |      WHEN k%8=2 THEN 820001 + k%100 - CAST(ux AS BIGINT)
+        |      WHEN k%8 IN (3,4,5) THEN 40
+        |      WHEN k%8=6 THEN 30 ELSE 10 END) AS ox,
+        |    uy AS oy,
+        |    CASE WHEN k%8 IN (3,5) THEN 'board'
+        |         WHEN k%8=7 THEN 'map' ELSE 'sign' END AS info,
+        |    CASE WHEN k%8=3 THEN nm WHEN k%8=5 THEN 'Annan text' END AS insc
+        |  FROM b WHERE k%8 <> 0
+        |  UNION ALL
+        |  SELECT k, k+2000000000 AS osm_id, ux + 10 AS ox, uy AS oy,
+        |    'board' AS info, NULL AS insc
+        |  FROM b WHERE k%8 = 6),
+        |osm AS (
+        |  SELECT * FROM osm0
+        |  WHERE info IN ('board','sign')
+        |    AND ox >= 0 AND ox <= 820000 AND oy >= 0 AND oy <= 1000000),
+        |cand AS (
+        |  SELECT u.k AS uk, u.nm, o.osm_id, o.info, o.insc, o.ox, o.oy,
+        |    SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) AS dist
+        |  FROM b u JOIN osm o
+        |    ON ABS(u.ux-o.ox) <= 50 AND ABS(u.uy-o.oy) <= 50
+        |   AND SQRT((u.ux-o.ox)*(u.ux-o.ox)+(u.uy-o.oy)*(u.uy-o.oy)) <= 50),
+        |best AS (
+        |  SELECT uk, osm_id, insc, ox, oy FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY uk ORDER BY dist, osm_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |dev AS (
+        |  SELECT u.k AS item_id, w.osm_id,
+        |    CASE WHEN w.osm_id IS NULL THEN 'Skylt saknas'
+        |         ELSE 'Skylt saknar taggar' END AS title,
+        |    CASE WHEN w.osm_id IS NULL
+        |         THEN 'Enligt Gävle kommun ska det finnas en skylt här'
+        |         ELSE 'Följande taggar, härledda ur från Gävle kommuns data, saknas på skylten här'
+        |         END AS description,
+        |    CASE WHEN w.osm_id IS NULL THEN
+        |        'information=sign' ||
+        |        CASE WHEN u.nm IS NOT NULL THEN ';inscription=' || u.nm ELSE '' END
+        |      WHEN u.nm IS NOT NULL AND (w.insc IS NULL OR w.insc <> u.nm)
+        |        THEN 'inscription=' || u.nm
+        |      ELSE '' END AS diff,
+        |    CASE WHEN w.osm_id IS NULL THEN u.ux ELSE w.ox END AS cx,
+        |    CASE WHEN w.osm_id IS NULL THEN u.uy ELSE w.oy END AS cy
+        |  FROM b u LEFT JOIN best w ON u.k = w.uk)
         |SELECT item_id, osm_id, title, description, diff, cx, cy
         |FROM dev WHERE osm_id IS NULL OR diff <> ''""".stripMargin)
 }
