@@ -2,7 +2,7 @@ package graft.core
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.mvt.Mvt
-import graft.core.geom.Envelope
+import graft.core.geom.{Envelope, Geom, Pt}
 
 /** MVT 2.1 encoder round-trip: a minimal independent protobuf decoder reads
   * the bytes back and must see the layer/feature/geometry we encoded. */
@@ -127,5 +127,81 @@ class MvtSpec extends AnyFunSuite {
     // all outside / empty -> None, not a crash
     assert(Mvt.asMvtGeom(Seq((-400.0, 2048.0), (9999.0, 0.0)), isLine = false, bounds).isEmpty)
     assert(Mvt.asMvtGeom(Seq.empty, isLine = false, bounds).isEmpty)
+  }
+
+  test("property: random features round-trip bit-exactly through encode/decode") {
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 100).foreach { _ =>
+      val feats = (1 to 1 + rnd.nextInt(5)).map { _ =>
+        val isLine = rnd.nextBoolean()
+        val n = if (isLine) 2 + rnd.nextInt(5) else 1 + rnd.nextInt(4)
+        val pts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        while (pts.length < n) {
+          val c = (rnd.nextInt(4609) - 256, rnd.nextInt(4609) - 256)
+          if (pts.isEmpty || pts.last != c) pts += c // no zero deltas
+        }
+        Mvt.Feature(0L,
+          Seq("state" -> Seq("in-both", "not-in-osm", "not-in-upstream")(rnd.nextInt(3)),
+            ("k" + rnd.nextInt(3)) -> ("v" + rnd.nextInt(5))),
+          if (isLine) Mvt.GeomLine else Mvt.GeomPoint, pts.toArray)
+      }
+      val Seq(layer) = decodeTile(Mvt.encodeTile(Seq(Mvt.encodeLayer("l", feats))))
+      assert(layer.features.length == feats.length)
+      feats.zip(layer.features).foreach { case (f, d) =>
+        assert(d.geomType == f.geomType)
+        // walk the command stream back to absolute coordinates
+        val coords = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var x = 0; var y = 0; var i = 0
+        while (i < d.cmds.length) {
+          val cnt = (d.cmds(i) >> 3).toInt
+          i += 1
+          (1 to cnt).foreach { _ =>
+            x += unzig(d.cmds(i)); y += unzig(d.cmds(i + 1)); i += 2
+            coords += ((x, y))
+          }
+        }
+        assert(coords.toSeq == f.coords.toSeq, s"coords mangled for $f")
+        val decAttrs = d.tags.grouped(2).map {
+          case Seq(ki, vi) => layer.keys(ki) -> layer.values(vi)
+        }.toSeq
+        assert(decAttrs == f.attrs, "attr dictionaries mangled")
+      }
+    }
+  }
+
+  test("property: line clip outputs stay in the buffered box and on the segment") {
+    val bounds = Envelope(0.0, 0.0, 4096.0, 4096.0) // 1 unit = 1 tile px
+    val rnd = new scala.util.Random(99L)
+    val lo = -256; val hi = 4096 + 256
+    (1 to 300).foreach { _ =>
+      def c() = rnd.nextDouble() * 8000 - 2000
+      val (p1, p2) = ((c(), c()), (c(), c()))
+      // the encoder rounds to local ints FIRST, then clips — the independent
+      // reference segment is the one between the rounded local endpoints
+      def local(p: (Double, Double)) =
+        Pt(math.round(p._1).toDouble, math.round(4096.0 - p._2).toDouble)
+      val (a, b) = (local(p1), local(p2))
+      Mvt.asMvtGeom(Seq(p1, p2), isLine = true, bounds) match {
+        case Some((t, cs)) =>
+          assert(t == Mvt.GeomLine && cs.length >= 2)
+          cs.foreach { case (x, y) =>
+            assert(x >= lo && x <= hi && y >= lo && y <= hi,
+              s"clipped vertex ($x,$y) outside the buffered box")
+            // every output vertex lies on the input segment (clip never bends)
+            assert(Geom.distPointSegment(Pt(x, y), a, b) <= 1.5,
+              s"vertex ($x,$y) off the segment $a -> $b")
+          }
+        case None =>
+          // a dropped segment must not pass visibly through the box: no
+          // sampled point may sit clearly inside the buffer (margin 2 px
+          // keeps integer rounding out of the verdict)
+          (0 to 400).foreach { i =>
+            val t = i / 400.0
+            val sx = a.x + t * (b.x - a.x); val sy = a.y + t * (b.y - a.y)
+            assert(!(sx > lo + 2 && sx < hi - 2 && sy > lo + 2 && sy < hi - 2),
+              s"dropped segment passes through the box at ($sx,$sy)")
+          }
+      }
+    }
   }
 }
