@@ -96,4 +96,56 @@ class ElementStoreSpec extends AnyFunSuite {
     assert(es.merge("elements", Seq("type", "id"), df().limit(0)).isEmpty)
     assert(es.read("elements", None).count() == 1)
   }
+
+  test("property: random batch sequence matches a last-write-wins key model") {
+    val dir = java.nio.file.Files.createTempDirectory("estore_prop").toString
+    // small blocks + few keys force in-batch duplicates, moves, block churn,
+    // and emptied partitions across the sequence
+    val es = new ElementStore(spark, dir, blockMeters = 100.0, idxBuckets = 8)
+    val OFF = graft.core.cell.Grid.OFF.toLong
+    def blockOf(cx: Double, cy: Double): Long =
+      ((math.floor(cx / 100.0).toLong + OFF) << 32) |
+        (math.floor(cy / 100.0).toLong + OFF)
+
+    val rnd = new scala.util.Random(20260818L)
+    val model = scala.collection.mutable.Map.empty[(String, Long), (Double, Double, Long)]
+    var seq = 0L
+    (1 to 8).foreach { _ =>
+      val base = (1 to 5 + rnd.nextInt(20)).map { _ =>
+        seq += 1
+        (if (rnd.nextBoolean()) "n" else "w", rnd.nextInt(30).toLong,
+          rnd.nextInt(10) * 100.0 + 50.0, rnd.nextInt(3) * 100.0 + 50.0, seq)
+      }
+      // in-batch duplicate keys: recency (seq) must decide, deterministically
+      val dups = base.take(rnd.nextInt(3)).map { r =>
+        seq += 1
+        (r._1, r._2, rnd.nextInt(10) * 100.0 + 50.0, r._4, seq)
+      }
+      val all = rnd.shuffle(base ++ dups)
+      val preModel = model.toMap
+      val dirty = es.merge("el", Seq("type", "id"),
+        all.toDF("type", "id", "cx", "cy", "seq"), recencyCol = Some("seq")).toSet
+
+      all.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+        val w = rs.maxBy(_._5)
+        model(k) = (w._3, w._4, w._5)
+      }
+      val got = es.read("el").select("type", "id", "cx", "cy", "seq").collect()
+      assert(got.length == model.size, "store must hold exactly one row per key")
+      val gotMap = got.map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+      assert(gotMap == model.toMap, "store state diverged from the model")
+
+      // dirty must cover each key's WINNING row's block (losing in-batch
+      // duplicates are dedup'd away before the write and need no recompute)
+      // AND the old block of every key the batch touches — the recompute
+      // frontier must see the vacated region
+      val winners = all.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._5))
+      val expect = winners.map(r => blockOf(r._3, r._4)).toSet ++
+        all.flatMap(r => preModel.get((r._1, r._2)))
+          .map(p => blockOf(p._1, p._2)).toSet
+      assert(expect.subsetOf(dirty),
+        s"dirty blocks missing ${expect.diff(dirty)}")
+    }
+  }
 }
