@@ -131,4 +131,74 @@ class DeviationStoreSpec extends AnyFunSuite {
     assert(left.length == 1 &&
       left(0).getAs[scala.collection.Seq[Long]]("upstream_item_ids") == Seq(2L))
   }
+
+  test("property: random sync sequence with interleaved user actions matches the trigger model") {
+    val dir = java.nio.file.Files.createTempDirectory("store_prop").toString
+    val store = new DeviationStore(spark, dir)
+    val rnd = new scala.util.Random(20260818L)
+    val titles = Seq("T X", "T Y")
+
+    // model: key (item id, title) -> (desc, insert-time center x, action)
+    case class M(desc: String, cx: Double, action: Option[String])
+    val model = scala.collection.mutable.Map.empty[(Long, String), M]
+
+    (1 to 7).foreach { batchNo =>
+      // random distinct keys, random payloads; center x encodes batch+id so
+      // insert-time preservation is observable
+      val keys = rnd.shuffle((0L until 12L).flatMap(i => titles.map(i -> _)))
+        .take(3 + rnd.nextInt(8)).toSet
+      val rows = keys.toSeq.map { case (i, t) =>
+        val desc = s"b$batchNo-d${rnd.nextInt(100)}"
+        val cx = batchNo * 1000.0 + i
+        (1L, 1L, Seq(i), pt(cx, 1.0), Map("k" -> desc),
+          null.asInstanceOf[java.lang.Long], null.asInstanceOf[String],
+          t, desc, "", pt(cx, 1.0))
+      }
+      val (ups, del) = store.sync("v", toDf(rows))
+
+      // model: upsert new keys, delete unactioned/deferred old-only keys
+      val expectDel = model.count { case (k, m) =>
+        !keys.contains(k) && !m.action.exists(_ != "deferred")
+      }
+      assert(ups == rows.length && del == expectDel,
+        s"counts ($ups,$del) != (${rows.length},$expectDel)")
+      rows.foreach { r =>
+        val k = (r._3.head, r._8)
+        model(k) = model.get(k) match {
+          case Some(m) => m.copy(desc = r._9) // update: center+action preserved
+          case None    => M(r._9, batchNo * 1000.0 + r._3.head, None)
+        }
+      }
+      model.filterInPlace((k, m) =>
+        keys.contains(k) || m.action.exists(_ != "deferred"))
+
+      // compare full store state to the model
+      val collected = store.latestFor("v").collect().map { r =>
+        (r.getAs[scala.collection.Seq[Long]]("upstream_item_ids").head,
+          r.getAs[String]("title")) ->
+          M(r.getAs[String]("description"),
+            Geom.fromWkb(r.getAs[Array[Byte]]("center")).centroid.x,
+            Option(r.getAs[String]("action")))
+      }
+      val got = collected.toMap
+      assert(got.size == collected.length, "duplicate keys in store")
+      assert(got == model.toMap, s"store diverged at batch $batchNo")
+
+      // random user actions on surviving rows (the reference's api.deviation
+      // UPDATE): sets action, which must survive later syncs' deletion rule
+      val targets = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+      if (targets.nonEmpty) {
+        val act = Seq("fixed", "wont-fix", "deferred")(rnd.nextInt(3))
+        val cond = targets.map { case (i, t) =>
+          array_contains(col("upstream_item_ids"), i) && col("title") === t
+        }.reduce(_ || _)
+        store.commit(store.latest()
+          .withColumn("action", when(cond, act).otherwise(col("action")))
+          .withColumn("action_at", when(cond,
+            lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+            .otherwise(col("action_at"))), "test:prop-actions")
+        targets.foreach(k => model(k) = model(k).copy(action = Some(act)))
+      }
+    }
+  }
 }
