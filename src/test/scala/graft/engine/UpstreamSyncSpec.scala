@@ -76,4 +76,41 @@ class UpstreamSyncSpec extends AnyFunSuite {
     // the rejected batch must not have committed anything
     assert(sync.items().count() == 1)
   }
+
+  test("property: random fetch sequence — partition mirrors each batch, ids stable forever") {
+    val dir = java.nio.file.Files.createTempDirectory("upssync_prop").toString
+    val sync = new UpstreamSync(spark, dir)
+    val rnd = new scala.util.Random(20260818L)
+    val idOf = scala.collection.mutable.Map.empty[String, Long]
+    var prev = Set.empty[String]
+
+    (1 to 8).foreach { batchNo =>
+      val oids = rnd.shuffle((0 until 20).map(i => s"o$i"))
+        .take(1 + rnd.nextInt(15)).toSet
+      val ts = java.sql.Timestamp.valueOf(f"2026-01-${batchNo}%02d 00:00:00")
+      val rows = oids.toSeq.map(o => (o, pt(batchNo, 1), s"""{"b":$batchNo}""", ts))
+      val (u, i, p) = sync.upsert(7L, batch(rows: _*))
+
+      // counts follow straight set algebra on the key sets
+      assert((u, i, p) ==
+        ((oids & prev).size.toLong, (oids -- prev).size.toLong, (prev -- oids).size.toLong),
+        s"batch $batchNo counts")
+
+      // the partition must mirror the batch exactly, with THIS batch's payload
+      val got = sync.itemsFor(7L).collect().map(r =>
+        r.getAs[String]("original_id") ->
+          (r.getAs[Long]("id"), r.getAs[String]("original_attributes"),
+            r.getAs[java.sql.Timestamp]("updated_at"))).toMap
+      assert(got.keySet == oids, s"batch $batchNo survivors")
+      got.foreach { case (o, (id, attrs, at)) =>
+        assert(attrs == s"""{"b":$batchNo}""" && at == ts,
+          s"$o not updated in place at batch $batchNo")
+        // ids are stable across updates AND across prune/re-insert cycles
+        // (deterministic hash of (dataset_id, original_id))
+        idOf.get(o).foreach(expected => assert(id == expected, s"id of $o drifted"))
+        idOf(o) = id
+      }
+      prev = oids
+    }
+  }
 }
