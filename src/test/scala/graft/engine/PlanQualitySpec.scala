@@ -161,6 +161,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!rs.contains("source") && !rs.contains("lang"), s"scan over-reads: $rs")
   }
 
+  test("ngram dedup pairs via shingle equi-join — no cartesian, no nested-loop") {
+    val p = plan("q_dedup_ngram")
+    assert(!p.contains("CartesianProduct"), "pair generation went cartesian")
+    assert(!p.contains("BroadcastNestedLoop"), "pair generation went nested-loop")
+  }
+
+  test("ANN top-k joins corpus and probes on the bucket key, never nested-loop") {
+    val p = plan("q_emb_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "LSH bucket join must be an equi join")
+  }
+
+  test("brute-force cosine baseline broadcasts the query side (intended O(corpus x queries))") {
+    // the exact baseline is deliberately all-pairs — but the small side must
+    // be BROADCAST, not a shuffled cartesian
+    val p = plan("q_emb_cospairs")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), "query side must broadcast")
+  }
+
   test("IVF top-k joins inverted lists on the cell key, never nested-loop") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
