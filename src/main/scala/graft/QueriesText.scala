@@ -38,6 +38,10 @@ object QueriesText {
       TextAnalysis.withLangId(docs(s, dir), "text")
         .select("doc_id", "en_hits", "sv_hits", "pred_lang")),
 
+    "q_txt_bpe" -> ((s, dir) =>
+      TextAnalysis.withBpeTokenStats(docs(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "n_bpe_tokens", "uniq_bpe_tokens")),
+
     "q_txt_fingerprint" -> ((s, dir) => // rows-only (JVM hash)
       TextAnalysis.withFingerprint(docs(s, dir), "text")
         .select("doc_id", "n_fps", "min_fp")),
@@ -132,6 +136,18 @@ object QueriesText {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the SAME RE2-subset pattern string as TextAnalysis.BpePattern (leading
+    // apostrophe doubled for the SQL literal; DuckDB strings keep backslashes
+    // raw, so \p{L} / \t reach RE2 verbatim)
+    "q_txt_bpe" ->
+      """WITH toks AS (SELECT doc_id,
+        |  LIST_FILTER(REGEXP_EXTRACT_ALL(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+'),
+        |    t -> NOT REGEXP_MATCHES(t, '^[ \t\n\r\f]+$')) AS tk
+        | FROM documents)
+        |SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS n_bpe_tokens,
+        | CAST(LEN(LIST_DISTINCT(tk)) AS BIGINT) AS uniq_bpe_tokens
+        |FROM toks""".stripMargin,
     "q_txt_tokens" ->
       """SELECT doc_id,
         | CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

@@ -16,7 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce pushes the 1-partition
+      // constraint back to the last shuffle, so a query ending in a window
+      // runs its ENTIRE sort in one task (observed: a single task sorting
+      // the whole sf0.1 candidate set for ~20 min). repartition inserts a
+      // shuffle boundary — the query runs at full parallelism and only the
+      // final single-file write is serial.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

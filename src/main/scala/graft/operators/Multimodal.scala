@@ -31,11 +31,20 @@ object Multimodal {
 
   /** header parse shared by the decode family: Some((w, h, bodyOffset)) for a
     * valid "IMG|w|h|" header, None for anything malformed (RAW fallback).
-    * The header is pure ASCII, so its char length IS its byte length. */
+    * The header is pure ASCII, so its char length IS its byte length — and a
+    * valid one fits in the first 24 bytes ("IMG|" + 9 digits + "|" + 9 digits
+    * + "|"), so only those bytes are decoded: a real media row carries a
+    * megabytes-long binary body, and decoding all of it to a String per row
+    * just to read the header would be the dominant cost of the whole stage. */
+  private val MaxHeaderBytes = 24
   private def parseHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
-    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-    val parts = s.split("\\|", 4)
-    if (parts.length == 4 && parts(0) == "IMG" &&
+    val n = math.min(payload.length, MaxHeaderBytes)
+    val s = new String(payload, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    // limit -1 so a trailing empty part survives ("IMG|5|3|" -> 4 parts);
+    // any header this truncation could cut short is invalid either way
+    // (third pipe past byte 24 implies a >9-digit dimension).
+    val parts = s.split("\\|", -1)
+    if (parts.length >= 4 && parts(0) == "IMG" &&
         parts(1).nonEmpty && parts(1).length <= 9 && parts(1).forall(_.isDigit) &&
         parts(2).nonEmpty && parts(2).length <= 9 && parts(2).forall(_.isDigit))
       Some((parts(1).toInt, parts(2).toInt,
@@ -60,17 +69,13 @@ object Multimodal {
       // per-partition init happens HERE (codec/session/model handle)
       it.map { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
-        val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-        val parts = s.split("\\|", 4)
-        // a malformed 4-part payload (wrong magic / non-numeric dims) must
-        // fall back to RAW like any other undecodable input, not kill the
-        // task with a NumberFormatException — a real codec would do the same
-        val (kind, w, h) =
-          if (parts.length == 4 && parts(0) == "IMG" &&
-              parts(1).nonEmpty && parts(1).length <= 9 && parts(1).forall(_.isDigit) &&
-              parts(2).nonEmpty && parts(2).length <= 9 && parts(2).forall(_.isDigit))
-            (parts(0), parts(1).toInt, parts(2).toInt)
-          else ("RAW", 0, 0)
+        // a malformed payload (wrong magic / non-numeric dims) must fall
+        // back to RAW like any other undecodable input, not kill the task
+        // with a NumberFormatException — a real codec would do the same
+        val (kind, w, h) = parseHeader(payload) match {
+          case Some((pw, ph, _)) => ("IMG", pw, ph)
+          case None              => ("RAW", 0, 0)
+        }
         var sum = 0L
         val seen = new java.util.BitSet(256)
         var i = 0

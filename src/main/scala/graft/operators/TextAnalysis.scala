@@ -24,6 +24,28 @@ object TextAnalysis {
       .withColumn("ttr", round(col("uniq_tokens").cast("double") / col("n_tokens"), 4))
   }
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, space-prefixed
+    * letter / digit / punctuation runs, residual whitespace runs. Restricted
+    * to the RE2-compatible subset (no lookarounds; explicit `[ \t\n\r\f]`
+    * instead of `\s`, whose Java flavor also eats vertical tab), so the SAME
+    * pattern string matches identically under Spark's Java regex and DuckDB's
+    * RE2 — both use leftmost-first alternation — which is what makes the
+    * token count DuckDB-oracleable. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
+
+  /** BPE-ish token stats: count of pre-tokenizer matches (whitespace-run
+    * matches excluded — they are separators the real BPE merges into the
+    * following token) and the distinct-token count. Pure codegen'd column
+    * expressions — one regex pass per row on the 10^12-row scan. */
+  def withBpeTokenStats(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit(BpePattern), lit(0))
+    val real = filter(toks, t => !t.rlike("^[ \\t\\n\\r\\f]+$"))
+    docs
+      .withColumn("n_bpe_tokens", size(real).cast("long"))
+      .withColumn("uniq_bpe_tokens", size(array_distinct(real)).cast("long"))
+  }
+
   /** quality heuristics: length, alpha ratio, mean token length. */
   def withQuality(docs: DataFrame, textCol: String): DataFrame = {
     val ws = split(col(textCol), " ")

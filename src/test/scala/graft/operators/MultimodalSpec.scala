@@ -43,6 +43,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(6L).n_bytes == 0L && out(6L).mean_byte == 0.0)
   }
 
+  test("decodeStub: header decision is contained in the first 24 bytes") {
+    // the longest valid header is exactly 24 bytes ("IMG|" + 9 digits + "|"
+    // + 9 digits + "|"); anything needing bytes past that is invalid anyway,
+    // so the parser may (and does) decode only a 24-byte prefix per row
+    val media = Seq(
+      (7L, ("IMG|123456789|123456789|" + "body").getBytes("UTF-8")),
+      (8L, "IMG|1234567890123|2|body".getBytes("UTF-8")), // >9-digit width
+      (9L, ("IMGX" + "z" * 30 + "|1|2|b").getBytes("UTF-8"))) // pipes past 24
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeStub(media).collect().map(f => f.doc_id -> f).toMap
+    assert(out(7L).kind == "IMG" && out(7L).width == 123456789 &&
+      out(7L).height == 123456789)
+    assert(out(8L).kind == "RAW" && out(9L).kind == "RAW")
+  }
+
   test("asFakeMedia -> decodeStub round trip: header fields match doc_id arithmetic") {
     val docs = Seq((0L, "alpha"), (62L, "beta"), (63L, "gamma")).toDF("doc_id", "text")
     val out = Multimodal.decodeStub(Multimodal.asFakeMedia(docs, "doc_id", "text"))

@@ -50,6 +50,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(reference(texts(1L)).nonEmpty && reference(texts(3L)).isEmpty)
   }
 
+  test("BPE-ish token stats: hand-computed counts, whitespace runs excluded") {
+    // "it's 2 cats!" -> it | 's | ' 2' | ' cats' | '!'         = 5 tokens
+    // "don't stop"   -> don | 't | ' stop'                     = 3 tokens
+    // "a  b\nc"      -> a | ws-run ' ' | ' b' | ws-run '\n' | c:
+    //   after 'a', ' ?\p{L}+' cannot start at the first of two spaces (the
+    //   optional space would need a letter right after), so the whitespace
+    //   alternative eats it, then ' b' matches; '\n' is not eaten by ' ?'
+    //   -> kept tokens a, ' b', c                               = 3 tokens
+    // "aa aa"        -> aa | ' aa' -> 2 tokens, 2 DISTINCT (prefix differs)
+    val docs = Seq(
+      (1L, "it's 2 cats!"), (2L, "don't stop"), (3L, "a  b\nc"), (4L, "aa aa"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withBpeTokenStats(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (5L, 5L))
+    assert(got(2L) == (3L, 3L))
+    assert(got(3L) == (3L, 3L))
+    assert(got(4L) == (2L, 2L))
+  }
+
   test("portable fingerprint values stay in [0, 2^31)") {
     val docs = Seq((1L, ('a' to 'z').mkString(" "))).toDF("doc_id", "text")
     val vals = TextAnalysis.portableFingerprints(docs, "doc_id", "text")
