@@ -41,9 +41,24 @@ object QueriesEmbOracle {
       .cast("float")
   }: _*)
 
+  /** Fixture corpus capped at the first 20k keys: these entries verify the
+    * EXACT brute-force baselines, whose cost is quadratic in the corpus —
+    * uncapped, the fixture grows with the scale factor and q_emb_topk_oracle
+    * alone took ~30 min at sf0.1 (150k orders -> 450M scored pairs) for zero
+    * extra verification value. ORDER BY k LIMIT is a TakeOrdered in Spark
+    * and deterministic in both engines; sf0.001/sf0.01 sit below the cap,
+    * so their results are unchanged. The SCALE paths (ANN/LSH/IVF pruning)
+    * are exercised on uncapped corpora elsewhere. */
+  private val CorpusCap = 20000
   private def base(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("k"))
+      .orderBy("k").limit(CorpusCap)
+      // limit() collapses to ONE partition; without this repartition the
+      // whole corpus×queries pair fan-out downstream runs in a single task
+      // (observed: one core pegged on the interpreted aggregate() dot
+      // product at sf0.1 while 31 idled)
+      .repartition(32, col("k"))
       .select(col("k").as("vid"), vecCol.as("emb"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -89,7 +104,7 @@ object QueriesEmbOracle {
   private val topkSql: String =
     s"""WITH b AS (SELECT o_orderkey AS k,
        |    $vecSqlCols
-       |  FROM orders),
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000)),
        |q AS (SELECT * FROM b WHERE k%50=0),
        |s AS (SELECT q.k AS qid, c.k AS nid,
        |  (${dotExpr("q", "c")})/(${normExpr("q")}*${normExpr("c")}) AS cos
@@ -110,7 +125,7 @@ object QueriesEmbOracle {
       .map(p => s"(CASE WHEN s$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
     s"""WITH b AS (SELECT o_orderkey AS k,
        |    $vecSqlCols
-       |  FROM orders),
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000)),
        |sp AS (SELECT *,
        |    $sCols
        |  FROM b),
@@ -136,7 +151,7 @@ object QueriesEmbOracle {
     "q_dedup_embcos_oracle" ->
       s"""WITH RECURSIVE b AS (SELECT o_orderkey AS k,
          |    $vecSqlCols
-         |  FROM orders WHERE o_orderkey%7=0),
+         |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000) WHERE o_orderkey%7=0),
          |e AS (SELECT a.k AS u, c.k AS v FROM b a JOIN b c ON a.k <> c.k
          |  WHERE (${dotExpr("a", "c")})/(${normExpr("a")}*${normExpr("c")}) >= 0.8),
          |reach(id, lbl) AS (
