@@ -18,13 +18,24 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** dot product of two double arrays as a column expression (codegen). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** dot product of two ARRAY<DOUBLE> columns — a native expression with
+    * doGenCode (graft.plans.VecDot). The obvious built-in composition
+    * `aggregate(zip_with(...))` is NOT codegen'd: higher-order functions are
+    * CodegenFallback, so every scored pair paid interpreted ArrayAggregate
+    * eval (a boxed lambda variable per element) — it dominated the
+    * brute-force scorer's profile. Same semantics bit for bit (left-to-right
+    * accumulation; null on length mismatch or null element). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.VecDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  /** sqrt of the self-dot — same accumulation order as the old
+    * `aggregate(a, 0.0, (acc, v) => acc + v*v)`, so values are bit-stable. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** add `vnorm` + `vd` (double vector) columns, dropping zero-norm rows —
     * cosine against a zero vector is 0/0 = NaN, and Spark sorts NaN as the

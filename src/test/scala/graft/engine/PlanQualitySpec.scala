@@ -181,6 +181,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "query side must broadcast")
   }
 
+  test("cosine scorer uses the native dot expression, not interpreted higher-order funcs") {
+    // aggregate(zip_with(...)) is CodegenFallback — per-pair interpreted
+    // eval; the scorer must be the codegen'd VecDot
+    val p = plan("q_emb_cospairs")
+    assert(p.contains("vecdot"), p.take(1500))
+    assert(!p.contains("zip_with"), "scorer fell back to higher-order functions")
+  }
+
   test("IVF top-k joins inverted lists on the cell key, never nested-loop") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

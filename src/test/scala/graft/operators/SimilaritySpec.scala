@@ -33,6 +33,34 @@ class SimilaritySpec extends AnyFunSuite {
       perturbU(col("vec_id"), col("embedding")).as("embedding"))
   private val corpusPlus = embs.unionByName(perturbed)
 
+  test("native dot matches aggregate(zip_with) bit for bit, incl. null cases") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.125)),    // plain
+      Row(2L, Seq(0.1, 0.2, 0.3), Seq(0.7, 0.11, 0.13)),       // inexact doubles
+      Row(3L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),              // length mismatch
+      Row(4L, Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)))), // null element
+      schema)
+    val legacy = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"),
+      legacy.as("l")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null disagreement on id=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"bit mismatch on id=${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(1), "length mismatch must be null")
+    assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1), "null element must be null")
+  }
+
   test("guards: nBits >= 64 and an over-sampled IVF training set fail loudly") {
     // long shifts wrap mod 64 — an aliased signature would silently degrade
     // recall instead of erroring
