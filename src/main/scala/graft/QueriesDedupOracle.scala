@@ -20,8 +20,15 @@ import graft.operators.Dedup.PortableHash
  */
 object QueriesDedupOracle {
 
+  /** documents.parquet is ONE input split at every test scale, so the
+    * hash-heavy shingle/token map stage would run in a single task until the
+    * first shuffle — spread it across the cluster up front. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val d = docsParallel(s, dir)
     d.unionByName(d.filter(pmod(col("doc_id"), lit(10L)) === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L))
   }
@@ -42,8 +49,7 @@ object QueriesDedupOracle {
         hashFn = PortableHash.shingleHash, bandHashFn = PortableHash.bandHash)),
 
     "q_txt_fingerprint_oracle" -> ((s, dir) =>
-      TextAnalysis.portableFingerprints(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")))
+      TextAnalysis.portableFingerprints(docsParallel(s, dir), "doc_id", "text")))
 
   // ---------------- generated oracle SQL ----------------
 

@@ -26,10 +26,20 @@ object Dedup {
     val P1: Long = 1000000007L   // minhash digest / affine modulus
     val P2: Long = 2147483647L   // simhash half-digest + fingerprint modulus
 
-    /** digest(s) = fold over chars: acc <- (acc*b + code(c)) mod p, init 0. */
+    /** digest(s) = fold over chars: acc <- (acc*b + code(c)) mod p, init 0.
+      *
+      * Folds over split(s, "") (one O(len) pass to per-codepoint strings),
+      * NOT over position indexes with substr(s, i, 1): UTF8String.substring
+      * seeks from the start of the string, so the positional form cost
+      * O(len^2) per digest inside the interpreted higher-order fold —
+      * jstack'd as the dominant cost of the portable-hash gate entries at
+      * sf0.1. Values are identical: split("") yields the same code-point
+      * sequence substr walked (Java regex zero-width matches never split
+      * surrogate pairs), the trailing "" is filtered out, and the empty
+      * string folds to 0 under both forms. */
     def charPoly(s: Column, b: Long, p: Long): Column =
-      aggregate(sequence(lit(1), length(s)), lit(0L),
-        (acc, i) => pmod(acc * b + ascii(s.substr(i, lit(1))), lit(p)))
+      aggregate(filter(split(s, ""), c => c =!= lit("")), lit(0L),
+        (acc, c) => pmod(acc * b + ascii(c), lit(p)))
 
     /** minhash family member i: affine transform of the base-131 digest. */
     val shingleHash: (Int, Column) => Column = (i, sh) =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /**
@@ -117,24 +118,56 @@ object TextAnalysis {
       .withColumn("min_fp", array_min(col("fps")))
 
   /**
-   * The same winnowing scheme with a PORTABLE mod-p rolling hash, as pure
-   * column expressions (no UDF): k-char polynomial hashes
-   * acc <- (acc*31 + code) mod 2^31-1 at every position, then the min of each
-   * non-overlapping `win`-window of hashes. Engine-independent arithmetic, so
-   * a SQL oracle can recompute the fingerprints exactly (the production
-   * `fingerprintUdf` keeps the wrapping 64-bit Java hash, which no SQL engine
-   * reproduces). Docs shorter than k+win-1 chars yield an empty array.
+   * The same winnowing scheme with a PORTABLE mod-p rolling hash: k-char
+   * polynomial hashes acc <- (acc*31 + codepoint) mod 2^31-1 at every
+   * position, then the min of each non-overlapping `win`-window of hashes.
+   * Engine-independent arithmetic, so a SQL oracle can recompute the
+   * fingerprints exactly (the production `fingerprintUdf` keeps the wrapping
+   * 64-bit Java hash, which no SQL engine reproduces). Docs shorter than
+   * k+win-1 chars (or null) yield an empty array.
+   *
+   * Deliberately a deterministic UDF, not column expressions: portability is
+   * a property of the VALUES (mod-p recurrence), not of the expression form,
+   * and the higher-order-function encoding was catastrophically slow —
+   * interpreted lambda functions re-evaluate their argument trees, so
+   * `slice(hs, ...)` recomputed the full hash array per WINDOW and the inner
+   * fold re-seeked the string per CHARACTER: O(len^3/win) per doc, jstack'd
+   * as minutes per 500-doc partition. One imperative pass is O(len*k).
    */
-  def portableFingerprintCol(text: Column, k: Int = 8, win: Int = 16): Column = {
-    val p = 2147483647L
-    val hs = transform(sequence(lit(1), length(text) - (k - 1)),
-      i => aggregate(sequence(i, i + (k - 1)), lit(0L),
-        (acc, j) => pmod(acc * 31 + ascii(text.substr(j, lit(1))), lit(p))))
-    when(length(text) >= k + win - 1,
-      transform(sequence(lit(0), ((size(hs) - win) / win).cast("int")),
-        s => array_min(slice(hs, s * win + 1, lit(win)))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def portableFingerprintUdf(k: Int = 8, win: Int = 16): UserDefinedFunction =
+    udf((text: String) => {
+      val p = 2147483647L
+      if (text == null) Array.empty[Long]
+      else {
+        val cps = text.codePoints.toArray // ascii() = first-codepoint value
+        val n = cps.length - k + 1
+        if (cps.length < k + win - 1) Array.empty[Long]
+        else {
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0L
+            var j = i
+            while (j < i + k) { acc = (acc * 31 + cps(j)) % p; j += 1 }
+            hs(i) = acc
+            i += 1
+          }
+          val out = new Array[Long]((n - win) / win + 1)
+          var s = 0
+          while (s <= n - win) {
+            var m = Long.MaxValue
+            var j = s
+            while (j < s + win) { if (hs(j) < m) m = hs(j); j += 1 }
+            out(s / win) = m
+            s += win
+          }
+          out
+        }
+      }
+    })
+
+  def portableFingerprintCol(text: Column, k: Int = 8, win: Int = 16): Column =
+    portableFingerprintUdf(k, win)(text)
 
   /** distinct (id, fp) fingerprint pairs — the oracle-checkable surface. */
   def portableFingerprints(docs: DataFrame, idCol: String, textCol: String,
