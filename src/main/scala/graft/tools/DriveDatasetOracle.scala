@@ -21,7 +21,7 @@ object DriveDatasetOracle {
       graft.QueriesMoreViewsOracle.queries ++ graft.QueriesTopo50Oracle.queries)
       .foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
-      df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/ds_oracle_out/$name")
+      df.repartition(1).write.mode("overwrite").parquet(s"/tmp/ds_oracle_out/$name")
       val n = spark.read.parquet(s"/tmp/ds_oracle_out/$name").count()
       println(s"DRIVE $name rows=$n")
       spark.read.parquet(s"/tmp/ds_oracle_out/$name")

@@ -17,7 +17,7 @@ object DriveDedupOracle {
     spark.sparkContext.setLogLevel("WARN")
     graft.QueriesDedupOracle.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
-      df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/dedup_oracle_out/$name")
+      df.repartition(1).write.mode("overwrite").parquet(s"/tmp/dedup_oracle_out/$name")
       val n = spark.read.parquet(s"/tmp/dedup_oracle_out/$name").count()
       println(s"DRIVE $name rows=$n")
     }

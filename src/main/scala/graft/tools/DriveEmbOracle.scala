@@ -20,7 +20,7 @@ object DriveEmbOracle {
       graft.QueriesText.queries.view.filterKeys(_ == "q_mm_decode").toMap)
       .foreach { case (name, fn) =>
         val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/emb_oracle_out/$name")
+        df.repartition(1).write.mode("overwrite").parquet(s"/tmp/emb_oracle_out/$name")
         val n = spark.read.parquet(s"/tmp/emb_oracle_out/$name").count()
         println(s"DRIVE $name rows=$n")
       }

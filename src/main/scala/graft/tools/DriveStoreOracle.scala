@@ -12,7 +12,7 @@ object DriveStoreOracle {
     spark.sparkContext.setLogLevel("WARN")
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val df = graft.SparkEntry.queries("q_store_resume")(spark, s"/root/testdata/$sf")
-      df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/store_out/$sf")
+      df.repartition(1).write.mode("overwrite").parquet(s"/tmp/store_out/$sf")
       println(s"DRIVE q_store_resume $sf rows=" + spark.read.parquet(s"/tmp/store_out/$sf").count())
     }
     spark.stop()
