@@ -214,6 +214,32 @@ class DedupSpec extends AnyFunSuite {
     assert("Generate".r.findAllMatchIn(plan).size == 2, plan.take(1500))
   }
 
+  test("charPoly == code-point fold reference on random unicode strings") {
+    // pins the split(s, "")-based digest to the definition the oracle SQL
+    // recomputes: fold over CODE POINTS, left to right. The generator mixes
+    // ASCII, 2-byte (åäö), 3-byte (∑) and 4-byte/surrogate-pair (emoji)
+    // characters — Java's zero-width regex split must not cut a surrogate
+    // pair in half for the values to agree.
+    val r = rng(42)
+    val alphabet: Array[String] =
+      (('a' to 'z').map(_.toString) ++ Seq(" ", "å", "ä", "ö", "∑", "猫",
+        new String(Character.toChars(0x1F600)),
+        new String(Character.toChars(0x1F4A9)))).toArray
+    val texts = (0L until 40L).map { i =>
+      (i, (0 until r.nextInt(50)).map(_ => alphabet(r.nextInt(alphabet.length)))
+        .mkString)
+    } :+ (99L, "") // empty string folds to 0
+    def ref(s: String, b: Long, p: Long): Long =
+      s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * b + c) % p)
+    val got = texts.toDF("id", "t")
+      .select(col("id"),
+        Dedup.PortableHash.charPoly(col("t"), 131L, Dedup.PortableHash.P1).as("d"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    texts.foreach { case (id, s) =>
+      assert(got(id) == ref(s, 131L, Dedup.PortableHash.P1), s"id=$id text=$s")
+    }
+  }
+
   test("connectedComponents: chains merge to min id, disjoint stay apart") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
     val comps = Dedup.connectedComponents(edges).collect()
