@@ -49,6 +49,15 @@ object QueriesText {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")),
 
+    // the flatMapGroupsWithState dedup-at-ingest operator in its batch form
+    // (NoTimeout; ts monotone in doc_id makes the per-group winner the min
+    // doc_id — ROW_NUMBER-oracle-able)
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.firstSeenDedup(
+        dupCorpus(s, dir).withColumn("ts", to_timestamp(col("doc_id") + 1)),
+        "doc_id", "text", "ts", expireState = false)
+        .toDF()),
+
     "q_dedup_ngram" -> ((s, dir) =>
       // maxDocFreq caps the shared-shingle block width (the 100-TB skew
       // guard); the oracle SQL mirrors the cap exactly
@@ -148,6 +157,14 @@ object QueriesText {
         |SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS n_bpe_tokens,
         | CAST(LEN(LIST_DISTINCT(tk)) AS BIGINT) AS uniq_bpe_tokens
         |FROM toks""".stripMargin,
+    "q_stream_dedup" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |r AS (SELECT MD5(text) AS fp, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rk
+        |  FROM c)
+        |SELECT fp, doc_id FROM r WHERE rk = 1""".stripMargin,
     "q_txt_tokens" ->
       """SELECT doc_id,
         | CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

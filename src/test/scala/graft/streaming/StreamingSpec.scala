@@ -142,4 +142,60 @@ class StreamingSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(store.latest().count() == n2, "replay must not duplicate rows")
   }
+
+  test("flatMapGroupsWithState dedup: later copies suppressed across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("fsd").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "tss")
+        .select(col("doc_id"), col("text"), col("tss").cast("timestamp").as("ts"))
+        .repartition(1).write.mode("append").parquet(dir)
+    // batch 1 carries an IN-BATCH duplicate (ids 1 and 2, same text): the
+    // deterministic winner is min (ts, doc_id) = 1, not iterator order
+    write(Seq(
+      (1L, "alpha body", "2026-01-01 00:00:00"),
+      (2L, "alpha body", "2026-01-01 00:00:01"),
+      (3L, "beta body", "2026-01-01 00:00:00")))
+    // batch 2: a cross-batch duplicate of alpha -> state suppresses it
+    write(Seq((9L, "alpha body", "2026-01-01 00:10:00")))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingDedup.firstSeenDedup(stream, "doc_id", "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("fsd_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2)
+    val out = spark.sql("SELECT doc_id FROM fsd_out").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L), s"got ${out.toSeq}")
+  }
+
+  test("flatMapGroupsWithState dedup: event-time TTL evicts state, key re-emits after") {
+    val dir = java.nio.file.Files.createTempDirectory("fsd_ttl").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "tss")
+        .select(col("doc_id"), col("text"), col("tss").cast("timestamp").as("ts"))
+        .repartition(1).write.mode("append").parquet(dir)
+    // b1: first alpha (timeout set to ts+1h). b2: filler 4h later (after this
+    // batch the watermark = 03:00 > timeout). b3: filler only -> alpha's key
+    // has NO data this trigger, so its timeout invocation fires and removes
+    // the state. b4: alpha copy -> first-seen again (the documented TTL
+    // trade for bounded state).
+    write(Seq((1L, "alpha body", "2026-01-01 00:00:00")))
+    write(Seq((50L, "filler b", "2026-01-01 04:00:00")))
+    write(Seq((51L, "filler c", "2026-01-01 04:00:01")))
+    write(Seq((100L, "alpha body", "2026-01-01 05:00:00")))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingDedup.firstSeenDedup(stream, "doc_id", "text", "ts",
+        watermarkDelay = "1 hour", stateTtlMs = 3600000L)
+      .writeStream.outputMode("append").format("memory").queryName("fsd_ttl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4)
+    val alphas = spark.sql("SELECT doc_id FROM fsd_ttl_out")
+      .collect().map(_.getLong(0)).filter(id => id == 1L || id == 100L).sorted
+    assert(alphas.toSeq == Seq(1L, 100L),
+      s"state must evict after the TTL and re-admit the key: got ${alphas.toSeq}")
+  }
 }
