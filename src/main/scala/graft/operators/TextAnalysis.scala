@@ -37,8 +37,10 @@ object TextAnalysis {
 
   /** BPE-ish token stats: count of pre-tokenizer matches (whitespace-run
     * matches excluded — they are separators the real BPE merges into the
-    * following token) and the distinct-token count. Pure codegen'd column
-    * expressions — one regex pass per row on the 10^12-row scan. */
+    * following token) and the distinct-token count. One regex pass per ROW;
+    * the whitespace filter is a higher-order function (interpreted), which
+    * is fine here — it runs once per row over a few dozen tokens, not on a
+    * per-pair or per-character hot path (see the charPoly lesson). */
   def withBpeTokenStats(docs: DataFrame, textCol: String): DataFrame = {
     val toks = regexp_extract_all(col(textCol), lit(BpePattern), lit(0))
     val real = filter(toks, t => !t.rlike("^[ \\t\\n\\r\\f]+$"))

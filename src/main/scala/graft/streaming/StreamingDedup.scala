@@ -49,6 +49,11 @@ object StreamingDedup {
         md5(encode(col(textCol), "UTF-8")).as("fp"),
         col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("ts"))
+      // a row without identity, content, or event time cannot participate in
+      // event-time first-seen dedup — dropped HERE, visibly, rather than
+      // NPE-ing inside the state function (null ts passes the watermark
+      // operator; the primitive-Long encoder rejects null ids)
+      .filter(col("doc_id").isNotNull && col("fp").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[DocIn]
     val timeoutConf =
