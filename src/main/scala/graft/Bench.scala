@@ -146,7 +146,13 @@ object Bench {
     val json =
       s"""{"metric":"spatial-join + deviation rows/sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""pipeline":{"n_sites":$nSites,"match_rows":$matchRows,"deviation_rows":$devRows,"sec":${f"$pSec%.3f"},"rows_per_sec":${f"$rowsPerSec%.1f"}},""" +
-      s""""scaling":{"cores_low":$coresLow,"sec_low":${f"$tLow%.3f"},"cores_high":$coresHigh,"sec_high":${f"$tHigh%.3f"},"efficiency":${f"$efficiency%.3f"}}}"""
+      // per-level throughput: the scaling job is the SAME deterministic
+      // pipeline on the SAME input at both widths, so its output row count
+      // equals the full-width run's (north rule: report throughput at both
+      // parallelism levels, not just the ratio)
+      s""""scaling":{"cores_low":$coresLow,"sec_low":${f"$tLow%.3f"},"rows_per_sec_low":${f"${(matchRows + devRows) / tLow}%.1f"},""" +
+      s""""cores_high":$coresHigh,"sec_high":${f"$tHigh%.3f"},"rows_per_sec_high":${f"${(matchRows + devRows) / tHigh}%.1f"},""" +
+      s""""efficiency":${f"$efficiency%.3f"}}}"""
     // Round-1's driver run failed to parse the line out of sbt log noise
     // (BENCH_r01 parsed:null): emit it bare on stdout (outputStrategy =
     // StdoutOutput in build.sbt drops the "[info] " prefix) AND persist it.
