@@ -106,6 +106,21 @@ object QueriesSpatial {
         .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"), col("rank"))
     }),
 
+    // J7 / north star "k-ring-expansion kNN": GUARANTEED top-3 with no radius
+    // bound — startRadius 2 km forces ~6 doubling rounds at gate density
+    // before the sparsest probes resolve, and maxRadius covers the whole
+    // 1e6 x 1e6 domain, so the oracle is the UNBOUNDED brute-force top-k.
+    "q_sp_knn_ring" -> ((s, dir) => {
+      val probe = ptsA(s, dir).filter(pmod(col("a_id"), lit(10L)) === 0)
+      SpatialJoin.knnRing(
+          build = ptsB(s, dir), probe = probe,
+          buildGeom = "geom", probeGeom = "geometry",
+          probeKey = "a_id", buildKey = "b_id",
+          k = 3, startRadius = 2000.0, maxRadius = 2000000.0)
+        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"),
+                col("rank"), round(col("dist"), 3).as("dist"))
+    }),
+
     // J3: point-in-polygon against a broadcast polygon grid (winding-number
     // PiP over real WKB polygons on the Spark side; intervals in the oracle)
     "q_sp_pip" -> ((s, dir) => {
@@ -205,6 +220,17 @@ object QueriesSpatial {
          |    AND $distExpr <= 20000)
          |SELECT a_id, b_id, rank FROM (
          |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rank
+         |  FROM cand) WHERE rank <= 3""".stripMargin,
+    // unbounded brute force: the ring expansion must reproduce the global
+    // top-k exactly (integral coords -> SQRT ordering bit-exact; ties pinned
+    // by b_id in both engines)
+    "q_sp_knn_ring" ->
+      s"""WITH $sqlPts,
+         |cand AS (SELECT a_id, b_id, $distExpr AS dist FROM a, b
+         |  WHERE a_id % 10 = 0)
+         |SELECT a_id, b_id, rank, ROUND(dist, 3) AS dist FROM (
+         |  SELECT a_id, b_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rank
          |  FROM cand) WHERE rank <= 3""".stripMargin,
     // STRICT bounds: ST_Within excludes the boundary (PostGIS), so a point
     // exactly on a box edge is within NO box — the Spark side's winding

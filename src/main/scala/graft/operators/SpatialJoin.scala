@@ -189,4 +189,88 @@ object SpatialJoin {
       .orderBy(col("dist"), col(s"b_$buildKey"))
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /**
+   * GUARANTEED-k nearest neighbors via iterative k-ring expansion (the north
+   * star's "k-ring-expansion kNN"): unlike `knn`, no fixed radius bounds the
+   * answer — each probe keeps expanding its cell neighborhood until its k-th
+   * neighbor is provably global.
+   *
+   * Round r re-cells BOTH sides at resolution R_r (R_0 = startRadius, then
+   * doubling), so a probe always touches O(9) cells per round regardless of
+   * how far it has expanded — the ring "grows" by coarsening the grid, not by
+   * enumerating ever-more cells. Soundness of the stop rule: the candidate
+   * cover is complete for dist <= R (every true pair shares a cell,
+   * property-tested in GeomSpec) and the refinement keeps exactly dist <= R,
+   * so any build row NOT among a probe's candidates is STRICTLY farther than
+   * R — a probe holding k candidates therefore already holds its exact global
+   * top-k (ties at dist == R cannot hide outside the cover). Resolved probes
+   * leave the loop; the survivor set is re-materialized per round
+   * (localCheckpoint) so plan depth stays O(1) across the O(log(maxRadius /
+   * startRadius)) rounds.
+   *
+   * Scale: each round is one cell equi-join of the build table against the
+   * (geometrically shrinking) unresolved probes — in dense regions ~all
+   * probes resolve at R_0, and the doubling schedule makes total work
+   * proportional to the work of each probe's FINAL ring alone. Driver-side
+   * state is one row count per round. Hot cells salt exactly as in
+   * dwithinCandidates.
+   *
+   * @param startRadius first-round radius (≈ expected k-neighbor distance in
+   *                    the densest region; too small only costs extra rounds)
+   * @param maxRadius   hard cap — probes with fewer than k build rows inside
+   *                    it return what exists (set ≥ the domain diameter for a
+   *                    true unbounded kNN)
+   */
+  def knnRing(
+      build: DataFrame,
+      probe: DataFrame,
+      buildGeom: String,
+      probeGeom: String,
+      probeKey: String,
+      buildKey: String,
+      k: Int,
+      startRadius: Double,
+      maxRadius: Double,
+      saltThreshold: Long = Long.MaxValue,
+      saltFactor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(startRadius > 0 && maxRadius >= startRadius,
+      s"need 0 < startRadius <= maxRadius, got $startRadius, $maxRadius")
+    val pK = s"p_$probeKey"; val bK = s"b_$buildKey"
+    val rankW = Window.partitionBy(col(pK)).orderBy(col("dist"), col(bK))
+    val cntW = Window.partitionBy(col(pK))
+
+    var unresolved = probe
+    var out = List.empty[DataFrame]
+    var radius = startRadius
+    var done = false
+    while (!done) {
+      val last = radius >= maxRadius
+      val ranked = dwithinCandidates(build, unresolved, buildGeom, probeGeom,
+          DWithinSpec(radius, cellSize = radius, saltThreshold, saltFactor))
+        .dropDuplicates(pK, bK) // multi-cell build geoms: one rank per pair
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= k)
+      // all candidates have dist <= radius and nothing unseen can be that
+      // close, so a full top-k is final; partial top-k must keep expanding
+      // (emitted as-is on the capped last round).
+      val emit =
+        if (last) ranked
+        else ranked.withColumn("__n", count(lit(1)).over(cntW))
+          .filter(col("__n") === k).drop("__n")
+      val settled = emit.localCheckpoint(true)
+      out ::= settled
+      if (last) done = true
+      else {
+        val resolvedKeys = settled.select(col(pK).as(probeKey)).distinct()
+        unresolved = unresolved.join(resolvedKeys, Seq(probeKey), "left_anti")
+          .localCheckpoint(true)
+        if (unresolved.isEmpty) done = true
+        else radius = math.min(radius * 2, maxRadius)
+      }
+    }
+    out.reduce(_ unionByName _)
+  }
 }
