@@ -121,6 +121,48 @@ object QueriesSpatial {
                 col("rank"), round(col("dist"), 3).as("dist"))
     }),
 
+    // osm.site (30-osm-site.sql): role-filtered member joins into areas,
+    // incl. the verbatim rmw.role quirk and the OR-join multiplicities —
+    // the oracle SQL mirrors the reference view shape LITERALLY (left join,
+    // left join, inner join with OR) over the same modular synthesis.
+    "q_osm_site" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      def m(a: Long, mod: Long = 1000000L): Column =
+        pmod(col("k") * a, lit(mod)).cast("double")
+      val relations = orders.select(col("k").as("id"),
+        when(pmod(col("k"), lit(3L)) === 0,
+          map(lit("site"), concat(lit("s"), pmod(col("k"), lit(7L)).cast("string"))))
+        .otherwise(map(lit("name"), lit("n"))).as("tags"))
+      val role = element_at(
+        array(lit("outer"), lit("perimeter"), lit("boundary"), lit("inner")),
+        (pmod(col("k"), lit(4L)) + 1).cast("int"))
+      val rmw = orders.select(col("k").as("relation_id"),
+          (col("k") * 2 + 1).as("member_id"), role.as("role"))
+        .unionByName(orders.filter(pmod(col("k"), lit(5L)) === 0)
+          .select(col("k").as("relation_id"), (col("k") * 2 + 2).as("member_id"),
+            lit("outer").as("role")))
+      val rmr = orders.filter(pmod(col("k"), lit(2L)) === 0)
+          .select(col("k").as("relation_id"), (col("k") * 2 + 3).as("member_id"),
+            lit("ignored").as("role"))
+        .unionByName(orders.filter(pmod(col("k"), lit(7L)) === 0)
+          .select(col("k").as("relation_id"), (col("k") * 2 + 5).as("member_id"),
+            lit("outer").as("role"))) // member without an area
+      val nulL = lit(null).cast("long")
+      val areas = orders.filter(pmod(col("k"), lit(2L)) === 0)
+          .select((col("k") * 2 + 1).as("way_id"), nulL.as("relation_id"),
+            stPoint(m(13L), m(17L)).as("geom"))
+        .unionByName(orders.filter(pmod(col("k"), lit(5L)) === 0)
+          .select((col("k") * 2 + 2).as("way_id"), nulL.as("relation_id"),
+            stPoint(m(19L), m(23L)).as("geom")))
+        .unionByName(orders.filter(pmod(col("k"), lit(3L)) === 0)
+          .select(nulL.as("way_id"), (col("k") * 2 + 3).as("relation_id"),
+            stPoint(m(29L), m(31L)).as("geom")))
+      graft.engine.GeometryAssembly.siteView(relations, rmw, rmr, areas)
+        .withColumn("__c", stCentroid(col("geom")))
+        .select(col("id"), col("tags")(lit("site")).as("site"),
+          col("__c._1").as("x"), col("__c._2").as("y"))
+    }),
+
     // J3: point-in-polygon against a broadcast polygon grid (winding-number
     // PiP over real WKB polygons on the Spark side; intervals in the oracle)
     "q_sp_pip" -> ((s, dir) => {
@@ -232,6 +274,45 @@ object QueriesSpatial {
          |  SELECT a_id, b_id, dist,
          |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rank
          |  FROM cand) WHERE rank <= 3""".stripMargin,
+    // LITERAL transcription of 30-osm-site.sql over the modular synthesis —
+    // same left-join chain, same [sic] rmw.role filter on the rmr join,
+    // same disjunctive inner join (DuckDB plans the OR fine at gate scale;
+    // the Spark side splits it into two hash equi-joins)
+    "q_osm_site" ->
+      """WITH rel AS (SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey%3=0 THEN 's' || CAST(o_orderkey%7 AS VARCHAR) END AS site
+        |  FROM orders),
+        |rmw AS (
+        |  SELECT o_orderkey AS relation_id, o_orderkey*2+1 AS member_id,
+        |    CASE o_orderkey%4 WHEN 0 THEN 'outer' WHEN 1 THEN 'perimeter'
+        |         WHEN 2 THEN 'boundary' ELSE 'inner' END AS role
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey*2+2, 'outer' FROM orders WHERE o_orderkey%5=0),
+        |rmr AS (
+        |  SELECT o_orderkey AS relation_id, o_orderkey*2+3 AS member_id
+        |  FROM orders WHERE o_orderkey%2=0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey*2+5 FROM orders WHERE o_orderkey%7=0),
+        |area AS (
+        |  SELECT o_orderkey*2+1 AS way_id, CAST(NULL AS BIGINT) AS relation_id,
+        |    CAST((o_orderkey*13)%1000000 AS DOUBLE) AS x,
+        |    CAST((o_orderkey*17)%1000000 AS DOUBLE) AS y
+        |  FROM orders WHERE o_orderkey%2=0
+        |  UNION ALL
+        |  SELECT o_orderkey*2+2, NULL, CAST((o_orderkey*19)%1000000 AS DOUBLE),
+        |    CAST((o_orderkey*23)%1000000 AS DOUBLE) FROM orders WHERE o_orderkey%5=0
+        |  UNION ALL
+        |  SELECT NULL, o_orderkey*2+3, CAST((o_orderkey*29)%1000000 AS DOUBLE),
+        |    CAST((o_orderkey*31)%1000000 AS DOUBLE) FROM orders WHERE o_orderkey%3=0)
+        |SELECT rel.id, rel.site, area.x, area.y
+        |FROM rel
+        |LEFT OUTER JOIN rmw ON rmw.relation_id = rel.id
+        |  AND rmw.role IN ('perimeter', 'boundary', 'outer')
+        |LEFT OUTER JOIN rmr ON rmr.relation_id = rel.id
+        |  AND rmw.role IN ('perimeter', 'boundary', 'outer')
+        |INNER JOIN area ON area.way_id = rmw.member_id OR area.relation_id = rmr.member_id
+        |WHERE rel.site IS NOT NULL""".stripMargin,
     // STRICT bounds: ST_Within excludes the boundary (PostGIS), so a point
     // exactly on a box edge is within NO box — the Spark side's winding
     // kernel implements the same exclusion

@@ -90,6 +90,56 @@ object GeometryAssembly {
       n.unionByName(w).unionByName(a).filter(col("geom").isNotNull), "geom")
   }
 
+  /**
+   * osm.site (30-osm-site.sql:1-8): relations tagged 'site' joined to their
+   * assembled area geometries through perimeter/boundary/outer members.
+   * Output columns mirror the reference view: (id, tags, geom). Member
+   * frames carry (relation_id, member_id, role) per 04-osm-base.sql:96-114.
+   *
+   * Reference quirk preserved VERBATIM: the relation-member join's role
+   * filter tests rmw.role — the WAY member's role — not rmr.role
+   * (30-osm-site.sql:5 reads `AND rmw.role IN (...)` inside the rmr join).
+   * Visible effects, both spec-pinned: a site relation with ONLY relation
+   * members never surfaces (rmw.role is NULL, so the rmr join can never
+   * match and the area inner join finds nothing); and every relation-member
+   * area row is emitted once PER qualifying way-member row (the rmw × rmr
+   * cross product's multiplicity).
+   *
+   * Scale: the reference's disjunctive inner join (`area.way_id =
+   * rmw.member_id OR area.relation_id = rmr.member_id`) would plan as a
+   * nested-loop join in Spark; it is split into two hash equi-joins whose
+   * union is bit-identical — the second leg keeps exactly the rows where
+   * the way condition is NOT TRUE (false or null), so a pathological area
+   * row satisfying both disjuncts still surfaces once, like the SQL OR.
+   */
+  def siteView(relations: DataFrame, relationMemberWays: DataFrame,
+               relationMemberRelations: DataFrame, areas: DataFrame): DataFrame = {
+    val roles = Seq("perimeter", "boundary", "outer")
+    val sites = relations
+      .filter(map_contains_key(col("tags"), lit("site")))
+      .select(col("id"), col("tags"))
+    val rmw = relationMemberWays.select(
+      col("relation_id").as("rmw_relation_id"),
+      col("member_id").as("rmw_member_id"), col("role").as("rmw_role"))
+    val rmr = relationMemberRelations.select(
+      col("relation_id").as("rmr_relation_id"),
+      col("member_id").as("rmr_member_id"))
+    val roleOk = col("rmw_role").isin(roles: _*)
+    val withWays = sites.join(rmw,
+      col("rmw_relation_id") === col("id") && roleOk, "left")
+    val withBoth = withWays.join(rmr,
+      // [sic] rmw.role, not rmr.role — the reference quirk
+      col("rmr_relation_id") === col("id") && roleOk, "left")
+    val a = areas.select(col("way_id").as("a_way_id"),
+      col("relation_id").as("a_relation_id"), col("geom"))
+    val wayCond = col("a_way_id") === col("rmw_member_id")
+    val relCond = col("a_relation_id") === col("rmr_member_id")
+    val viaWay = withBoth.join(a, wayCond)
+    val viaRel = withBoth.join(a, relCond && !coalesce(wayCond, lit(false)))
+    viaWay.select(col("id"), col("tags"), col("geom"))
+      .unionByName(viaRel.select(col("id"), col("tags"), col("geom")))
+  }
+
   /** dirty propagation (T2): changed nodes dirty their ways; changed ways
     * dirty their multipolygon relations. Returns (dirtyWayIds, dirtyRelIds). */
   def propagateDirty(dirtyNodeIds: DataFrame, dirtyWayIds: DataFrame,
