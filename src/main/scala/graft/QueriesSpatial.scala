@@ -163,6 +163,55 @@ object QueriesSpatial {
           col("__c._1").as("x"), col("__c._2").as("y"))
     }),
 
+    // Municipality-geometry refresh (scripts/update-municipality-geometries
+    // .sql): admin_level=7 boundary relations -> way soup -> BuildArea ->
+    // SimplifyPreserveTopology(10) -> COALESCE update of the dim. Each code
+    // gets a square ring whose edges carry one sub-tolerance-deviated
+    // midpoint (d = k%5 <= 4 < 10), so the simplify step is OBSERVABLE:
+    // npoints 9 -> 5; corners (s/sqrt(2) >= 70 from their chord) survive.
+    // The oracle predicts the simplified square's observables in closed form
+    // and the untouched/old-geom branches (failed predicate, open ring).
+    "q_muni_rebuild" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      def pm(a: Long): Column = pmod(col("k") * a, lit(1000000L)).cast("double")
+      val x = pm(13L); val y = pm(17L)
+      val side = (lit(100L) + pmod(col("k"), lit(7L)) * 50).cast("double")
+      val d = pmod(col("k"), lit(5L)).cast("double")
+      val half = side / 2
+      val knkod = col("k").cast("string")
+      val k9 = pmod(col("k"), lit(9L))
+      val relations = base.select(col("k").as("id"),
+        when(k9 === 1, map(lit("type"), lit("boundary"), lit("admin_level"), lit("7")))
+        .when(k9 === 4, map(lit("type"), lit("route"), lit("admin_level"), lit("7"),
+                            lit("KNKOD"), knkod))
+        .when(k9 === 7, map(lit("type"), lit("boundary"), lit("admin_level"), lit("8"),
+                            lit("KNKOD"), knkod))
+        .otherwise(map(lit("type"), lit("boundary"), lit("admin_level"), lit("7"),
+                       lit("KNKOD"), knkod)).as("tags"))
+      val edges = base.select(col("k"), explode(array(
+          struct(lit(1).as("i"), array(x, x + half, x + side).as("xs"),
+                 array(y, y + d, y).as("ys")),
+          struct(lit(2).as("i"), array(x + side, x + side - d, x + side).as("xs"),
+                 array(y, y + half, y + side).as("ys")),
+          struct(lit(3).as("i"), array(x + side, x + half, x).as("xs"),
+                 array(y + side, y + side - d, y + side).as("ys")),
+          struct(lit(4).as("i"), array(x, x + d, x).as("xs"),
+                 array(y + side, y + half, y).as("ys")))).as("w"))
+        // k%11==0: drop one edge -> open soup -> BuildArea NULL -> COALESCE old
+        .filter(!(pmod(col("k"), lit(11L)) === 0 && col("w.i") === 4))
+      val rmw = edges.select(col("k").as("relation_id"),
+        (col("k") * 4 + col("w.i")).as("member_id"))
+      val ways = edges.select((col("k") * 4 + col("w.i")).as("id"),
+        stMakeLine(col("w.xs"), col("w.ys")).as("geom"))
+      val munis = base.select(knkod.as("code"), stPoint(pm(19L), pm(23L)).as("geom"))
+      graft.engine.GeometryAssembly.municipalityGeometries(relations, rmw, ways, munis, 10.0)
+        .withColumn("__e", stEnvelope(col("geom")))
+        .select(col("code"), stNPoints(col("geom")).cast("long").as("npoints"),
+          stArea(col("geom")).as("area"),
+          col("__e._1").as("xmin"), col("__e._2").as("ymin"),
+          col("__e._3").as("xmax"), col("__e._4").as("ymax"))
+    }),
+
     // J3: point-in-polygon against a broadcast polygon grid (winding-number
     // PiP over real WKB polygons on the Spark side; intervals in the oracle)
     "q_sp_pip" -> ((s, dir) => {
@@ -313,6 +362,29 @@ object QueriesSpatial {
         |  AND rmw.role IN ('perimeter', 'boundary', 'outer')
         |INNER JOIN area ON area.way_id = rmw.member_id OR area.relation_id = rmr.member_id
         |WHERE rel.site IS NOT NULL""".stripMargin,
+    // Closed-form prediction of the municipality refresh: a rebuilt code is a
+    // simplified square (5 ring points, area s^2, envelope (x,y,x+s,y+s));
+    // codes whose relation fails a predicate (k%3=1 covers all three variants:
+    // KNKOD missing / type route / admin_level 8) or whose ring is open
+    // (k%11=0) keep the old point geom (1 point, area 0, degenerate envelope)
+    "q_muni_rebuild" ->
+      """WITH obs AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS code,
+        |    (o_orderkey%3 <> 1 AND o_orderkey%11 <> 0) AS ok,
+        |    CAST((o_orderkey*13)%1000000 AS DOUBLE) AS x,
+        |    CAST((o_orderkey*17)%1000000 AS DOUBLE) AS y,
+        |    CAST(100 + (o_orderkey%7)*50 AS DOUBLE) AS s,
+        |    CAST((o_orderkey*19)%1000000 AS DOUBLE) AS ox,
+        |    CAST((o_orderkey*23)%1000000 AS DOUBLE) AS oy
+        |  FROM orders)
+        |SELECT code,
+        |  CAST(CASE WHEN ok THEN 5 ELSE 1 END AS BIGINT) AS npoints,
+        |  CASE WHEN ok THEN s*s ELSE 0.0 END AS area,
+        |  CASE WHEN ok THEN x ELSE ox END AS xmin,
+        |  CASE WHEN ok THEN y ELSE oy END AS ymin,
+        |  CASE WHEN ok THEN x + s ELSE ox END AS xmax,
+        |  CASE WHEN ok THEN y + s ELSE oy END AS ymax
+        |FROM obs""".stripMargin,
     // STRICT bounds: ST_Within excludes the boundary (PostGIS), so a point
     // exactly on a box edge is within NO box — the Spark side's winding
     // kernel implements the same exclusion

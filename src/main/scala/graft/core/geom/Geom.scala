@@ -348,6 +348,84 @@ object Geom {
     }
   }
 
+  // ---- simplification (ST_SimplifyPreserveTopology analog) -----------------
+  /**
+   * Douglas-Peucker simplification with a collapse guard, the analog of
+   * PostGIS ST_SimplifyPreserveTopology as used by the reference's
+   * municipality-geometry refresh (scripts/update-municipality-geometries
+   * .sql:3, tolerance 10 m on admin_level=7 boundary relations).
+   *
+   * Semantics: per linestring / per ring classic DP — keep both endpoints,
+   * recursively keep the vertex farthest from the chord while its distance
+   * exceeds `tol` (strict >, first-max tie pick). "Preserve topology" is
+   * honored as the collapse guard: a ring that would simplify below 4 points
+   * (and lines below 2) returns unchanged, so no component ever vanishes or
+   * degenerates — the property the 290-row municipality dim depends on.
+   * Unlike PostGIS this port does not additionally repair self-intersections
+   * introduced by vertex removal; on near-convex admin boundaries at 10 m
+   * tolerance that case does not arise, and the output here is only ever
+   * consumed by the envelope/winding kernels, which tolerate it.
+   *
+   * Closed rings anchor DP at ring(0) (== ring(last)): the zero-length chord
+   * degenerates to point distance (distPointSegment l2==0 branch), so the
+   * first split lands on the vertex farthest from the anchor and recursion
+   * proceeds normally — deterministic regardless of where ring chaining
+   * happened to start.
+   */
+  def simplify(g: Geom, tol: Double): Geom = g match {
+    case p: PointG            => p
+    case m: MultiPointG       => m
+    case LineStringG(pts)     => LineStringG(simplifyPts(pts, tol, 2))
+    case MultiLineStringG(ls) => MultiLineStringG(ls.map(l => LineStringG(simplifyPts(l.pts, tol, 2))))
+    case PolygonG(rings)      => PolygonG(rings.map(simplifyPts(_, tol, 4)))
+    case MultiPolygonG(ps)    => MultiPolygonG(ps.map(p => PolygonG(p.rings.map(simplifyPts(_, tol, 4)))))
+  }
+
+  private def simplifyPts(pts: Array[Pt], tol: Double, minPts: Int): Array[Pt] = {
+    if (pts.length <= math.max(minPts, 2)) return pts
+    val keep = new Array[Boolean](pts.length)
+    keep(0) = true; keep(pts.length - 1) = true
+    val stack = scala.collection.mutable.Stack((0, pts.length - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.pop()
+      var best = -1; var bestD = tol
+      var i = lo + 1
+      while (i < hi) {
+        val d = distPointSegment(pts(i), pts(lo), pts(hi))
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      if (best >= 0) {
+        keep(best) = true
+        stack.push((lo, best)); stack.push((best, hi))
+      }
+    }
+    val out = Array.newBuilder[Pt]
+    var i = 0
+    while (i < pts.length) { if (keep(i)) out += pts(i); i += 1 }
+    val res = out.result()
+    if (res.length < minPts) pts else res // collapse guard: keep original
+  }
+
+  // ---- scalar observables (ST_Area / ST_NPoints analogs) -------------------
+  /** Planar area; shells minus holes (ring 0 is the shell by construction). */
+  def area(g: Geom): Double = g match {
+    case _: PointG | _: MultiPointG | _: LineStringG | _: MultiLineStringG => 0.0
+    case PolygonG(rings) =>
+      math.abs(signedArea(rings.head)) - rings.tail.map(r => math.abs(signedArea(r))).sum
+    case MultiPolygonG(ps) => ps.map(area(_)).sum
+  }
+
+  /** Total vertex count, ring closing points included (ST_NPoints parity). */
+  def nPoints(g: Geom): Int = g match {
+    case _: PointG            => 1
+    case MultiPointG(pts)     => pts.length
+    case LineStringG(pts)     => pts.length
+    case MultiLineStringG(ls) => ls.map(_.pts.length).sum
+    case PolygonG(rings)      => rings.map(_.length).sum
+    case MultiPolygonG(ps)    => ps.map(p => p.rings.map(_.length).sum).sum
+  }
+
   // ---- polygon assembly from way soup (ST_BuildArea analog) ----------------
   /**
    * Assemble a MultiPolygon from a bag of linestrings (OSM multipolygon

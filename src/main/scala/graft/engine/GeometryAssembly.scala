@@ -140,6 +140,49 @@ object GeometryAssembly {
       .unionByName(viaRel.select(col("id"), col("tags"), col("geom")))
   }
 
+  private val buildSimplifyU = udf((wkbs: Seq[Array[Byte]], tol: Double) => {
+    val lines = wkbs.filter(_ != null).map(Geom.fromWkb).collect {
+      case l: LineStringG => l
+    }
+    Geom.buildArea(lines).map(a => Geom.toWkb(Geom.simplify(a, tol))).orNull
+  })
+
+  /**
+   * Municipality-geometry refresh (scripts/update-municipality-geometries
+   * .sql:1-15): relations tagged type=boundary, admin_level=7 with a KNKOD
+   * tag are grouped BY KNKOD (several relations sharing a code merge their
+   * member ways), assembled via ST_BuildArea(ST_Collect(way geoms)) and
+   * simplified with ST_SimplifyPreserveTopology(·, tolerance); the
+   * municipality dim is then updated with COALESCE(computed, old) for
+   * matching codes only — codes with no computed row keep their geometry,
+   * and so do codes whose assembly yields NULL (open ring soup).
+   *
+   * Scale: the groupBy shuffles boundary-way geoms by code — O(boundary
+   * ways), same as the reference's GROUP BY. The computed side is one row
+   * per municipality (≤290 in production), broadcast into the dim update so
+   * the refresh never shuffles the dim; the result is the usual broadcast
+   * PiP side (MuniIndex re-derives its decoded cache from it).
+   */
+  def municipalityGeometries(relations: DataFrame, relationMemberWays: DataFrame,
+                             waysWithGeom: DataFrame, municipalities: DataFrame,
+                             tolerance: Double = 10.0): DataFrame = {
+    val boundary = relations
+      .filter(col("tags")("type") === "boundary" &&
+              col("tags")("admin_level") === "7" &&
+              col("tags")("KNKOD").isNotNull)
+      .select(col("id").as("relation_id"), col("tags")("KNKOD").as("code"))
+    val computed = boundary
+      .join(relationMemberWays.select(col("relation_id"), col("member_id")), Seq("relation_id"))
+      .join(waysWithGeom.select(col("id").as("member_id"), col("geom").as("wgeom")), Seq("member_id"))
+      .groupBy(col("code"))
+      .agg(collect_list(col("wgeom")).as("wgeoms"))
+      .select(col("code"), buildSimplifyU(col("wgeoms"), lit(tolerance)).as("new_geom"))
+    municipalities
+      .join(broadcast(computed), Seq("code"), "left")
+      .withColumn("geom", coalesce(col("new_geom"), col("geom")))
+      .drop("new_geom")
+  }
+
   /** dirty propagation (T2): changed nodes dirty their ways; changed ways
     * dirty their multipolygon relations. Returns (dirtyWayIds, dirtyRelIds). */
   def propagateDirty(dirtyNodeIds: DataFrame, dirtyWayIds: DataFrame,

@@ -52,6 +52,21 @@ object GeoFunctions {
   val stEnvelopeWkb = udf((minX: Double, minY: Double, maxX: Double, maxY: Double) =>
     Geom.toWkb(Geom.envelopePoly(minX, minY, maxX, maxY)))
 
+  /** ST_SimplifyPreserveTopology analog (Geom.simplify — DP + collapse guard). */
+  val stSimplify = udf((a: Array[Byte], tol: Double) =>
+    if (a == null) null else Geom.toWkb(Geom.simplify(Geom.fromWkb(a), tol)))
+
+  val stArea = udf((a: Array[Byte]) =>
+    if (a == null) null else java.lang.Double.valueOf(Geom.area(Geom.fromWkb(a))))
+
+  val stNPoints = udf((a: Array[Byte]) =>
+    if (a == null) null else java.lang.Integer.valueOf(Geom.nPoints(Geom.fromWkb(a))))
+
+  /** ST_MakeLine from parallel coordinate arrays (fixture/synthesis helper). */
+  val stMakeLine = udf((xs: Seq[Double], ys: Seq[Double]) =>
+    if (xs == null || xs.isEmpty) null
+    else Geom.toWkb(LineStringG(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toArray)))
+
   val stFromWkt = udf((wkt: String) => if (wkt == null) null else Geom.toWkb(Geom.fromWkt(wkt)))
   val stAsWkt = udf((a: Array[Byte]) => if (a == null) null else Geom.toWkt(Geom.fromWkb(a)))
 
