@@ -212,6 +212,20 @@ object QueriesSpatial {
           col("__e._3").as("xmax"), col("__e._4").as("ymax"))
     }),
 
+    // Z-order layout scan: bbox query expressed as Morton-range BETWEENs
+    // (SpatialLayout.bboxFilter) plus the exact bounds. The oracle filters by
+    // the bbox alone and re-derives the z-code with the same five spread
+    // steps in DuckDB bit arithmetic — a Spark-side range cover that DROPPED
+    // a cell (under-cover) or a bit-divergent interleave both hash-mismatch.
+    "q_sp_zorder" -> ((s, dir) => {
+      val cellSize = 4096.0
+      val z = graft.operators.SpatialLayout.withZOrder(
+        ptsA(s, dir).select(col("a_id"), col("cx"), col("cy")), "cx", "cy", cellSize)
+      z.filter(graft.operators.SpatialLayout.bboxFilter(
+          col("cx"), col("cy"), cellSize, 200000, 600000, 300000, 700000))
+        .select(col("a_id"), col("cx").as("x"), col("cy").as("y"), col("zval"))
+    }),
+
     // J3: point-in-polygon against a broadcast polygon grid (winding-number
     // PiP over real WKB polygons on the Spark side; intervals in the oracle)
     "q_sp_pip" -> ((s, dir) => {
@@ -362,6 +376,27 @@ object QueriesSpatial {
         |  AND rmw.role IN ('perimeter', 'boundary', 'outer')
         |INNER JOIN area ON area.way_id = rmw.member_id OR area.relation_id = rmr.member_id
         |WHERE rel.site IS NOT NULL""".stripMargin,
+    // The z-code spread steps transcribed to DuckDB bit ops; the bbox filter
+    // is the exact bounds only (Spark's additional z-range cover must be a
+    // no-op superset or rows go missing)
+    "q_sp_zorder" ->
+      """WITH a AS (SELECT o_orderkey AS a_id,
+        |    CAST((o_orderkey*48271)%1000000 AS DOUBLE) AS x,
+        |    CAST((o_orderkey*69621)%1000000 AS DOUBLE) AS y FROM orders),
+        |f AS (SELECT a_id, x, y,
+        |    CAST(FLOOR(x/4096) AS BIGINT) AS cx, CAST(FLOOR(y/4096) AS BIGINT) AS cy
+        |  FROM a WHERE x >= 200000 AND x <= 300000 AND y >= 600000 AND y <= 700000),
+        |s1 AS (SELECT *, (cx | (cx << 16)) & 281470681808895 AS sx,
+        |                 (cy | (cy << 16)) & 281470681808895 AS sy FROM f),
+        |s2 AS (SELECT a_id, x, y, (sx | (sx << 8)) & 71777214294589695 AS sx,
+        |                          (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+        |s3 AS (SELECT a_id, x, y, (sx | (sx << 4)) & 1085102592571150095 AS sx,
+        |                          (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+        |s4 AS (SELECT a_id, x, y, (sx | (sx << 2)) & 3689348814741910323 AS sx,
+        |                          (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+        |s5 AS (SELECT a_id, x, y, (sx | (sx << 1)) & 6148914691236517205 AS sx,
+        |                          (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4)
+        |SELECT a_id, x, y, sx | (sy << 1) AS zval FROM s5""".stripMargin,
     // Closed-form prediction of the municipality refresh: a rebuilt code is a
     // simplified square (5 ring points, area s^2, envelope (x,y,x+s,y+s));
     // codes whose relation fails a predicate (k%3=1 covers all three variants:

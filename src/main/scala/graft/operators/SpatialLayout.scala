@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.cell.Morton
+
+/**
+ * Z-order file layout for spatial scans (SURVEY.md §4, "spatial index" row):
+ * joins use the cell-grid equi-join; SCANS get their file skipping here.
+ * `writeZOrdered` range-partitions and sorts by the Morton code of the
+ * row's grid cell, so every parquet file (and row group) holds a tight,
+ * disjoint z-interval; `bboxFilter` turns a bounding box into a few z-code
+ * BETWEENs (Morton.ranges) AND'd with the exact coordinate bounds. The
+ * BETWEENs are plain comparisons on a stored column → they reach the
+ * parquet reader as PushedFilters and skip whole files/row groups by
+ * min-max stats — the 100 TB path for "read one municipality's extent off
+ * a continent-sized table" (plan- and metrics-asserted in SpatialLayoutSpec).
+ *
+ * The z-code column form is pure shift/and arithmetic (whole-stage codegen,
+ * no UDF), bit-identical to Morton.interleave — the q_sp_zorder oracle
+ * recomputes it in DuckDB.
+ */
+object SpatialLayout {
+
+  /** Morton.spread as column arithmetic (codegen'd; bit-identical). */
+  private def spreadCol(v: Column): Column = {
+    var x = v.bitwiseAND(lit(0x7FFFFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+    x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+    x
+  }
+
+  /** z-code of the (floor(x/cellSize), floor(y/cellSize)) grid cell.
+    * Coordinates must be non-negative (EPSG:3006 northing/easting are). */
+  def zOrderCol(x: Column, y: Column, cellSize: Double): Column =
+    spreadCol(floor(x / cellSize).cast("long"))
+      .bitwiseOR(shiftleft(spreadCol(floor(y / cellSize).cast("long")), 1))
+
+  /** Attach the z-code as `zval`. */
+  def withZOrder(df: DataFrame, xCol: String, yCol: String, cellSize: Double): DataFrame =
+    df.withColumn("zval", zOrderCol(col(xCol), col(yCol), cellSize))
+
+  /**
+   * Cluster to `numFiles` parquet files by z-code: range partitioning makes
+   * the per-file z-intervals disjoint, the within-partition sort makes row
+   * groups tight. One shuffle, once, at write time — every later bbox scan
+   * pays only for the files its z-ranges touch.
+   */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    cellSize: Double, numFiles: Int = 32): Unit =
+    withZOrder(df, xCol, yCol, cellSize)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Pushdown-able bbox predicate over a z-ordered layout: OR of few zval
+   * BETWEENs (file/row-group skipping) AND the exact bounds (correctness —
+   * the ranges may over-cover, never under-cover; see Morton.ranges).
+   * `maxRanges` caps the OR width via the quadtree depth (a too-wide OR
+   * stops being a win in the parquet filter evaluator).
+   */
+  def bboxFilter(x: Column, y: Column, cellSize: Double,
+                 minX: Double, minY: Double, maxX: Double, maxY: Double,
+                 maxRanges: Int = 64): Column = {
+    require(minX >= 0 && minY >= 0 && minX <= maxX && minY <= maxY, "bbox must be valid, non-negative")
+    val exact = x >= minX && x <= maxX && y >= minY && y <= maxY
+    zRangesFilter(cellSize, minX, minY, maxX, maxY, maxRanges) && exact
+  }
+
+  /** Just the z-interval cover of the bbox (exact refinement NOT included). */
+  def zRangesFilter(cellSize: Double, minX: Double, minY: Double,
+                    maxX: Double, maxY: Double, maxRanges: Int = 64): Column = {
+    val rs = zRanges(cellSize, minX, minY, maxX, maxY, maxRanges)
+    rs.map { case (lo, hi) => col("zval") >= lo && col("zval") <= hi }
+      .reduce(_ || _)
+  }
+
+  /** z-intervals for the bbox: exact cover first, then coarsen the quadtree
+    * (over-cover, never under-cover) until the interval count fits. */
+  def zRanges(cellSize: Double, minX: Double, minY: Double,
+              maxX: Double, maxY: Double, maxRanges: Int): Array[(Long, Long)] = {
+    val x0 = math.floor(minX / cellSize).toLong
+    val y0 = math.floor(minY / cellSize).toLong
+    val x1 = math.floor(maxX / cellSize).toLong
+    val y1 = math.floor(maxY / cellSize).toLong
+    var levels = 31
+    var rs = Morton.ranges(x0, y0, x1, y1, maxLevels = levels)
+    while (rs.length > maxRanges && levels > 1) {
+      levels -= 1
+      rs = Morton.ranges(x0, y0, x1, y1, maxLevels = levels)
+    }
+    rs
+  }
+
+  /** Scan a z-ordered layout for a bbox — the read-side counterpart of
+    * writeZOrdered; filters are plain column comparisons so they push down. */
+  def readBbox(spark: SparkSession, path: String, xCol: String, yCol: String,
+               cellSize: Double, minX: Double, minY: Double,
+               maxX: Double, maxY: Double): DataFrame =
+    spark.read.parquet(path)
+      .filter(bboxFilter(col(xCol), col(yCol), cellSize, minX, minY, maxX, maxY))
+}
