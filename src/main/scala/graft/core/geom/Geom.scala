@@ -366,19 +366,41 @@ object Geom {
    * tolerance that case does not arise, and the output here is only ever
    * consumed by the envelope/winding kernels, which tolerate it.
    *
-   * Closed rings anchor DP at ring(0) (== ring(last)): the zero-length chord
-   * degenerates to point distance (distPointSegment l2==0 branch), so the
-   * first split lands on the vertex farthest from the anchor and recursion
-   * proceeds normally — deterministic regardless of where ring chaining
-   * happened to start.
+   * Closed rings are first ROTATED to a canonical start (the minimal vertex
+   * by (x, y)) before DP anchors there: anchored ring DP force-keeps its
+   * start vertex, so without the rotation the output would depend on where
+   * ring chaining happened to begin — and buildArea chains from whatever way
+   * collect_list happened to list first, which is nondeterministic in Spark.
+   * With the rotation the simplified ring is a pure function of the ring's
+   * cyclic point sequence. (The canonical vertex itself is force-kept even
+   * when sub-tolerance — inherent to anchored ring DP, same as PostGIS
+   * anchoring at the stored start; determinism is the contract here.)
    */
   def simplify(g: Geom, tol: Double): Geom = g match {
     case p: PointG            => p
     case m: MultiPointG       => m
     case LineStringG(pts)     => LineStringG(simplifyPts(pts, tol, 2))
     case MultiLineStringG(ls) => MultiLineStringG(ls.map(l => LineStringG(simplifyPts(l.pts, tol, 2))))
-    case PolygonG(rings)      => PolygonG(rings.map(simplifyPts(_, tol, 4)))
-    case MultiPolygonG(ps)    => MultiPolygonG(ps.map(p => PolygonG(p.rings.map(simplifyPts(_, tol, 4)))))
+    case PolygonG(rings)      => PolygonG(rings.map(r => simplifyPts(canonicalRing(r), tol, 4)))
+    case MultiPolygonG(ps)    => MultiPolygonG(ps.map(p => PolygonG(p.rings.map(r => simplifyPts(canonicalRing(r), tol, 4)))))
+  }
+
+  /** Rotate a closed ring (head == last) to start at its minimal vertex by
+    * (x, y); open or degenerate inputs pass through unchanged. */
+  private def canonicalRing(r: Array[Pt]): Array[Pt] = {
+    if (r.length < 4 || r.head != r.last) return r
+    var m = 0; var i = 1
+    while (i < r.length - 1) { // exclude the duplicate closing point
+      val p = r(i); val q = r(m)
+      if (p.x < q.x || (p.x == q.x && p.y < q.y)) m = i
+      i += 1
+    }
+    if (m == 0) return r
+    val out = new Array[Pt](r.length)
+    var j = 0
+    while (j < r.length - 1) { out(j) = r((m + j) % (r.length - 1)); j += 1 }
+    out(r.length - 1) = out(0)
+    out
   }
 
   private def simplifyPts(pts: Array[Pt], tol: Double, minPts: Int): Array[Pt] = {

@@ -62,10 +62,14 @@ object GeoFunctions {
   val stNPoints = udf((a: Array[Byte]) =>
     if (a == null) null else java.lang.Integer.valueOf(Geom.nPoints(Geom.fromWkb(a))))
 
-  /** ST_MakeLine from parallel coordinate arrays (fixture/synthesis helper). */
+  /** ST_MakeLine from parallel coordinate arrays (fixture/synthesis helper);
+    * mismatched lengths fail loudly like PostGIS rejects bad input. */
   val stMakeLine = udf((xs: Seq[Double], ys: Seq[Double]) =>
-    if (xs == null || xs.isEmpty) null
-    else Geom.toWkb(LineStringG(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toArray)))
+    if (xs == null || ys == null || xs.isEmpty) null
+    else {
+      require(xs.length == ys.length, s"stMakeLine: ${xs.length} xs vs ${ys.length} ys")
+      Geom.toWkb(LineStringG(xs.zip(ys).map { case (x, y) => Pt(x, y) }.toArray))
+    })
 
   val stFromWkt = udf((wkt: String) => if (wkt == null) null else Geom.toWkb(Geom.fromWkt(wkt)))
   val stAsWkt = udf((a: Array[Byte]) => if (a == null) null else Geom.toWkt(Geom.fromWkb(a)))

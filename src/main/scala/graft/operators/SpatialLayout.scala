@@ -79,21 +79,27 @@ object SpatialLayout {
       .reduce(_ || _)
   }
 
-  /** z-intervals for the bbox: exact cover first, then coarsen the quadtree
-    * (over-cover, never under-cover) until the interval count fits. */
+  /** z-intervals for the bbox: the exact cover, and when that exceeds
+    * `maxRanges`, the smallest inter-range gaps are bridged (keeping the
+    * maxRanges-1 LARGEST gaps) — a tighter over-cover than re-descending
+    * the quadtree at reduced depth, computed in one decomposition pass.
+    * Always a superset of the exact cover, never an under-cover. */
   def zRanges(cellSize: Double, minX: Double, minY: Double,
               maxX: Double, maxY: Double, maxRanges: Int): Array[(Long, Long)] = {
     val x0 = math.floor(minX / cellSize).toLong
     val y0 = math.floor(minY / cellSize).toLong
     val x1 = math.floor(maxX / cellSize).toLong
     val y1 = math.floor(maxY / cellSize).toLong
-    var levels = 31
-    var rs = Morton.ranges(x0, y0, x1, y1, maxLevels = levels)
-    while (rs.length > maxRanges && levels > 1) {
-      levels -= 1
-      rs = Morton.ranges(x0, y0, x1, y1, maxLevels = levels)
-    }
-    rs
+    val rs = Morton.ranges(x0, y0, x1, y1)
+    if (rs.length <= maxRanges) return rs
+    // gaps between consecutive ranges, largest maxRanges-1 kept as splits
+    val gaps = (1 until rs.length).map(i => (rs(i)._1 - rs(i - 1)._2, i))
+    val keep = gaps.sortBy(-_._1).take(math.max(maxRanges - 1, 0)).map(_._2).sorted
+    val out = Array.newBuilder[(Long, Long)]
+    var start = 0
+    for (i <- keep) { out += ((rs(start)._1, rs(i - 1)._2)); start = i }
+    out += ((rs(start)._1, rs.last._2))
+    out.result()
   }
 
   /** Scan a z-ordered layout for a bbox — the read-side counterpart of

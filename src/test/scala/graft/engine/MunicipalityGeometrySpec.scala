@@ -31,11 +31,14 @@ class MunicipalityGeometrySpec extends AnyFunSuite {
 
   test("simplify: ring rotation (chain start) does not change the kept set") {
     val a = ring(c0, (50, 3), c1, c2, c3, c0)
-    val b = ring(c2, c3, c0, (50, 3), c1, c2) // same ring, chained from c2
-    val sa = Geom.simplify(PolygonG(Array(a)), 5.0).asInstanceOf[PolygonG]
-    val sb = Geom.simplify(PolygonG(Array(b)), 5.0).asInstanceOf[PolygonG]
+    val b = ring(c2, c3, c0, (50, 3), c1, c2)   // chained from another corner
+    val c = ring((50, 3), c1, c2, c3, c0, (50, 3)) // chained from the REMOVABLE vertex
+    val Seq(sa, sb, sc) = Seq(a, b, c).map(r =>
+      Geom.simplify(PolygonG(Array(r)), 5.0).asInstanceOf[PolygonG])
     assert(sa.rings.head.toSet == sb.rings.head.toSet)
-    assert(sa.rings.head.length == 5 && sb.rings.head.length == 5)
+    assert(sa.rings.head.toSet == sc.rings.head.toSet,
+      "a chain starting at a sub-tolerance vertex must not pin that vertex")
+    assert(sa.rings.head.length == 5 && sb.rings.head.length == 5 && sc.rings.head.length == 5)
   }
 
   test("simplify: collapse guard keeps a ring that would fall below 4 points") {

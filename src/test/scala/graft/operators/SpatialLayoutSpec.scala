@@ -49,6 +49,16 @@ class SpatialLayoutSpec extends AnyFunSuite {
     scans.map(_.metrics("numOutputRows").value).sum
   }
 
+  test("zRanges caps the interval count by bridging the smallest gaps (superset)") {
+    val exact = SpatialLayout.zRanges(cell, bx0, by0, bx1, by1, maxRanges = Int.MaxValue)
+    assert(exact.length > 4, s"fixture bbox should decompose non-trivially: ${exact.length}")
+    val capped = SpatialLayout.zRanges(cell, bx0, by0, bx1, by1, maxRanges = 4)
+    assert(capped.length == 4)
+    for ((lo, hi) <- exact)
+      assert(capped.exists(c => lo >= c._1 && hi <= c._2),
+        s"capped cover must contain exact range ($lo,$hi)")
+  }
+
   test("zOrderCol bit-matches Morton.interleave") {
     val rows = pts(500)
       .withColumn("zval", SpatialLayout.zOrderCol(col("x"), col("y"), cell))
