@@ -128,7 +128,7 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
     // materialize the (small) pair output, then free the shingle cache — a
     // lazy return would leave it pinned in executor storage for the session
-    val out = jaccardTail(shared, sh, threshold).localCheckpoint(true)
+    val out = jaccardTail(shared, sh, threshold).transform(Materialize(_))
     sh.unpersist()
     out
   }
@@ -151,7 +151,7 @@ object Dedup {
     // materialize, then free the shingle cache (see jaccardPairs)
     val out = jaccardOfPairs(
       lshCandidates(sh, numHashes, bands, hashFn, bandHashFn), sh, threshold)
-      .localCheckpoint(true)
+      .transform(Materialize(_))
     sh.unpersist()
     out
   }
@@ -256,7 +256,7 @@ object Dedup {
       // 20 duplicate rows through the distinct's shuffle just to be dropped
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .localCheckpoint(true) // materialize, then free the 20-keys/doc cache
+      .transform(Materialize(_)) // materialize, then free the 20-keys/doc cache
     keys.unpersist()
     out
   }
@@ -291,7 +291,7 @@ object Dedup {
       val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .transform(Materialize(_))
       val changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
         .filter(col("comp") =!= col("old")).limit(1).count()
       labels.unpersist()
@@ -344,7 +344,7 @@ object Dedup {
     // leave it pinned for the session)
     val out = mapped.join(repCanon, "rep_id").select(col("id"), col("canonical_id"))
       .unionByName(nullSelf)
-      .localCheckpoint(true)
+      .transform(Materialize(_))
     mapped.unpersist()
     out
   }

@@ -220,7 +220,7 @@ object Raster {
         max("gx").as("gx_max"), max("gy").as("gy_max"))
       // materialize the (region-sized) result, then free the labeled-pixel
       // cache — a lazy return would leave it pinned for the session
-      .localCheckpoint(true)
+      .transform(Materialize(_))
     pix.unpersist()
     out
   }

@@ -25,10 +25,17 @@ import graft.functions.GeoFunctions._
  * Scale: the equi-join shuffles both sides by cellId, so 1000 executors
  * partition cleanly. Hot cells (Stockholm: ~1000× denser per the north rule)
  * are handled by EXPLICIT salting: a cheap count-by-cell pre-pass finds cells
- * above `saltThreshold`; build rows in those cells replicate across
- * `saltFactor` sub-keys while probe rows hash into one — bounding the largest
- * shuffle partition by threshold×factor instead of the raw cell density.
- * AQE skew-join remains on as a second line of defense.
+ * whose BUILD population exceeds `saltThreshold`; build rows in those cells
+ * hash into ONE of `saltFactor` sub-keys (the measured-hot side is the one
+ * that gets SPLIT) while probe rows replicate across all of them — so each
+ * salted partition carries ~1/saltFactor of the hot build mass. (r3 review
+ * fix: the earlier design replicated the build side instead, leaving the hot
+ * cell's full build population in EVERY salted partition — the straggler the
+ * histogram detected survived the mitigation.) The split hash covers every
+ * atomic build column, not just the geometry, so co-located duplicate
+ * geometries still spread across salts as long as any column differs. If the
+ * PROBE side is the dense one, its replication factor is the cost — AQE
+ * skew-join remains on as the second line of defense for that direction.
  */
 object SpatialJoin {
 
@@ -121,25 +128,35 @@ object SpatialJoin {
     val joinKeys: Seq[String] =
       if (spec.saltThreshold == Long.MaxValue) Seq("cell")
       else {
-        // explicit skew salting: histogram pre-pass over the build side
+        require(spec.saltFactor >= 1,
+          s"saltFactor must be >= 1, got ${spec.saltFactor}") // 0 would null
+        // the probe salt (pmod(_, 0)) and silently drop every hot-cell pair
+        // explicit skew salting: histogram pre-pass over the build side; the
+        // measured-hot side SPLITS, the other side replicates (see scaladoc)
         val hot = b.groupBy("cell").count()
           .filter(col("count") > spec.saltThreshold)
           .select("cell")
+        // hash the split over every atomic build column (ids, coords, WKB)
+        // so identical geometries with any differing column still spread
+        val hashable = b.schema.fields.collect {
+          case f if org.apache.spark.sql.GraftBridge.isAtomic(f.dataType) =>
+            col(f.name)
+        }.toSeq
+        b = b.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
+          .withColumn("salt",
+            when(col("__hot").isNotNull,
+              pmod(xxhash64(hashable: _*), lit(spec.saltFactor.toLong)).cast("int"))
+              .otherwise(lit(0)))
+          .drop("__hot")
         // broadcast the (small) hot-cell list back into both sides; a
         // generator can't sit inside when(), so hot rows get a salt ARRAY
         // (0..factor-1) and cold rows a single-element array, then explode.
-        b = b.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
+        p = p.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
           .withColumn("__salts",
             when(col("__hot").isNotNull, sequence(lit(0), lit(spec.saltFactor - 1)))
               .otherwise(array(lit(0))))
           .withColumn("salt", explode(col("__salts")))
           .drop("__hot", "__salts")
-        p = p.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
-          .withColumn("salt",
-            when(col("__hot").isNotNull,
-              pmod(xxhash64(col(s"p_$probeGeom")), lit(spec.saltFactor.toLong)).cast("int"))
-              .otherwise(lit(0)))
-          .drop("__hot")
         Seq("cell", "salt")
       }
 
@@ -166,7 +183,9 @@ object SpatialJoin {
    * k nearest build rows within `radius` of each probe row (the reference's
    * api.nearby: k=10 within 250 m — 09-api-deviation.sql:58-68), via k-ring
    * candidates + per-probe rank window. `probeKey` must uniquely identify
-   * probe rows. Deterministic tie-break on (dist, build key columns).
+   * probe rows; rows with a NULL key are dropped (a null key cannot identify
+   * a probe, and it would collapse into one shared rank partition).
+   * Deterministic tie-break on (dist, build key columns).
    */
   def knn(
       build: DataFrame,
@@ -179,8 +198,8 @@ object SpatialJoin {
       radius: Double,
       cellSize: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cands = dwithinCandidates(build, probe, buildGeom, probeGeom,
-      DWithinSpec(radius, cellSize))
+    val cands = dwithinCandidates(build, probe.filter(col(probeKey).isNotNull),
+      buildGeom, probeGeom, DWithinSpec(radius, cellSize))
       // a non-point build geometry covering several cells surfaces the same
       // (probe, build) pair once per shared cell; undeduped, the duplicate
       // occupies extra ranks and crowds a true neighbor out of the top k
@@ -206,8 +225,9 @@ object SpatialJoin {
    * R — a probe holding k candidates therefore already holds its exact global
    * top-k (ties at dist == R cannot hide outside the cover). Resolved probes
    * leave the loop; the survivor set is re-materialized per round
-   * (localCheckpoint) so plan depth stays O(1) across the O(log(maxRadius /
-   * startRadius)) rounds.
+   * (Materialize: reliable checkpoint under a configured checkpoint dir,
+   * localCheckpoint in the single-JVM sandbox) so plan depth stays O(1)
+   * across the O(log(maxRadius / startRadius)) rounds.
    *
    * Scale: each round is one cell equi-join of the build table against the
    * (geometrically shrinking) unresolved probes — in dense regions ~all
@@ -242,7 +262,10 @@ object SpatialJoin {
     val rankW = Window.partitionBy(col(pK)).orderBy(col("dist"), col(bK))
     val cntW = Window.partitionBy(col(pK))
 
-    var unresolved = probe
+    // NULL probe keys are dropped like in `knn` — here they would ALSO never
+    // leave the unresolved set (a left_anti on a null key never matches), so
+    // such a probe would re-emit its top-k every round (r3 review finding)
+    var unresolved = probe.filter(col(probeKey).isNotNull)
     var out = List.empty[DataFrame]
     var radius = startRadius
     var done = false
@@ -260,13 +283,13 @@ object SpatialJoin {
         if (last) ranked
         else ranked.withColumn("__n", count(lit(1)).over(cntW))
           .filter(col("__n") === k).drop("__n")
-      val settled = emit.localCheckpoint(true)
+      val settled = Materialize(emit)
       out ::= settled
       if (last) done = true
       else {
         val resolvedKeys = settled.select(col(pK).as(probeKey)).distinct()
-        unresolved = unresolved.join(resolvedKeys, Seq(probeKey), "left_anti")
-          .localCheckpoint(true)
+        unresolved = Materialize(
+          unresolved.join(resolvedKeys, Seq(probeKey), "left_anti"))
         if (unresolved.isEmpty) done = true
         else radius = math.min(radius * 2, maxRadius)
       }

@@ -31,8 +31,22 @@ object VecKernel {
 }
 
 /** Native dot product over two ARRAY<DOUBLE> columns (DOUBLE out).
-  * Callers guarantee double element type (see Similarity.toDouble). */
+  * checkInputDataTypes REJECTS other element types at analysis time —
+  * without it an ARRAY<FLOAT> (the raw embedding type before
+  * Similarity.toDouble) would pass analysis and getDouble() would
+  * reinterpret 4-byte slots as doubles: silently wrong scores, no error
+  * (r3 review finding). */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vecdot expects ARRAY<DOUBLE> inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // length mismatch / null element

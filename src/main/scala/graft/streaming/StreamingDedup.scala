@@ -45,6 +45,13 @@ object StreamingDedup {
                      expireState: Boolean = true): Dataset[FirstSeen] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the id cast must be loud: cast("long") on a string/UUID id column
+    // nulls EVERY row and the null-drop below would silently emit an empty
+    // result (r3 review finding) — per-row bad data is dropped, a wrongly
+    // typed SCHEMA is an error
+    val idType = docs.schema(idCol).dataType
+    require(org.apache.spark.sql.GraftBridge.isIntegral(idType),
+      s"firstSeenDedup: $idCol must be an integral id column, got $idType")
     val in = docs.select(
         md5(encode(col(textCol), "UTF-8")).as("fp"),
         col(idCol).cast("long").as("doc_id"),
@@ -70,23 +77,34 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else {
-            val rs = rows.toArray
-            if (rs.isEmpty) Iterator.empty
+            // one O(1)-memory pass over the iterator: a duplicate-heavy key
+            // (the exact case this operator absorbs) can carry millions of
+            // copies per trigger — buffering them in an Array would OOM the
+            // executor for a min/max the fold computes in place
+            var n = 0L
+            var maxTs = Long.MinValue
+            var bestTs = Long.MaxValue
+            var bestId = Long.MaxValue
+            while (rows.hasNext) {
+              val r = rows.next(); n += 1
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+              if (t < bestTs || (t == bestTs && r.doc_id < bestId)) {
+                bestTs = t; bestId = r.doc_id
+              }
+            }
+            if (n == 0) Iterator.empty
             else {
               val alreadySeen = state.exists
               state.update(true)
               if (expireState) {
-                val maxTs = rs.iterator.map(_.ts.getTime).max
                 // must be strictly above the current watermark or Spark
                 // rejects the timestamp (the key would be already expired)
                 state.setTimeoutTimestamp(
                   math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
               }
               if (alreadySeen) Iterator.empty
-              else {
-                val first = rs.minBy(r => (r.ts.getTime, r.doc_id))
-                Iterator.single(FirstSeen(fp, first.doc_id))
-              }
+              else Iterator.single(FirstSeen(fp, bestId))
             }
           }
       }

@@ -13,6 +13,12 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** AtomicType / IntegralType are `protected[sql]` in Spark 4 — expose the
+    * two type predicates libraries need (salt-hashable columns, loud id-type
+    * checks) without enumerating concrete types at every call site. */
+  def isAtomic(dt: types.DataType): Boolean = dt.isInstanceOf[types.AtomicType]
+  def isIntegral(dt: types.DataType): Boolean = dt.isInstanceOf[types.IntegralType]
+
   /** A fresh session on an existing context with `configure` applied as its
     * SparkSessionExtensions — the ONLY way to test the production
     * `spark.sql.extensions=graft.plans.GraftExtensions` code path

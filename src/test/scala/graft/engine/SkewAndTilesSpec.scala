@@ -41,6 +41,20 @@ class SkewAndTilesSpec extends AnyFunSuite {
     assert(distinctSalts > 0)
   }
 
+  test("saltFactor < 1 is rejected loudly (would silently drop hot-cell pairs)") {
+    // pmod(hash, 0) yields NULL salts: every hot-cell pair would vanish from
+    // an inner join on (cell, salt) with no error — must throw instead
+    val one = spark.range(2).select(col("id"),
+        lit(660000.0).as("cx"), lit(6570000.0).as("cy"))
+      .withColumn("geom", graft.functions.GeoFunctions.stPoint(col("cx"), col("cy")))
+      .withColumn("is_point", lit(true))
+    val ex = intercept[IllegalArgumentException] {
+      SpatialJoin.dwithinCandidates(one, one.withColumnRenamed("id", "pid"),
+        "geom", "geom", DWithinSpec(50.0, 1000.0, saltThreshold = 0L, saltFactor = 0))
+    }
+    assert(ex.getMessage.contains("saltFactor"), ex.getMessage)
+  }
+
   test("synthesized pages are Stockholm-skewed (hot cells ~1000x denser)") {
     val pages = Pages.synthesize(spark, 20000L)
     val (osm, _) = BenchPipeline.extract(pages)

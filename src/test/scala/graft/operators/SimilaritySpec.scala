@@ -175,4 +175,21 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("nid") === col("qid") - 1000000L).count()
     assert(hits / nQueries >= 0.7, s"sampled-training recall too low: ${hits / nQueries}")
   }
+
+  test("VecDot rejects non-double array inputs at analysis time") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // ARRAY<FLOAT> is the raw embedding type; before the checkInputDataTypes
+    // guard it passed analysis and getDouble() reinterpreted 4-byte slots
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))), schema)
+    val ex = intercept[Exception] {
+      df.select(Similarity.dot(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("vecdot") ||
+      ex.getMessage.contains("ARRAY<DOUBLE>"), ex.getMessage.take(300))
+  }
 }

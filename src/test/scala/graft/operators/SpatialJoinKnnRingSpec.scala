@@ -96,4 +96,22 @@ class SpatialJoinKnnRingSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("b_bid") == 10L && out(0).getAs[Double]("dist") == 400.0)
     assert(out(1).getAs[Long]("b_bid") == 11L)
   }
+
+  test("NULL probe keys are dropped, not re-emitted every round") {
+    // a null key can never leave the unresolved set (left_anti on NULL never
+    // matches), so before the fix such a probe re-emitted its top-k once per
+    // doubling round — assert exactly-once semantics and no null-key rows
+    val build = pts(0L until 20L, i => (i * 37L % 1000L).toDouble,
+      i => (i * 53L % 1000L).toDouble)
+    val probe = SpatialJoin.withGeoMeta(
+      Seq((Option(1L), Geom.toWkb(Geom.point(100, 100))),
+          (Option.empty[Long], Geom.toWkb(Geom.point(200, 200))),
+          (Option(2L), Geom.toWkb(Geom.point(900, 900))))
+        .toDF("id", "geom"), "geom")
+    val out = SpatialJoin.knnRing(build, probe, "geom", "geom", "id", "id",
+        k = 3, startRadius = 50.0, maxRadius = 100000.0)
+      .select(col("p_id"), col("b_id")).collect()
+    assert(out.forall(!_.isNullAt(0)), "null-key probes must be dropped")
+    assert(out.length == 6, s"exactly k rows per non-null probe, got ${out.length}")
+  }
 }

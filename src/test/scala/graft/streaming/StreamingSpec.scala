@@ -198,4 +198,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(alphas.toSeq == Seq(1L, 100L),
       s"state must evict after the TTL and re-admit the key: got ${alphas.toSeq}")
   }
+
+  test("firstSeenDedup fails loudly on a non-integral id column") {
+    import spark.implicits._
+    // cast("long") on a UUID/string id nulls EVERY row and the null-drop
+    // would silently emit an empty result — the schema check must throw
+    val docs = Seq(("uuid-1", "body", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("doc_id", "text", "ts")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDedup.firstSeenDedup(docs, "doc_id", "text", "ts", expireState = false)
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
+  }
 }
