@@ -26,9 +26,10 @@ import graft.functions.GeoFunctions._
  * partition cleanly. Hot cells (Stockholm: ~1000× denser per the north rule)
  * are handled by EXPLICIT salting: a cheap count-by-cell pre-pass finds cells
  * whose BUILD population exceeds `saltThreshold`; build rows in those cells
- * hash into ONE of `saltFactor` sub-keys (the measured-hot side is the one
- * that gets SPLIT) while probe rows replicate across all of them — so each
- * salted partition carries ~1/saltFactor of the hot build mass. (r3 review
+ * hash into ONE of ceil(count/threshold) sub-keys, capped at `saltFactor`
+ * (the measured-hot side is the one that gets SPLIT), while probe rows
+ * replicate across all of them — so each salted partition carries
+ * ≈ saltThreshold build rows up to the cap. (r3 review
  * fix: the earlier design replicated the build side instead, leaving the hot
  * cell's full build population in EVERY salted partition — the straggler the
  * histogram detected survived the mitigation.) The split hash covers every
@@ -43,7 +44,8 @@ object SpatialJoin {
     * @param cellSize   grid resolution; must be >= distance for 1-ring cover
     *                   (coverEnvelope handles larger radii with wider rings)
     * @param saltThreshold build-side rows per cell above which the cell is salted
-    * @param saltFactor    number of sub-keys for hot cells */
+    * @param saltFactor    CAP on the per-cell sub-key count (the factor itself
+    *                      adapts: ceil(count / threshold) per hot cell) */
   final case class DWithinSpec(
       distance: Double,
       cellSize: Double,
@@ -132,31 +134,37 @@ object SpatialJoin {
           s"saltFactor must be >= 1, got ${spec.saltFactor}") // 0 would null
         // the probe salt (pmod(_, 0)) and silently drop every hot-cell pair
         // explicit skew salting: histogram pre-pass over the build side; the
-        // measured-hot side SPLITS, the other side replicates (see scaladoc)
+        // measured-hot side SPLITS, the other side replicates (see scaladoc).
+        // The sub-key count is ADAPTIVE per cell — ceil(count / threshold)
+        // capped at saltFactor — so a salted partition carries ≈ threshold
+        // build rows (a fixed factor under-splits a 1000×-threshold cell and
+        // over-replicates the probe side in a barely-hot one).
         val hot = b.groupBy("cell").count()
           .filter(col("count") > spec.saltThreshold)
-          .select("cell")
+          .select(col("cell"),
+            least(ceil(col("count") / lit(spec.saltThreshold.toDouble)),
+              lit(spec.saltFactor.toLong)).cast("int").as("__factor"))
         // hash the split over every atomic build column (ids, coords, WKB)
         // so identical geometries with any differing column still spread
         val hashable = b.schema.fields.collect {
           case f if org.apache.spark.sql.GraftBridge.isAtomic(f.dataType) =>
             col(f.name)
         }.toSeq
-        b = b.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
+        b = b.join(broadcast(hot), Seq("cell"), "left")
           .withColumn("salt",
-            when(col("__hot").isNotNull,
-              pmod(xxhash64(hashable: _*), lit(spec.saltFactor.toLong)).cast("int"))
+            when(col("__factor").isNotNull,
+              pmod(xxhash64(hashable: _*), col("__factor").cast("long")).cast("int"))
               .otherwise(lit(0)))
-          .drop("__hot")
+          .drop("__factor")
         // broadcast the (small) hot-cell list back into both sides; a
         // generator can't sit inside when(), so hot rows get a salt ARRAY
         // (0..factor-1) and cold rows a single-element array, then explode.
-        p = p.join(broadcast(hot.withColumn("__hot", lit(true))), Seq("cell"), "left")
+        p = p.join(broadcast(hot), Seq("cell"), "left")
           .withColumn("__salts",
-            when(col("__hot").isNotNull, sequence(lit(0), lit(spec.saltFactor - 1)))
+            when(col("__factor").isNotNull, sequence(lit(0), col("__factor") - 1))
               .otherwise(array(lit(0))))
           .withColumn("salt", explode(col("__salts")))
-          .drop("__hot", "__salts")
+          .drop("__factor", "__salts")
         Seq("cell", "salt")
       }
 
