@@ -41,6 +41,38 @@ class SkewAndTilesSpec extends AnyFunSuite {
     assert(distinctSalts > 0)
   }
 
+  test("property: adaptive salting preserves the exact pair multiset on random mixes") {
+    // random hot/cold cell mixes with duplicate geometries and varying
+    // thresholds: the adaptive per-cell factor must never change the pairs
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 4) {
+      val n = 400 + rnd.nextInt(400)
+      val rows = (0 until n).map { i =>
+        // ~60% of rows crammed into one hot cell, incl. exact-duplicate
+        // geometries; the rest spread over a few cold cells
+        val hot = rnd.nextInt(10) < 6
+        val cx = if (hot) 660000.0 + (i % 7) * 10.0
+                 else 600000.0 + rnd.nextInt(20) * 1000.0
+        val cy = if (hot) 6570000.0 + (i % 5) * 10.0
+                 else 6500000.0 + rnd.nextInt(20) * 1000.0
+        (i.toLong, cx, cy)
+      }
+      val df = rows.toDF("id", "cx", "cy")
+        .withColumn("geom", graft.functions.GeoFunctions.stPoint(col("cx"), col("cy")))
+        .withColumn("is_point", lit(true))
+      val probe = df.withColumnRenamed("id", "pid")
+      val spec0 = DWithinSpec(80.0, 1000.0)
+      val threshold = 20L + rnd.nextInt(100)
+      val factor = 2 + rnd.nextInt(30)
+      val specS = DWithinSpec(80.0, 1000.0, saltThreshold = threshold, saltFactor = factor)
+      val a = SpatialJoin.dwithinCandidates(df, probe, "geom", "geom", spec0)
+        .select("b_id", "p_pid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = SpatialJoin.dwithinCandidates(df, probe, "geom", "geom", specS)
+        .select("b_id", "p_pid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"trial $trial (threshold=$threshold factor=$factor): pair multiset changed")
+    }
+  }
+
   test("saltFactor < 1 is rejected loudly (would silently drop hot-cell pairs)") {
     // pmod(hash, 0) yields NULL salts: every hot-cell pair would vanish from
     // an inner join on (cell, salt) with no error — must throw instead

@@ -59,6 +59,23 @@ class SpatialLayoutSpec extends AnyFunSuite {
         s"capped cover must contain exact range ($lo,$hi)")
   }
 
+  test("property: bboxFilter == plain bounds filter for random boxes and cell sizes") {
+    // the z-range cover may over-cover (harmless behind the exact bounds) but
+    // an under-cover loses rows — differential against the plain filter
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 12) {
+      val cs = Seq(128.0, 512.0, 1000.0, 4096.0)(rnd.nextInt(4))
+      val x0 = rnd.nextInt(90000).toDouble; val y0 = rnd.nextInt(90000).toDouble
+      val x1 = x0 + 1 + rnd.nextInt(30000); val y1 = y0 + 1 + rnd.nextInt(30000)
+      val df = SpatialLayout.withZOrder(pts(8000), "x", "y", cs)
+      val got = df.filter(SpatialLayout.bboxFilter(col("x"), col("y"), cs, x0, y0, x1, y1))
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = df.filter(col("x") >= x0 && col("x") <= x1 && col("y") >= y0 && col("y") <= y1)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"cover mismatch for cs=$cs bbox=($x0,$y0,$x1,$y1)")
+    }
+  }
+
   test("zOrderCol bit-matches Morton.interleave") {
     val rows = pts(500)
       .withColumn("zval", SpatialLayout.zOrderCol(col("x"), col("y"), cell))
