@@ -226,6 +226,33 @@ object QueriesSpatial {
         .select(col("a_id"), col("cx").as("x"), col("cy").as("y"), col("zval"))
     }),
 
+    // J1 via the BUCKETED-TABLE layout (SpatialLayout.writeBucketedPoints /
+    // bucketedDWithin): both sides persisted as Spark bucketed tables hashed
+    // on the grid cell — the join itself is planned with ZERO Exchange
+    // (asserted in BucketedJoinSpec; at 100 TB this moves the element-store
+    // shuffle to write time, once). d=3000 ≠ q_sp_dwithin's 5000, so the
+    // oracle checks a distinct result set through the bucketed path.
+    "q_sp_bucketed" -> ((s, dir) => {
+      val dist = 3000.0
+      val dirTmp = java.nio.file.Files.createTempDirectory("graft_bucket_gate").toString
+      val probe = ptsA(s, dir).select(col("a_id"), col("cx").as("ax"), col("cy").as("ay"))
+      val build = ptsB(s, dir).select(col("b_id"), col("cx").as("bx"), col("cy").as("by"))
+      graft.operators.SpatialLayout.writeBucketedPoints(
+        probe, "ax", "ay", cellSize = dist, radius = dist,
+        "q_sp_bucketed_a", s"$dirTmp/a", numBuckets = 16)
+      graft.operators.SpatialLayout.writeBucketedPoints(
+        build, "bx", "by", cellSize = dist, radius = 0.0,
+        "q_sp_bucketed_b", s"$dirTmp/b", numBuckets = 16)
+      val out = graft.operators.Materialize(
+        graft.operators.SpatialLayout.bucketedDWithin(
+            s, "q_sp_bucketed_a", "q_sp_bucketed_b", "ax", "ay", "bx", "by", dist)
+          .select(col("a_id"), col("b_id"), round(col("dist"), 3).as("dist")))
+      s.sql("DROP TABLE IF EXISTS q_sp_bucketed_a")
+      s.sql("DROP TABLE IF EXISTS q_sp_bucketed_b")
+      graft.engine.MatchStore.deleteRecursively(java.nio.file.Paths.get(dirTmp))
+      out
+    }),
+
     // J3: point-in-polygon against a broadcast polygon grid (winding-number
     // PiP over real WKB polygons on the Spark side; intervals in the oracle)
     "q_sp_pip" -> ((s, dir) => {
@@ -306,6 +333,11 @@ object QueriesSpatial {
          |SELECT a_id, b_id, ROUND($distExpr, 3) AS dist
          |FROM a, b
          |WHERE ABS(ax-bx) <= 5000 AND ABS(ay-byy) <= 5000 AND $distExpr <= 5000""".stripMargin,
+    "q_sp_bucketed" ->
+      s"""WITH $sqlPts
+         |SELECT a_id, b_id, ROUND($distExpr, 3) AS dist
+         |FROM a, b
+         |WHERE ABS(ax-bx) <= 3000 AND ABS(ay-byy) <= 3000 AND $distExpr <= 3000""".stripMargin,
     "q_sp_bestmatch" ->
       s"""WITH $sqlPts,
          |cand AS (SELECT a_id, b_id, $distExpr AS dist FROM a, b

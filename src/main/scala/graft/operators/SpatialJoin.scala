@@ -72,14 +72,14 @@ object SpatialJoin {
   // so mixed native/UDF covers land in identical cells.
   private val OFF = 1L << 30
 
-  private def cellCol(x: Column, y: Column, s: Double): Column =
+  private[operators] def cellCol(x: Column, y: Column, s: Double): Column =
     shiftleft(floor(x / s).cast("long") + OFF, 32)
       .bitwiseOR(floor(y / s).cast("long") + OFF)
 
   /** cells covering a point's radius-d envelope, valid for d <= cellSize:
     * the envelope (width 2d <= 2s) spans at most 3 cells per axis, so the
     * 3x3 sample grid {x-d, x, x+d} x {y-d, y, y+d} covers every one. */
-  private def pointCoverCol(cx: Column, cy: Column, d: Double, s: Double): Column =
+  private[operators] def pointCoverCol(cx: Column, cy: Column, d: Double, s: Double): Column =
     if (d == 0.0) array(cellCol(cx, cy, s))
     else {
       val xs = Seq(cx - d, cx, cx + d)

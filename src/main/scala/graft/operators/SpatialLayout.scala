@@ -109,4 +109,75 @@ object SpatialLayout {
                maxX: Double, maxY: Double): DataFrame =
     spark.read.parquet(path)
       .filter(bboxFilter(col(xCol), col(yCol), cellSize, minX, minY, maxX, maxY))
+
+  // ==========================================================================
+  // Bucketed-table layout: SHUFFLE-FREE co-located spatial joins.
+  //
+  // writeZOrdered solves the SCAN problem (file skipping); this solves the
+  // repeated-JOIN problem. At the 100 TB design point the persistent element
+  // store is joined against every incoming upstream batch, every sync — a
+  // cell equi-join that re-shuffles the multi-TB side each time. Writing both
+  // sides as Spark bucketed tables hashed on the SAME grid-cell key into the
+  // SAME bucket count moves that shuffle to write time, once: every later
+  // `JOIN ... USING (cell)` satisfies both children's required distribution
+  // from the bucket spec and Catalyst plans it with ZERO Exchange (asserted
+  // in BucketedJoinSpec). The probe side is stored PRE-EXPLODED over its
+  // radius-d cover cells (≤ 3×3 per point for d ≤ cellSize, the
+  // dwithinCandidates cover) and the build side owns exactly one cell per
+  // point row, so each true pair co-occurs in exactly one bucket — no dedup.
+  //
+  // One file per bucket: repartition(numBuckets, col("cell")) before the
+  // write uses the SAME Murmur3 hash as the bucket assignment, so every task
+  // holds exactly one bucket's rows — each bucket is a single sorted file and
+  // the sorted-bucket read path can elide the join sort as well.
+  // ==========================================================================
+
+  /** Grid cell id of a point (Grid.cellOf packing) as codegen'd arithmetic —
+    * shared with the spatial join so bucketed tables and ad-hoc covers key
+    * identically. */
+  def cellIdCol(x: Column, y: Column, cellSize: Double): Column =
+    SpatialJoin.cellCol(x, y, cellSize)
+
+  /**
+   * Write point rows as a bucketed table co-located on the grid cell.
+   * `radius = 0` stores one row per input row keyed by its own cell (build
+   * side); `radius > 0` (must be ≤ cellSize) pre-explodes each row over its
+   * radius-`radius` cover cells (probe side of a dwithin join).
+   * Column names must not already contain `cell`; the caller prefixes its
+   * columns (e.g. `p_` / `b_`) so the two tables stay join-compatible.
+   */
+  def writeBucketedPoints(df: DataFrame, xCol: String, yCol: String,
+                          cellSize: Double, radius: Double,
+                          tableName: String, path: String,
+                          numBuckets: Int = 32): Unit = {
+    require(radius >= 0 && radius <= cellSize,
+      s"radius must be in [0, cellSize], got $radius (cellSize $cellSize)")
+    require(!df.columns.contains("cell"), "input must not already have a 'cell' column")
+    val spark = df.sparkSession
+    val cover =
+      if (radius == 0.0) array(SpatialJoin.cellCol(col(xCol), col(yCol), cellSize))
+      else SpatialJoin.pointCoverCol(col(xCol), col(yCol), radius, cellSize)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.withColumn("cell", explode(cover))
+      .repartition(numBuckets, col("cell"))
+      .write.format("parquet").option("path", path)
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /**
+   * Exchange-free dwithin join over two tables written by
+   * `writeBucketedPoints` with the same cellSize/numBuckets (probe table
+   * written with `radius = distance`, build with 0): equi-join on the bucket
+   * key, exact-distance refinement in codegen. The bucket spec satisfies the
+   * join's required distribution on both sides — no shuffle at any scale.
+   */
+  def bucketedDWithin(spark: SparkSession, probeTable: String, buildTable: String,
+                      pX: String, pY: String, bX: String, bY: String,
+                      distance: Double): DataFrame =
+    spark.table(probeTable).join(spark.table(buildTable), Seq("cell"))
+      .withColumn("dist", graft.functions.GeoFunctions.pointDist(
+        col(bX), col(bY), col(pX), col(pY)))
+      .filter(col("dist") <= lit(distance))
+      .drop("cell")
 }
