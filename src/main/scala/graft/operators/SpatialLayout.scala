@@ -138,6 +138,16 @@ object SpatialLayout {
   def cellIdCol(x: Column, y: Column, cellSize: Double): Column =
     SpatialJoin.cellCol(x, y, cellSize)
 
+  /** Distinct cells covering a point's radius-`radius` envelope (the
+    * dwithin probe cover, radius ≤ cellSize); radius 0 = the point's own
+    * cell. Public so layout consumers (probes, ad-hoc joins) key exactly
+    * like the bucketed writer. */
+  def coverCells(x: Column, y: Column, radius: Double, cellSize: Double): Column = {
+    require(radius >= 0 && radius <= cellSize,
+      s"radius must be in [0, cellSize], got $radius (cellSize $cellSize)")
+    SpatialJoin.pointCoverCol(x, y, radius, cellSize)
+  }
+
   /**
    * Write point rows as a bucketed table co-located on the grid cell.
    * `radius = 0` stores one row per input row keyed by its own cell (build
@@ -154,9 +164,7 @@ object SpatialLayout {
       s"radius must be in [0, cellSize], got $radius (cellSize $cellSize)")
     require(!df.columns.contains("cell"), "input must not already have a 'cell' column")
     val spark = df.sparkSession
-    val cover =
-      if (radius == 0.0) array(SpatialJoin.cellCol(col(xCol), col(yCol), cellSize))
-      else SpatialJoin.pointCoverCol(col(xCol), col(yCol), radius, cellSize)
+    val cover = coverCells(col(xCol), col(yCol), radius, cellSize)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     df.withColumn("cell", explode(cover))
       .repartition(numBuckets, col("cell"))
