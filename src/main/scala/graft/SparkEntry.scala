@@ -147,6 +147,7 @@ object SparkEntry {
       QueriesTopo50Oracle.queries ++ QueriesEmbOracle.queries ++
       QueriesDedupOracle.queries ++
       QueriesRaster.queries ++ QueriesStore.queries ++
+      QueriesTemporal.queries ++
       pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,5 +159,5 @@ object SparkEntry {
       QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
       QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
       QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
-      QueriesRaster.oracle ++ QueriesStore.oracle
+      QueriesRaster.oracle ++ QueriesStore.oracle ++ QueriesTemporal.oracle
 }
