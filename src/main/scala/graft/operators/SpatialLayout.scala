@@ -188,4 +188,33 @@ object SpatialLayout {
         col(bX), col(bY), col(pX), col(pY)))
       .filter(col("dist") <= lit(distance))
       .drop("cell")
+
+  /**
+   * The per-sync shape: a fresh (un-bucketed) batch dwithin-joined against
+   * the persisted bucketed store. The batch side explodes over its
+   * radius-`distance` cover and shuffles into the store's bucket
+   * distribution — ONE Exchange sized O(batch); the store side reads
+   * straight from its buckets with zero Exchange, no matter how large it
+   * is. At 100 TB this is the difference between shuffling gigabytes
+   * (the batch) and terabytes (the store) per sync. BucketedJoinSpec
+   * asserts the single batch-side Exchange and differential exactness.
+   *
+   * `buildTable` must have been written by `writeBucketedPoints` with
+   * `radius = 0` and the same `cellSize`; `distance` ≤ `cellSize`.
+   */
+  def bucketedDWithinBatch(batch: DataFrame, buildTable: String,
+                           pX: String, pY: String, bX: String, bY: String,
+                           cellSize: Double, distance: Double): DataFrame = {
+    require(distance >= 0 && distance <= cellSize,
+      s"distance must be in [0, cellSize], got $distance (cellSize $cellSize)")
+    require(!batch.columns.contains("cell"), "batch must not already have a 'cell' column")
+    val spark = batch.sparkSession
+    val probe = batch.withColumn("cell",
+      explode(coverCells(col(pX), col(pY), distance, cellSize)))
+    probe.join(spark.table(buildTable), Seq("cell"))
+      .withColumn("dist", graft.functions.GeoFunctions.pointDist(
+        col(bX), col(bY), col(pX), col(pY)))
+      .filter(col("dist") <= lit(distance))
+      .drop("cell")
+  }
 }

@@ -49,6 +49,22 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** All Exchange nodes in the executed plan, descending INTO AQE query
+    * stages (ShuffleQueryStageExec / ResultQueryStageExec are leaves whose
+    * wrapped plan `collect` never visits — a naive collect undercounts). */
+  private def exchangeNodes(p: SparkPlan): Seq[String] = {
+    val self = p match {
+      case e: Exchange => Seq(e.nodeName)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq("ReusedExchange")
+      case _ => Nil
+    }
+    val below = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => exchangeNodes(q.plan)
+      case _ => p.children.flatMap(exchangeNodes)
+    }
+    self ++ below
+  }
+
   /** write both sides, run `body`, always drop tables + files */
   private def withBucketedTables[T](numBuckets: Int)(body: => T): T = {
     val dir = java.nio.file.Files.createTempDirectory("bucketed").toString
@@ -72,9 +88,9 @@ class BucketedJoinSpec extends AnyFunSuite {
       val joined = SpatialLayout.bucketedDWithin(
         spark, "bjs_probe", "bjs_build", "p_x", "p_y", "b_x", "b_y", d)
       val plan = executed(joined)
-      val exchanges = plan.collect { case e: Exchange => e }
+      val exchanges = exchangeNodes(plan)
       assert(exchanges.isEmpty,
-        s"bucketed join must not shuffle or broadcast, found: ${exchanges.map(_.nodeName)}")
+        s"bucketed join must not shuffle or broadcast, found: $exchanges")
       assert(joined.count() > 0, "fixture join must be non-trivial")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
@@ -105,6 +121,26 @@ class BucketedJoinSpec extends AnyFunSuite {
         assert(files > 0, s"$t: table must have data files")
       }
     }
+  }
+
+  test("batch-vs-store join shuffles ONLY the batch side (one Exchange) and is exact") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withBucketedTables(numBuckets = 8) {
+      val batch = probePts(500)
+      val joined = SpatialLayout.bucketedDWithinBatch(
+        batch, "bjs_build", "p_x", "p_y", "b_x", "b_y", cellSize = d, distance = d)
+      val plan = executed(joined)
+      val exchanges = exchangeNodes(plan)
+      assert(exchanges.size == 1,
+        s"expected exactly one Exchange (the batch side), found ${exchanges.size}: " +
+          exchanges.mkString(", "))
+      val got = joined.select("p_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      val want = batch.crossJoin(buildPts(1500))
+        .filter(sqrt(pow(col("p_x") - col("b_x"), 2) + pow(col("p_y") - col("b_y"), 2)) <= d)
+        .select("p_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(want.nonEmpty && got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("writeBucketedPoints rejects radius > cellSize and pre-existing cell column") {
