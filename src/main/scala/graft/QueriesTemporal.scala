@@ -54,6 +54,13 @@ object QueriesTemporal {
           sum(col("rs").cast("long")).as("sum_rs"))
     }),
 
+    // Spark's NATIVE session_window (streaming-capable; batch form here,
+    // stream==batch parity in StreamingSpec) — boundary rule is >= gap
+    // starts a new session, unlike q_tm_sessions' strict >
+    "q_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingIngest.sessionsAgg(
+        t(s, dir, "events"), "user_id", "ts", "30 minutes")),
+
     // gap sessionization (30 min) summarized per session
     "q_tm_sessions" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -85,6 +92,21 @@ object QueriesTemporal {
         |       CAST(SUM(CAST(rs AS BIGINT)) AS BIGINT) AS sum_rs
         |FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
         |GROUP BY lid""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_tm_sessions" ->
       """WITH d AS (
         |  SELECT user_id, ts, event_id, value,

@@ -76,6 +76,48 @@ object StreamingIngest {
       .select(col("w.start").as("hour"), col("tile_x"), col("tile_y"),
         col("px"), col("py"), col("density"))
 
+  /**
+   * Session-window aggregation over an event stream via Spark's native
+   * `session_window` (gap-merged event-time sessions; the state store
+   * merges overlapping [ts, ts+gap) windows, so per-key state is one open
+   * session, evicted once the watermark passes its close — O(active keys),
+   * not O(events)). Works identically on a BATCH frame (the driver-gate /
+   * oracle form) and on a stream (StreamingSpec asserts parity).
+   *
+   * Boundary semantics differ deliberately from `operators.Temporal
+   * .sessionize`: `session_window` starts a NEW session when the gap is
+   * ≥ `gap` (window end is exclusive), while sessionize's lag form keeps
+   * an exactly-at-gap event in the old session (strict >). Both are
+   * oracled, each under its own rule.
+   */
+  def sessionsAgg(events: DataFrame, keyCol: String, tsCol: String,
+                  gap: String, watermarkDelay: Option[String] = None): DataFrame = {
+    val ts = events.withColumn("__ts", col(tsCol).cast("timestamp"))
+    val marked = watermarkDelay.fold(ts)(d => ts.withWatermark("__ts", d))
+    marked
+      .groupBy(col(keyCol), session_window(col("__ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(20,6)")), 2).cast("double").as("sum_value"))
+      .select(col(keyCol),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** see `startEventsHourly` for the `outputMode` contract. */
+  def startSessions(spark: SparkSession, eventsDir: String, queryName: String,
+                    gap: String = "30 minutes",
+                    outputMode: String = "update"): StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    sessionsAgg(stream, "user_id", "ts", gap, watermarkDelay = Some("1 hour"))
+      .writeStream
+      .outputMode(outputMode)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** see `startEventsHourly` for the `outputMode` contract. */
   def startStreamingDensity(spark: SparkSession, eventsDir: String, queryName: String,
                             lonCol: org.apache.spark.sql.Column,

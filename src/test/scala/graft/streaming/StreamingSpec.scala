@@ -27,6 +27,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("session_window streaming aggregate matches the batch form per session") {
+    val evDir = java.nio.file.Files.createTempDirectory("events_sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(evDir, "events.parquet"))
+    // complete mode: finite AvailableNow replay into a memory sink — the
+    // final table is the full session set, directly comparable to batch
+    val q = StreamingIngest.startSessions(spark, evDir, "sess_stream",
+      outputMode = "complete")
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT * FROM sess_stream")
+    val batch = StreamingIngest.sessionsAgg(
+      spark.read.parquet(s"$evDir/events.parquet"), "user_id", "ts", "30 minutes")
+    assert(streamed.count() == batch.count(), "session counts differ")
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.user_id") === col("b.user_id") &&
+        col("s.session_start") === col("b.session_start"))
+    assert(joined.count() == batch.count(), "session starts differ")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+      col("s.session_end") =!= col("b.session_end")).count() == 0)
+  }
+
   test("streaming density raster matches the batch rasterization per (window, pixel)") {
     val evDir = java.nio.file.Files.createTempDirectory("events_d").toString
     java.nio.file.Files.copy(
