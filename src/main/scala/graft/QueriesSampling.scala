@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling/splitting gate (operators/Sampling.scala): the
+ * affine hash is exact 64-bit integer arithmetic, so DuckDB recomputes the
+ * SAME sample — a reproducible train/val/test split is exactly the property
+ * being oracled. Cut points are computed ONCE here and embedded into both
+ * the Spark call (internally identical formula) and the SQL literal, so an
+ * off-by-one at a boundary hash value would hash-mismatch.
+ */
+object QueriesSampling {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val P = graft.operators.Sampling.P
+  // the EXACT cut values withSplit/hashSample use (same fp computation)
+  private val Seq(cut80, cut90, cut100) =
+    graft.operators.Sampling.cutPoints(Seq(0.8, 0.1, 0.1))
+  private val cut25 = math.floor(0.25 * P).toLong
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // train/val/test split over documents; exact integer observables
+    "q_sample_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling
+        .withSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 42L)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Bernoulli(0.25) hash sample over events
+    "q_sample_rate" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(t(s, dir, "events"), "event_id", 0.25, salt = 3L)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))),
+
+    // deterministic 50-per-stratum sample of events by type
+    "q_sample_strat" -> ((s, dir) =>
+      graft.operators.Sampling
+        .stratifiedTopK(t(s, dir, "events"), Seq("event_type"), "event_id", k = 50, salt = 7L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))))
+
+  private def hsql(idExpr: String, salt: Long): String = {
+    val m = graft.operators.Sampling.mixedMultiplier(salt)
+    val b = graft.operators.Sampling.B + java.lang.Math.floorMod(salt, P)
+    s"(($idExpr % $P) * $m + $b) % $P"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_split" ->
+      s"""WITH h AS (SELECT doc_id, n_chars, ${hsql("doc_id", 42L)} AS u FROM documents)
+         |SELECT CASE WHEN u < $cut80 THEN 'train'
+         |            WHEN u < $cut90 THEN 'val'
+         |            WHEN u < $cut100 THEN 'test' ELSE 'rest' END AS split,
+         |       COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM h GROUP BY 1""".stripMargin,
+    "q_sample_rate" ->
+      s"""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+         |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         |FROM events WHERE ${hsql("event_id", 3L)} < $cut25""".stripMargin,
+    "q_sample_strat" ->
+      s"""WITH r AS (SELECT event_type, event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY ${hsql("event_id", 7L)}, event_id) AS rn
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+         |FROM r WHERE rn <= 50 GROUP BY event_type""".stripMargin)
+}

@@ -147,7 +147,7 @@ object SparkEntry {
       QueriesTopo50Oracle.queries ++ QueriesEmbOracle.queries ++
       QueriesDedupOracle.queries ++
       QueriesRaster.queries ++ QueriesStore.queries ++
-      QueriesTemporal.queries ++
+      QueriesTemporal.queries ++ QueriesSampling.queries ++
       pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +159,6 @@ object SparkEntry {
       QueriesAtervinningOracle.oracle ++ QueriesGavleOracle.oracle ++
       QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
       QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
-      QueriesRaster.oracle ++ QueriesStore.oracle ++ QueriesTemporal.oracle
+      QueriesRaster.oracle ++ QueriesStore.oracle ++ QueriesTemporal.oracle ++
+      QueriesSampling.oracle
 }

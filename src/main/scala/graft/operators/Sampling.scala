@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, reproducible sampling and dataset splitting for training
+ * pipelines (builder brief "operations a large-scale training-data pipeline
+ * would need"): every decision is a pure function of (id, salt) — no RNG
+ * state, no partition-order dependence — so a split is stable across
+ * re-runs, cluster sizes, AND engines (the affine hash is exact 64-bit
+ * integer arithmetic, recomputable verbatim in the DuckDB oracle).
+ *
+ * The hash: u(id) = ((id mod P) * A + B + salt) mod P, uniform over [0, P)
+ * with P = 2^31 - 1 (prime); (P-1) * A stays well under 2^63 so the
+ * product never overflows a BIGINT in either engine. Selection compares
+ * u(id) < rate * P — one codegen'd comparison per row, no shuffle at all
+ * for `hashSample`/`withSplit` (pure filters/projections: they compose
+ * with any scan and push down past nothing because they ARE map-side).
+ */
+object Sampling {
+
+  val P: Long = 2147483647L           // 2^31 - 1 (prime)
+  private val A: Long = 1103515245L
+  val B: Long = 12345L
+
+  /** Salt-dependent multiplier in [1, P-1]. The salt must change the
+    * PERMUTATION, not just shift it: an additive salt moves every hash by
+    * the same offset, so two salts give near-identical samples (membership
+    * flips only at boundary hash values — caught by SamplingSpec). All
+    * intermediate products stay under 2^63 (salt reduced mod P first). */
+  def mixedMultiplier(salt: Long): Long = {
+    val sm = java.lang.Math.floorMod(salt, P)
+    java.lang.Math.floorMod(A + sm * 2654435761L, P - 1) + 1
+  }
+
+  /** The uniform hash in [0, P) as a column (exact integer arithmetic —
+    * (P-1) * m < 2^62, so no 64-bit overflow in any engine). */
+  def uniformHash(id: Column, salt: Long): Column =
+    pmod(pmod(id, lit(P)) * mixedMultiplier(salt) + B + java.lang.Math.floorMod(salt, P), lit(P))
+
+  /**
+   * Assign each row to a named split with the given weights (sum <= 1.0;
+   * any remainder falls into `restLabel`). Cut points are computed in
+   * integer space (floor(cumWeight * P)) so the boundary is exact and
+   * engine-independent. Map-side only — no shuffle, stable under
+   * repartitioning and incremental appends (a new row's split never
+   * depends on other rows).
+   */
+  def withSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)], salt: Long = 0L,
+                splitCol: String = "split", restLabel: String = "rest"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be non-negative")
+    val total = weights.map(_._2).sum
+    require(total <= 1.0 + 1e-12, s"weights must sum to <= 1, got $total")
+    require(!df.columns.contains(splitCol), s"input already has a $splitCol column")
+    val cuts = cutPoints(weights.map(_._2))
+    val h = uniformHash(col(idCol), salt)
+    val expr = weights.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), cut)) =>
+        Some(acc.fold(when(h < cut, label))(_.when(h < cut, label)))
+    }.get.otherwise(restLabel)
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Integer cut points for cumulative weights — public so oracles embed
+    * the EXACT same values (the cumulative double sum is not associative;
+    * recomputing it differently can move a boundary by one hash value). */
+  def cutPoints(weights: Seq[Double]): Seq[Long] =
+    weights.scanLeft(0.0)(_ + _).tail.map(w => math.floor(w * P).toLong)
+
+  /** Keep each row iff u(id) < rate * P — deterministic Bernoulli(rate)
+    * sampling, reproducible with the same salt, disjoint across disjoint
+    * [lo, hi) hash bands if callers partition the rate space manually. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double, salt: Long = 0L): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(uniformHash(col(idCol), salt) < math.floor(rate * P).toLong)
+  }
+
+  /**
+   * Deterministic k-per-group subsample: rank rows inside each group by
+   * (hash, id) and keep the first k — an unbiased fixed-size sample that is
+   * identical on every run and engine. One shuffle on the group key; the
+   * running rank window keeps O(1) state. For heavily skewed groups at the
+   * 10^12 design point, pre-filter with `hashSample` at ~k/E[group size]
+   * to cap the sorted volume, then take exact k from the survivors.
+   */
+  def stratifiedTopK(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     k: Int, salt: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(uniformHash(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

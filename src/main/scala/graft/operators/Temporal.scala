@@ -58,8 +58,12 @@ object Temporal {
     require(!left.columns.contains(TS) && !right.columns.contains(TS),
       s"reserved column name $TS in input")
     val rValueCols = right.columns.filterNot(keyCols.contains).toSeq
-    require(rValueCols.contains(tsCol) || keyCols.contains(tsCol),
+    require(rValueCols.contains(tsCol),
       s"right side lacks ts column $tsCol")
+    val clashes = left.columns.toSet
+      .intersect(rValueCols.map(rightPrefix + _).toSet)
+    require(clashes.isEmpty,
+      s"left columns collide with prefixed right outputs: ${clashes.mkString(", ")}")
 
     // one right row per (keys, ts): keep the max tieCol — a deterministic
     // rule both engines (and the DuckDB oracle) can reproduce
@@ -122,6 +126,9 @@ object Temporal {
                 lStart: String, lEnd: String, rStart: String, rEnd: String,
                 binWidth: Double, maxBinsPerRow: Int = 1024): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin requires disjoint column names, shared: ${shared.mkString(", ")}")
     def binned(df: DataFrame, s: String, e: String): DataFrame = {
       val b0 = floor(col(s) / binWidth).cast("long")
       val b1 = floor(col(e) / binWidth).cast("long")
@@ -154,6 +161,9 @@ object Temporal {
    */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Double, tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(!events.columns.contains("session_id"),
+      "input already has a session_id column")
     val order = (col(tsCol).asc +: tieCols.map(col(_).asc))
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

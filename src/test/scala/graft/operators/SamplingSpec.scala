@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SparkTestBase
+
+/** Deterministic sampling/splitting: proportions, reproducibility,
+  * partition-order independence, the monotone-rate subset property, and
+  * exact per-group sizes for the stratified sampler. */
+class SamplingSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ids(n: Long) = spark.range(n).select(col("id"))
+
+  test("withSplit proportions track the weights and are reproducible") {
+    val df = ids(100000)
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = Sampling.withSplit(df, "id", w, salt = 42L)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 80000.0) / 80000.0 < 0.01)
+    assert(math.abs(counts("val") - 10000.0) / 10000.0 < 0.05)
+    assert(math.abs(counts("test") - 10000.0) / 10000.0 < 0.05)
+    // identical on a re-run and under a different physical partitioning
+    val again = Sampling.withSplit(df.repartition(13), "id", w, salt = 42L)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("withSplit remainder falls into the rest label; full split has none") {
+    val df = ids(20000)
+    val counts = Sampling.withSplit(df, "id", Seq("a" -> 0.5), salt = 1L)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("a", "rest"))
+    assert(math.abs(counts("a") - 10000.0) / 10000.0 < 0.03)
+  }
+
+  test("hashSample: rate respected, salt changes the sample, rates nest") {
+    val df = ids(50000)
+    val s20 = Sampling.hashSample(df, "id", 0.2, salt = 5L).as[Long].collect().toSet
+    val s10 = Sampling.hashSample(df, "id", 0.1, salt = 5L).as[Long].collect().toSet
+    val other = Sampling.hashSample(df, "id", 0.2, salt = 6L).as[Long].collect().toSet
+    assert(math.abs(s20.size - 10000.0) / 10000.0 < 0.03)
+    assert(s10.subsetOf(s20), "lower rate must be a subset of higher at the same salt")
+    assert(other != s20, "different salt must select a different sample")
+  }
+
+  test("stratifiedTopK: exactly min(k, group size) per group, deterministic") {
+    val df = (0 until 1000).map(i => (s"g${i % 7}", i.toLong)).toDF("g", "id")
+      .union(Seq(("tiny", 100000L)).toDF("g", "id"))
+    val got = Sampling.stratifiedTopK(df, Seq("g"), "id", k = 30, salt = 9L)
+    val sizes = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert((0 until 7).forall(i => sizes(s"g$i") == 30))
+    assert(sizes("tiny") == 1)
+    val again = Sampling.stratifiedTopK(df.repartition(17), Seq("g"), "id", k = 30, salt = 9L)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(again == got.select("g", "id").as[(String, Long)].collect().toSet)
+  }
+
+  test("guards: bad weights, rates, k") {
+    val df = ids(10)
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(df, "id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] { Sampling.hashSample(df, "id", 1.5) }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedTopK(df, Seq("id"), "id", k = 0)
+    }
+  }
+}
