@@ -48,6 +48,10 @@ object Temporal {
    * `tolerance`: optional predicate on (leftTs, matchedRightTs) — e.g.
    * `(l, r) => unix_micros(l) - unix_micros(r) <= lit(3600L * 1000000L)`;
    * a match outside it is nulled (the row stays, outer-style).
+   *
+   * NULL semantics follow SQL joins: right rows with a null key or null ts
+   * can never match and are dropped; left rows with null key/ts survive
+   * unmatched (a null-ts left row sorts before every right row of its key).
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, tieCol: String,
@@ -65,11 +69,18 @@ object Temporal {
     require(clashes.isEmpty,
       s"left columns collide with prefixed right outputs: ${clashes.mkString(", ")}")
 
+    // SQL join semantics: a NULL never equals anything and a NULL ts is
+    // never "at or before" — but a window PARTITIONs null keys together
+    // and sorts null ts FIRST (where a null-ts right row would become the
+    // match for every left row of its key). Dropping right rows with any
+    // null key/ts restores join semantics exactly: a null-key left row
+    // then partitions alone (no right rows) and stays unmatched.
+    val rClean = (keyCols :+ tsCol).foldLeft(right)((df, c) => df.filter(col(c).isNotNull))
     // one right row per (keys, ts): keep the max tieCol — a deterministic
     // rule both engines (and the DuckDB oracle) can reproduce
     val rw = Window.partitionBy((keyCols :+ tsCol).map(col): _*)
       .orderBy(col(tieCol).desc)
-    val rDedup = right
+    val rDedup = rClean
       .withColumn("__rn", row_number().over(rw)).filter(col("__rn") === 1)
       .drop("__rn")
 
@@ -120,7 +131,9 @@ object Temporal {
    * distinct/dedup shuffle), then the exact predicate refines. Pick
    * `binWidth` near the median interval length; a row covering more than
    * `maxBinsPerRow` bins fails loudly instead of silently exploding the
-   * build side (same contract as SpatialJoin's cover bound).
+   * build side (same contract as SpatialJoin's cover bound). NULL interval
+   * bounds also fail loudly (the validity predicate is not TRUE for them)
+   * — an interval table with nulls must be cleaned explicitly first.
    */
   def rangeJoin(left: DataFrame, right: DataFrame,
                 lStart: String, lEnd: String, rStart: String, rEnd: String,
@@ -157,13 +170,16 @@ object Temporal {
    * are running (lag(1) and a running sum), so state per key is O(1).
    * `tieCols` break equal-timestamp order deterministically (ts collisions
    * otherwise make the lag — and thus session boundaries near the gap —
-   * partition-order-dependent).
+   * partition-order-dependent). Rows with a NULL ts are dropped (they sort
+   * first and would poison the following row's gap computation with a
+   * null comparison); null keys group into their own session stream.
    */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Double, tieCols: Seq[String] = Nil): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     require(!events.columns.contains("session_id"),
       "input already has a session_id column")
+    val clean = events.filter(col(tsCol).isNotNull)
     val order = (col(tsCol).asc +: tieCols.map(col(_).asc))
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -173,7 +189,7 @@ object Temporal {
     val gap = make_dt_interval(
       lit(0), lit(0), lit(0), lit(gapSeconds).cast("decimal(18,6)"))
     val newSession = prev.isNull || (col(tsCol) - prev) > gap
-    events
+    clean
       .withColumn("__ns", newSession.cast("long"))
       .withColumn("session_id", sum(col("__ns")).over(run))
       .drop("__ns")

@@ -64,6 +64,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.exists(_._4.isEmpty) && got.exists(_._4.nonEmpty))
   }
 
+  test("asofJoin NULL semantics match SQL joins: null right key/ts never matches") {
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "nullkey"),
+        (Some(1L), None, "nullts"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((Some(1L), Some(5L), 1L, 1.0),   // valid: matches "a"
+        (None, Some(1L), 2L, 2.0),               // null key: must never match
+        (Some(1L), None, 3L, 3.0))               // null ts: must never match
+      .toDF("k", "ts", "rid", "px")
+    val got = Temporal.asofJoin(l, r, Seq("k"), "ts", tieCol = "rid")
+      .collect().map(row => (row.getString(2),
+        if (row.isNullAt(4)) None else Some(row.getLong(4)))).toMap
+    assert(got == Map("a" -> Some(1L), "nullkey" -> None, "nullts" -> None))
+  }
+
   test("asofJoin plans as window, not a join (no cartesian/BNL, bounded exchanges)") {
     val l = asofLeft.toDF("k", "ts", "tag")
     val r = asofRight.toDF("k", "ts", "rid", "px")
@@ -133,6 +147,16 @@ class TemporalSpec extends AnyFunSuite {
         (u, t * 1000000L, i.toLong) // micros
       }
     }
+  }
+
+  test("sessionize drops null-ts rows instead of corrupting neighbors' gaps") {
+    val df = Seq((1L, Some(1000L), 1L), (1L, None, 2L), (1L, Some(2000L), 3L))
+      .toDF("user_id", "ts_us", "eid")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val got = Temporal.sessionize(df, "user_id", "ts", gapSeconds = 1.0,
+        tieCols = Seq("eid"))
+      .select("eid", "session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L)) // 1 ms apart: same session, null row gone
   }
 
   test("sessionize == brute force incl. the exact-gap boundary") {
