@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, WebText}
 
 /**
  * Training-data pipeline operators (dedup / similarity / text analysis /
@@ -25,7 +25,35 @@ object QueriesText {
       .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** corpus with deterministic PII appendices (emails on %7, dotted quads on
+    * %11, +-format phones on %13) — reproduced verbatim in the oracle so the
+    * redaction counts are non-trivial and multi-kind docs exist (%77 etc). */
+  private def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(""),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(250L)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(200L)).cast("string"),
+          lit(" port"))).otherwise(""),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        lit(" call +46 70 123 4567 today")).otherwise("")).as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_repetition" -> ((s, dir) =>
+      WebText.withRepetitionStats(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "n_words", "dup_word_frac", "top2_ratio", "dup3_frac")),
+
+    "q_txt_pii" -> ((s, dir) =>
+      WebText.withPiiRedacted(piiCorpus(s, dir), "text")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")),
+
+    "q_dedup_contam" -> ((s, dir) =>
+      WebText.contamination(dupCorpus(s, dir),
+        docs(s, dir).filter(pmod(col("doc_id"), lit(17L)) === 0),
+        "doc_id", "text", n = 8)),
+
     "q_txt_tokens" -> ((s, dir) =>
       TextAnalysis.withTokenStats(docs(s, dir), "text")
         .select("doc_id", "n_tokens", "uniq_tokens", "ttr")),
@@ -145,6 +173,62 @@ object QueriesText {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_txt_repetition" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-1)) AS i) t),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-2)) AS i) t),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        |a3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+        |       SUM(c) AS tot FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(LEN(ws) AS BIGINT) AS n_words,
+        | ROUND(CAST(LEN(ws) - LEN(LIST_DISTINCT(ws)) AS DOUBLE) / LEN(ws), 4) AS dup_word_frac,
+        | COALESCE(ROUND(CAST(a2.mx AS DOUBLE) / a2.tot, 4), 0.0) AS top2_ratio,
+        | COALESCE(ROUND(CAST(a3.dup AS DOUBLE) / a3.tot, 4), 0.0) AS dup3_frac
+        |FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)""".stripMargin,
+    // the SAME RE2-subset pattern strings as WebText.{Email,Ipv4,Phone}Pattern
+    // (DuckDB strings keep backslashes raw); passes chained email -> ip ->
+    // phone exactly as withPiiRedacted chains them
+    "q_txt_pii" ->
+      """WITH c AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@example.com now' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+        |          || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' port' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN ' call +46 70 123 4567 today' ELSE '' END AS text
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  REGEXP_REPLACE(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+        |  FROM c),
+        |i AS (SELECT doc_id, n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  REGEXP_REPLACE(t, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t
+        |  FROM e)
+        |SELECT doc_id, n_emails, n_ips,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,4}')) AS BIGINT) AS n_phones,
+        |  REGEXP_REPLACE(t, '\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,4}', '<PHONE>', 'g') AS redacted
+        |FROM i""".stripMargin,
+    "q_dedup_contam" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+        |cw AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM corpus
+        |       WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+        |csh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+        |        ||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+        |        FROM cw, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-7)) AS i) t),
+        |bw AS (SELECT STRING_SPLIT(text, ' ') AS ws FROM bench
+        |       WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+        |bsh AS (SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+        |        ||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+        |        FROM bw, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-7)) AS i) t)
+        |SELECT csh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM csh JOIN bsh USING (s) GROUP BY csh.doc_id""".stripMargin,
     // the SAME RE2-subset pattern string as TextAnalysis.BpePattern (leading
     // apostrophe doubled for the SQL literal; DuckDB strings keep backslashes
     // raw, so \p{L} / \t reach RE2 verbatim)

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-text curation filters a training-data pipeline runs between crawl and
+ * tokenizer: Gopher/C4-style repetition statistics, PII redaction, and
+ * benchmark decontamination. All three are oracle-checkable (pure string /
+ * count arithmetic another SQL engine reproduces bit-for-bit) and designed
+ * for the 10^12-document scan:
+ *
+ *  - repetition stats are explode + two map-side-combinable aggregations
+ *    keyed by (doc, gram) then doc — no self-joins, no windows;
+ *  - PII redaction is three sequential regexp passes in one projection
+ *    (WholeStageCodegen, zero shuffles);
+ *  - decontamination broadcasts the benchmark shingle set (benchmarks are
+ *    ~10^4-10^6 docs; the corpus side is a linear map-side join and never
+ *    shuffles its full width — only the matched (doc, shingle) slivers reach
+ *    the per-doc count).
+ */
+object WebText {
+
+  /** all word n-gram occurrences (NOT distinct — counts matter here).
+    * Output: (id, gram). Docs with fewer than n words contribute nothing. */
+  private def gramOccurrences(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame =
+    docs
+      .withColumn("__ws", split(col(textCol), " "))
+      .filter(size(col("__ws")) >= n)
+      .select(col(idCol).as("id"),
+        explode(transform(
+          sequence(lit(1), size(col("__ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("__ws"), i + k)): _*)))
+          .as("gram"))
+
+  /**
+   * Gopher-style repetition statistics (Rae et al. 2021 §A1.1 shape, word
+   * n-grams): per document
+   *
+   *  - `n_words`, `dup_word_frac` — (n_words − distinct words) / n_words;
+   *  - `top2_ratio` — occurrences of the most frequent 2-gram over all
+   *    2-gram occurrences ("fraction covered by the top n-gram" family);
+   *  - `dup3_frac` — fraction of 3-gram occurrences whose gram occurs more
+   *    than once in the doc ("fraction inside duplicated n-grams" family).
+   *
+   * Docs with fewer than 2 (resp. 3) words get ratio 0.0. The gram legs
+   * aggregate by (doc, gram) then by doc — both hash aggregations with
+   * map-side partial combine, so the exploded row count (n_words per doc)
+   * never crosses the shuffle at full width; a per-row higher-order-function
+   * form would avoid the explode but runs interpreted (see the charPoly
+   * lesson in [[Dedup.PortableHash]]) and has no SQL-oracle twin.
+   */
+  def withRepetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g2 = gramOccurrences(docs, idCol, textCol, 2)
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("__top2"), sum(col("c")).as("__tot2"))
+    val g3 = gramOccurrences(docs, idCol, textCol, 3)
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("__dup3"),
+        sum(col("c")).as("__tot3"))
+    val ws = split(col(textCol), " ")
+    docs
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("dup_word_frac",
+        round((col("n_words") - size(array_distinct(ws))).cast("double") / col("n_words"), 4))
+      .join(g2, col(idCol) === g2("id"), "left").drop(g2("id"))
+      .join(g3, col(idCol) === g3("id"), "left").drop(g3("id"))
+      .withColumn("top2_ratio",
+        coalesce(round(col("__top2").cast("double") / col("__tot2"), 4), lit(0.0)))
+      .withColumn("dup3_frac",
+        coalesce(round(col("__dup3").cast("double") / col("__tot3"), 4), lit(0.0)))
+      .drop("__top2", "__tot2", "__dup3", "__tot3")
+  }
+
+  /** RE2-compatible subset (no \d, \b, or lookarounds), so the SAME pattern
+    * strings run identically under Spark's Java regex and a DuckDB/RE2
+    * oracle — the q_txt_bpe precedent. The IP pattern deliberately skips
+    * word-boundary anchoring (\b differs subtly between engines); a longer
+    * digit run around a dotted quad would also be redacted, which is the
+    * safe direction for PII. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  /** international-format phones only (leading +): unanchored local formats
+    * collide with ordinary numbers; greedy run matching is leftmost-first in
+    * both engines. */
+  val PhonePattern = "\\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,4}"
+
+  /**
+   * PII redaction: count and replace emails, then IPv4s, then phones — in
+   * that order, each pass over the previous pass's output, so a digit-bearing
+   * email domain is consumed as EMAIL before the IP pass sees it and the
+   * counts are consistent with what the redacted text lost. Pure
+   * regexp_extract_all/regexp_replace projection: zero shuffles, stays in
+   * WholeStageCodegen across the 10^12-row scan.
+   */
+  def withPiiRedacted(docs: DataFrame, textCol: String): DataFrame = {
+    def pass(df: DataFrame, in: String, out: String, pat: String,
+             cnt: String, token: String): DataFrame =
+      df.withColumn(cnt, size(regexp_extract_all(col(in), lit(pat), lit(0))).cast("long"))
+        .withColumn(out, regexp_replace(col(in), pat, token))
+    val p1 = pass(docs, textCol, "__t1", EmailPattern, "n_emails", "<EMAIL>")
+    val p2 = pass(p1, "__t1", "__t2", Ipv4Pattern, "n_ips", "<IP>")
+    pass(p2, "__t2", "redacted", PhonePattern, "n_phones", "<PHONE>")
+      .drop("__t1", "__t2")
+  }
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least
+   * `minOverlap` distinct word n-grams with a benchmark/eval set (the
+   * GPT-3-style 13-gram check; default 8 fits short web snippets). The
+   * benchmark shingle set is explicitly broadcast — eval suites are tiny
+   * next to the corpus — so the corpus scan is one map-side inner join plus
+   * a per-doc count: no corpus shuffle at any scale. Output:
+   * (doc_id, n_overlap) for contaminated docs only; anti-join the result to
+   * keep the clean corpus.
+   */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 8, minOverlap: Long = 1L): DataFrame = {
+    require(n >= 1 && minOverlap >= 1, s"need n >= 1, minOverlap >= 1 (got $n, $minOverlap)")
+    val bsh = broadcast(
+      Dedup.shingles(benchmark, idCol, textCol, n).select("shingle").distinct())
+    Dedup.shingles(corpus, idCol, textCol, n)
+      .join(bsh, "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"), col("n_overlap"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SparkTestBase
+
+/** Web-text curation filters: Gopher-style repetition stats vs a Scala brute
+  * force, PII pass ordering/counting, and benchmark decontamination (copies
+  * found, clean docs untouched, broadcast plan). */
+class WebTextSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val corpus: Seq[(Long, String)] = {
+    val r = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    (0L until 50L).map { i =>
+      (i, (0 until (10 + r.nextInt(40))).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  private def brute(text: String): (Long, Double, Double, Double) = {
+    val ws = text.split(" ", -1)
+    def grams(n: Int) = ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g2 = grams(2); val g3 = grams(3)
+    val top2 = if (g2.isEmpty) 0.0
+      else r4(g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size)
+    val dup3 = if (g3.isEmpty) 0.0
+      else r4(g3.groupBy(identity).values.filter(_.size > 1).map(_.size).sum.toDouble / g3.size)
+    (ws.length.toLong, r4((ws.length - ws.distinct.length).toDouble / ws.length), top2, dup3)
+  }
+
+  test("withRepetitionStats == brute force incl. a pathological repeat doc") {
+    val docs = (corpus :+ (999L, "spam spam spam spam ham") :+ (998L, "one")).toDF("doc_id", "text")
+    val got = WebText.withRepetitionStats(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top2_ratio", "dup3_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val all = corpus :+ (999L, "spam spam spam spam ham") :+ (998L, "one")
+    all.foreach { case (id, t) => assert(got(id) == brute(t), s"doc $id: '$t'") }
+    // hand doc: top 2-gram 'spam spam' x3 of 4; 3-gram 'spam spam spam' x2 of 3
+    assert(got(999L) == ((5L, 0.6, 0.75, 0.6667)))
+    assert(got(998L) == ((1L, 0.0, 0.0, 0.0))) // sub-n doc: ratios 0, no null
+  }
+
+  test("withPiiRedacted counts and redacts in email -> ip -> phone order") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@sub.example.org thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +46 70 123 4567 or +1 555 0100"),
+      (4L, "admin@10.0.0.1.example.com hides the quad"), // email eats the IP
+      (5L, "plain text no pii")).toDF("doc_id", "text")
+    val got = WebText.withPiiRedacted(docs, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, "mail me at <EMAIL> thanks")))
+    assert(got(2L) == ((0L, 2L, 0L, "server <IP> and <IP> up")))
+    assert(got(3L) == ((0L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    assert(got(4L) == ((1L, 0L, 0L, "<EMAIL> hides the quad")))
+    assert(got(5L) == ((0L, 0L, 0L, "plain text no pii")))
+  }
+
+  test("contamination finds exact and partial benchmark overlap, skips clean docs") {
+    // doc 0's text is the benchmark; doc 100 copies it, doc 101 embeds its
+    // first 10 words mid-doc, doc 102 is clean
+    val bench = Seq((0L, corpus.head._2)).toDF("doc_id", "text")
+    val head10 = corpus.head._2.split(" ").take(10).mkString(" ")
+    val docs = (corpus.tail
+      :+ (100L, corpus.head._2)
+      :+ (101L, s"pad words before $head10 and after padding")
+      :+ (102L, "entirely fresh words only here")).toDF("doc_id", "text")
+    val got = WebText.contamination(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected100 = corpus.head._2.split(" ").sliding(8).map(_.mkString(" ")).toSeq.distinct.size.toLong
+    assert(got.get(100L).contains(expected100))
+    assert(got.contains(101L) && got(101L) == 3L) // 10 words -> 3 distinct 8-grams
+    assert(!got.contains(102L))
+    // random 40-word-vocab docs shouldn't share 8-grams by chance
+    assert(got.keySet.forall(k => k == 100L || k == 101L))
+  }
+
+  test("contamination respects minOverlap and broadcasts the benchmark side") {
+    val bench = Seq((0L, corpus.head._2)).toDF("doc_id", "text")
+    val head10 = corpus.head._2.split(" ").take(10).mkString(" ")
+    val docs = (corpus.tail :+ (101L, s"x y $head10 z")).toDF("doc_id", "text")
+    val strict = WebText.contamination(docs, bench, "doc_id", "text", n = 8, minOverlap = 4L)
+    assert(strict.collect().isEmpty) // 101 has only 3 shared 8-grams
+    val plan = WebText.contamination(docs, bench, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+}
