@@ -54,6 +54,16 @@ object QueriesText {
         docs(s, dir).filter(pmod(col("doc_id"), lit(17L)) === 0),
         "doc_id", "text", n = 8)),
 
+    "q_txt_tfidf" -> ((s, dir) =>
+      WebText.tfidfTopTerms(docs(s, dir).select("doc_id", "text"), "doc_id", "text", k = 5)
+        .withColumn("rnk", col("rnk").cast("long"))),
+
+    "q_txt_composition" -> ((s, dir) =>
+      WebText.composition(docs(s, dir), Seq("lang", "source"), "text")),
+
+    "q_txt_quantiles" -> ((s, dir) =>
+      WebText.valueQuantiles(docs(s, dir), "lang", "n_chars", Seq(10, 50, 90))),
+
     "q_txt_tokens" -> ((s, dir) =>
       TextAnalysis.withTokenStats(docs(s, dir), "text")
         .select("doc_id", "n_tokens", "uniq_tokens", "ttr")),
@@ -212,6 +222,41 @@ object QueriesText {
         |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,4}')) AS BIGINT) AS n_phones,
         |  REGEXP_REPLACE(t, '\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,4}', '<PHONE>', 'g') AS redacted
         |FROM i""".stripMargin,
+    // rank order is integer-only (tf_count DESC, df ASC, word ASC) and the
+    // weight is the raw rational tf*N/(len*df) — see WebText.tfidfTopTerms
+    "q_txt_tfidf" ->
+      """WITH toks AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS len,
+        |       UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, len, word, COUNT(*) AS tf_count
+        |       FROM toks GROUP BY doc_id, len, word),
+        |dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, word, tf_count, df,
+        |      ROUND(CAST(tf_count AS DOUBLE) * n_docs / (len * df), 6) AS tfidf,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY tf_count DESC, df ASC, word ASC) AS rnk
+        |      FROM tf JOIN dfq USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, CAST(tf_count AS BIGINT) AS tf_count,
+        |  CAST(df AS BIGINT) AS df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM s WHERE rnk <= 5""".stripMargin,
+    "q_txt_composition" ->
+      """SELECT lang, source,
+        |  CAST(2*GROUPING(lang) + GROUPING(source) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_words,
+        |  ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 4) AS avg_words
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q_txt_quantiles" ->
+      """WITH h AS (SELECT lang AS grp, n_chars AS v, COUNT(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT grp, v, c, SUM(c) OVER (PARTITION BY grp ORDER BY v
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |tot AS (SELECT grp, SUM(c) AS n FROM h GROUP BY grp),
+        |rk AS (SELECT grp, n, p, CAST(FLOOR((p * n + 99) / 100.0) AS BIGINT) AS rnk
+        |       FROM tot, (SELECT UNNEST([10, 50, 90]) AS p) q)
+        |SELECT cum.grp AS lang, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
+        |  v AS q_value
+        |FROM cum JOIN rk USING (grp) WHERE cum >= rnk AND cum - c < rnk""".stripMargin,
     "q_dedup_contam" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -129,4 +129,83 @@ object WebText {
       .filter(col("n_overlap") >= minOverlap)
       .select(col("doc_id"), col("n_overlap"))
   }
+
+  /**
+   * Top-k TF-IDF terms per document. The weight is the RAW inverse document
+   * frequency `tf_count × N / (doc_len × df)` — a pure rational whose single
+   * double division is IEEE-identical in every engine — rather than the
+   * log-damped form (`Math.log` is not correctly-rounded, so a log-based
+   * rank could flip across engines). Ranking itself never touches a double:
+   * order by (tf_count DESC, df ASC, word ASC) is a total integer/string
+   * order per doc. Shape for scale: token explode feeds two hash
+   * aggregations; the df table is vocabulary-sized (AQE broadcasts it); the
+   * top-k window partitions by doc — rows per partition = distinct words of
+   * ONE doc, never a skew risk.
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col(textCol), " ")
+    val toks = docs.select(col(idCol).as("doc_id"), size(ws).as("len"),
+      explode(ws).as("word"))
+    val tf = toks.groupBy("doc_id", "len", "word").agg(count(lit(1)).as("tf_count"))
+    val dfreq = toks.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf_count").desc, col("df").asc, col("word").asc)
+    tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf_count").cast("double") * col("n_docs") / (col("len") * col("df")), 6))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("doc_id", "word", "tf_count", "df", "tfidf", "rnk")
+  }
+
+  /**
+   * Corpus composition report: doc counts / word totals / mean length at
+   * every ROLLUP level of `dims` (e.g. (lang, source), (lang), ()) — the
+   * one-pass grouping-sets aggregation a curation run uses to audit its
+   * language/source mix. `gid` encodes the rollup level (grouping bits,
+   * most-significant = first dim) so total rows are distinguishable from
+   * genuine NULL dimension values.
+   */
+  def composition(docs: DataFrame, dims: Seq[String], textCol: String): DataFrame = {
+    require(dims.nonEmpty, "need at least one rollup dimension")
+    val gid = dims.map(d => grouping(d).cast("long"))
+      .reduce((a, b) => a * 2 + b).as("gid")
+    docs.withColumn("__nw", size(split(col(textCol), " ")).cast("long"))
+      .rollup(dims.map(col): _*)
+      .agg(gid, count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),
+        round(avg("__nw"), 4).as("avg_words"))
+  }
+
+  /**
+   * Nearest-rank percentiles per group (`rank = ceil(p × n / 100)`, computed
+   * in exact integer arithmetic). NOT a per-group row sort: values are first
+   * collapsed to a (group, value) histogram, the running-count window runs
+   * over DISTINCT VALUES (bounded cardinality — doc lengths, scores), and the
+   * rank probe is an equi-join on group. A giant skewed group (half the web
+   * is one language) costs a map-side-combined count, never a single-task
+   * sort of 10^11 rows — the reason this beats `percentile()`/window-rank
+   * forms at scale. Exactly reproducible in any engine, unlike interpolating
+   * quantiles whose FP blend order is implementation-defined.
+   */
+  def valueQuantiles(docs: DataFrame, groupCol: String, valCol: String,
+                     percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100]: $percents")
+    val hist = docs.groupBy(col(groupCol).as("grp"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("c").over(w))
+    val ranks = hist.groupBy("grp").agg(sum("c").as("n"))
+      .select(col("grp"), col("n"),
+        explode(array(percents.map(lit(_)): _*)).as("p"))
+      .withColumn("rnk", floor((col("p") * col("n") + 99) / lit(100.0)).cast("long"))
+    cum.join(ranks, "grp")
+      .filter(col("cum") >= col("rnk") && (col("cum") - col("c")) < col("rnk"))
+      .select(col("grp").as(groupCol), col("p"), col("n"), col("v").as("q_value"))
+  }
 }

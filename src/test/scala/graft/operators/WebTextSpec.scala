@@ -92,4 +92,57 @@ class WebTextSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("tfidfTopTerms == brute force with integer-only rank order") {
+    val docs = corpus.toDF("doc_id", "text")
+    val n = corpus.size
+    val dfMap = corpus.flatMap(_._2.split(" ").distinct).groupBy(identity)
+      .map { case (wrd, xs) => (wrd, xs.size) }
+    val expected = corpus.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      ws.groupBy(identity).map { case (wrd, xs) => (wrd, xs.size) }.toSeq
+        .map { case (wrd, c) => (wrd, c.toLong, dfMap(wrd).toLong,
+          BigDecimal(c.toDouble * n / (ws.length.toDouble * dfMap(wrd)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (wrd, c, df, _) => (-c, df, wrd) }
+        .take(3).zipWithIndex
+        .map { case ((wrd, c, df, s), i) => (id, wrd, c, df, s, i + 1) }
+    }.toSet
+    val got = WebText.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(got == expected)
+  }
+
+  test("composition rolls up every level with correct gid bits") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "d e", "en", "s2"),
+      (3L, "f g h i", "sv", "s1")).toDF("doc_id", "text", "lang", "source")
+    val got = WebText.composition(docs, Seq("lang", "source"), "text")
+      .collect().map(r => ((Option(r.getString(0)), Option(r.getString(1))),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got((Some("en"), Some("s1"))) == ((0L, 1L, 3L, 3.0)))
+    assert(got((Some("en"), None)) == ((1L, 2L, 5L, 2.5)))
+    assert(got((Some("sv"), None)) == ((1L, 1L, 4L, 4.0)))
+    assert(got((None, None)) == ((3L, 3L, 9L, 3.0)))
+    assert(got.size == 6) // 3 leaf + 2 lang + 1 total
+  }
+
+  test("valueQuantiles == brute-force nearest rank; histogram window, no row sort") {
+    val r = new scala.util.Random(5)
+    val vals = (0 until 300).map(i => (if (i % 2 == 0) "a" else "b", r.nextInt(40).toLong))
+    val docs = vals.toDF("lang", "n_chars")
+    val ps = Seq(10, 50, 90, 100)
+    val got = WebText.valueQuantiles(docs, "lang", "n_chars", ps)
+      .collect().map(r0 => ((r0.getString(0), r0.getInt(1)),
+        (r0.getLong(2), r0.getLong(3)))).toMap
+    for (g <- Seq("a", "b"); p <- ps) {
+      val sorted = vals.filter(_._1 == g).map(_._2).sorted
+      val rank = (p * sorted.size + 99) / 100 // == ceil in integer math
+      assert(got((g, p)) == ((sorted.size.toLong, sorted(rank - 1))),
+        s"group $g p$p")
+    }
+    // one result row per (group, percent) even with heavy value ties
+    assert(got.size == 2 * ps.size)
+  }
 }
