@@ -54,6 +54,17 @@ object QueriesText {
         docs(s, dir).filter(pmod(col("doc_id"), lit(17L)) === 0),
         "doc_id", "text", n = 8)),
 
+    "q_dedup_canonical" -> ((s, dir) => {
+      // variants that differ only in case/punct/whitespace (%9 docs upper-
+      // cased with trailing '  !! ') — canonical dedup folds them; plain
+      // exact dedup would miss every one
+      val d = docs(s, dir).select("doc_id", "text")
+      val messy = d.unionByName(d.filter(pmod(col("doc_id"), lit(9L)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !! ")).as("text")))
+      WebText.canonicalGroups(messy, "doc_id", "text")
+    }),
+
     "q_txt_tfidf" -> ((s, dir) =>
       WebText.tfidfTopTerms(docs(s, dir).select("doc_id", "text"), "doc_id", "text", k = 5)
         .withColumn("rnk", col("rnk").cast("long"))),
@@ -222,6 +233,17 @@ object QueriesText {
         |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,4}')) AS BIGINT) AS n_phones,
         |  REGEXP_REPLACE(t, '\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,4}', '<PHONE>', 'g') AS redacted
         |FROM i""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, UPPER(text) || '  !! ' FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |canon AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ct
+        |  FROM corpus)
+        |SELECT MD5(ct) AS fingerprint, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MIN(doc_id) AS min_id
+        |FROM canon GROUP BY MD5(ct) HAVING COUNT(*) > 1""".stripMargin,
     // rank order is integer-only (tf_count DESC, df ASC, word ASC) and the
     // weight is the raw rational tf*N/(len*df) — see WebText.tfidfTopTerms
     "q_txt_tfidf" ->

@@ -130,6 +130,21 @@ object WebText {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /** C4-style canonical text for normalization-insensitive dedup: lowercase,
+    * punctuation → space, whitespace runs collapsed, trimmed. Every step is
+    * an engine-portable string op (no unicode normalization tables — NFC
+    * differs by ICU version and isn't available in plain SQL engines). */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** exact dedup over canonical text: catches copies that differ only in
+    * case, punctuation, or whitespace — the most common near-dup class on
+    * web crawls, caught here for the cost of one hash groupBy (MinHash-LSH
+    * is only needed for edits canonicalization can't fold). */
+  def canonicalGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactGroups(
+      docs.withColumn("__ct", canonicalText(col(textCol))), idCol, "__ct")
+
   /**
    * Top-k TF-IDF terms per document. The weight is the RAW inverse document
    * frequency `tf_count × N / (doc_len × df)` — a pure rational whose single

@@ -161,6 +161,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!rs.contains("source") && !rs.contains("lang"), s"scan over-reads: $rs")
   }
 
+  test("PII redaction is one shuffle-free codegen pass over a pruned scan") {
+    val p = plan("q_txt_pii")
+    assert(!p.contains("Exchange"), "redaction must not shuffle")
+    assert(p.contains("codegen id"), p.take(2000))
+    val rs = "ReadSchema: \\S+".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("source"),
+      s"scan over-reads: $rs")
+  }
+
+  test("tfidf prunes the documents scan and joins df without nested loops") {
+    val p = plan("q_txt_tfidf")
+    val rs = "ReadSchema: \\S+".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("lang"),
+      s"scan over-reads: $rs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the single broadcast of the 1-row corpus count is the only allowed
+    // nested-loop; the tf x df join itself must be an equi join. Count in
+    // the final-plan tree only — AQE's formatted output re-numbers the same
+    // operators in the initial-plan tree and the detail section.
+    val finalTree = p.substring(0, math.max(p.indexOf("== Initial Plan =="), 0) match {
+      case 0 => p.length; case i => i
+    })
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalTree).size <= 1, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "tf x df must hash-join")
+  }
+
+  test("quantiles window runs over the histogram aggregate, not raw rows") {
+    val p = plan("q_txt_quantiles")
+    // the (group, value) hash aggregate must sit below the running-sum window
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p.take(2000))
+    assert(!p.contains("CartesianProduct"), "rank probe went cartesian")
+    val rs = "ReadSchema: \\S+".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("lang") && rs.contains("n_chars") && !rs.contains("text"),
+      s"scan over-reads: $rs")
+  }
+
   test("ngram dedup pairs via shingle equi-join — no cartesian, no nested-loop") {
     val p = plan("q_dedup_ngram")
     assert(!p.contains("CartesianProduct"), "pair generation went cartesian")

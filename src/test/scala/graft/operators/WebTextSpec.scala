@@ -93,6 +93,20 @@ class WebTextSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("canonicalGroups folds case/punct/whitespace variants exact dedup misses") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "The  quick,  BROWN fox!!"),   // same after canonicalization
+      (3L, "  the quick brown fox  "),    // whitespace-only variant
+      (4L, "an entirely different doc"),
+      (5L, "thequick brown fox")).toDF("doc_id", "text") // NOT the same
+    val exact = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(exact.isEmpty) // plain exact dedup sees 5 distinct texts
+    val got = WebText.canonicalGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 1L))) // docs 1,2,3 fold; 4 and 5 stay out
+  }
+
   test("tfidfTopTerms == brute force with integer-only rank order") {
     val docs = corpus.toDF("doc_id", "text")
     val n = corpus.size
