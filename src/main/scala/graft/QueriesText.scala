@@ -72,6 +72,18 @@ object QueriesText {
     "q_txt_composition" -> ((s, dir) =>
       WebText.composition(docs(s, dir), Seq("lang", "source"), "text")),
 
+    "q_txt_chunks" -> ((s, dir) =>
+      WebText.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkWords = 20, overlapWords = 5)),
+
+    "q_agg_hll" -> ((s, dir) => { // rows-only (HLL++ sketch is engine-specific)
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      toks.groupBy("lang").agg(
+        countDistinct(col("word")).as("exact_words"),
+        approx_count_distinct(col("word")).as("approx_words"))
+    }),
+
     "q_txt_quantiles" -> ((s, dir) =>
       WebText.valueQuantiles(docs(s, dir), "lang", "n_chars", Seq(10, 50, 90))),
 
@@ -268,6 +280,16 @@ object QueriesText {
         |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_words,
         |  ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 4) AS avg_words
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q_txt_chunks" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, s AS start_word,
+        |      LIST_SLICE(ws, s, LEAST(s + 19, LEN(ws))) AS cws
+        |      FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws), 15)) AS s) t)
+        |SELECT doc_id, CAST((start_word - 1) // 15 AS BIGINT) AS chunk_idx,
+        |  CAST(start_word AS BIGINT) AS start_word,
+        |  CAST(LEN(cws) AS BIGINT) AS n_chunk_words,
+        |  ARRAY_TO_STRING(cws, ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "q_txt_quantiles" ->
       """WITH h AS (SELECT lang AS grp, n_chars AS v, COUNT(*) AS c
         |           FROM documents GROUP BY 1, 2),

@@ -195,6 +195,37 @@ object WebText {
   }
 
   /**
+   * Split documents into fixed-size word chunks with optional overlap — the
+   * context-window preparation step before tokenization/packing. Chunk
+   * starts advance by `chunkWords - overlapWords`; the trailing partial
+   * chunk is kept (dropping it silently loses corpus tail mass — callers
+   * filter on `n_chunk_words` if they want full windows only). Pure per-row
+   * array arithmetic (explode over a strided sequence + slice): no shuffle,
+   * no state, linear in corpus size.
+   */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkWords: Int, overlapWords: Int = 0): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      s"need 0 <= overlap < chunkWords (got $overlapWords, $chunkWords)")
+    val stride = chunkWords - overlapWords
+    val ws = split(col(textCol), " ")
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("__ws"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("__ws")), lit(stride)),
+          start => struct(
+            start.as("start_word"),
+            slice(col("__ws"), start, lit(chunkWords)).as("__cws"))))
+          .as("__c"))
+      .select(col("doc_id"),
+        (((col("__c.start_word") - 1) / stride).cast("long")).as("chunk_idx"),
+        col("__c.start_word").cast("long").as("start_word"),
+        size(col("__c.__cws")).cast("long").as("n_chunk_words"),
+        concat_ws(" ", col("__c.__cws")).as("chunk_text"))
+  }
+
+  /**
    * Nearest-rank percentiles per group (`rank = ceil(p × n / 100)`, computed
    * in exact integer arithmetic). NOT a per-group row sort: values are first
    * collapsed to a (group, value) histogram, the running-count window runs

@@ -142,6 +142,41 @@ class WebTextSpec extends AnyFunSuite {
     assert(got.size == 6) // 3 leaf + 2 lang + 1 total
   }
 
+  test("chunkDocs == brute-force strided windows; zero-overlap chunks rebuild the doc") {
+    val docs = corpus.toDF("doc_id", "text")
+    val got = WebText.chunkDocs(docs, "doc_id", "text", chunkWords = 20, overlapWords = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    val expected = corpus.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      (1 to ws.length by 15).zipWithIndex.map { case (s, i) =>
+        val cws = ws.slice(s - 1, math.min(s - 1 + 20, ws.length))
+        (id, i.toLong, s.toLong, cws.length.toLong, cws.mkString(" "))
+      }
+    }.toSet
+    assert(got == expected)
+    // lossless property: stride == chunkWords reassembles every doc exactly
+    val rebuilt = WebText.chunkDocs(docs, "doc_id", "text", chunkWords = 7)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+        .getField("chunk_text")).as("t2"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    corpus.foreach { case (id, t) => assert(rebuilt(id) == t, s"doc $id") }
+    intercept[IllegalArgumentException] {
+      WebText.chunkDocs(docs, "doc_id", "text", chunkWords = 5, overlapWords = 5)
+    }
+  }
+
+  test("approx_count_distinct stays within 10% of exact on a 20k-value column") {
+    val df = spark.range(0L, 60000L)
+      .selectExpr("concat('w', cast(id % 20000 as string)) as word")
+    val r = df.agg(countDistinct(col("word")).as("exact"),
+      approx_count_distinct(col("word")).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(exact == 20000L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"approx=$approx")
+  }
+
   test("valueQuantiles == brute-force nearest rank; histogram window, no row sort") {
     val r = new scala.util.Random(5)
     val vals = (0 until 300).map(i => (if (i % 2 == 0) "a" else "b", r.nextInt(40).toLong))
