@@ -60,13 +60,17 @@ object WebText {
       .groupBy("id")
       .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("__dup3"),
         sum(col("c")).as("__tot3"))
+    // join the two narrow stat legs first (both already hash-partitioned by
+    // id from their final aggregations), then join docs ONCE — the
+    // full-width doc rows (text included) cross the shuffle a single time
+    // instead of once per gram leg. Outer: a 2-word doc has g2 but no g3.
+    val stats = g2.join(g3, Seq("id"), "full_outer")
     val ws = split(col(textCol), " ")
     docs
       .withColumn("n_words", size(ws).cast("long"))
       .withColumn("dup_word_frac",
         round((col("n_words") - size(array_distinct(ws))).cast("double") / col("n_words"), 4))
-      .join(g2, col(idCol) === g2("id"), "left").drop(g2("id"))
-      .join(g3, col(idCol) === g3("id"), "left").drop(g3("id"))
+      .join(stats, col(idCol) === stats("id"), "left").drop(stats("id"))
       .withColumn("top2_ratio",
         coalesce(round(col("__top2").cast("double") / col("__tot2"), 4), lit(0.0)))
       .withColumn("dup3_frac",
@@ -164,8 +168,11 @@ object WebText {
     val toks = docs.select(col(idCol).as("doc_id"), size(ws).as("len"),
       explode(ws).as("word"))
     val tf = toks.groupBy("doc_id", "len", "word").agg(count(lit(1)).as("tf_count"))
-    val dfreq = toks.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df derives from tf (one (doc, word) row each), NOT from a second
+    // explode of the corpus: one token scan instead of two, and the tf
+    // subtree under both consumers is byte-identical so Spark's
+    // ReuseExchange serves the df branch from the same shuffle files
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf_count").desc, col("df").asc, col("word").asc)
@@ -241,7 +248,10 @@ object WebText {
     import org.apache.spark.sql.expressions.Window
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1,100]: $percents")
-    val hist = docs.groupBy(col(groupCol).as("grp"), col(valCol).as("v"))
+    // null values are dropped (they'd sort first and could be returned as a
+    // "percentile"); null GROUP keys keep their own quantile stream
+    val hist = docs.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valCol).as("v"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -250,7 +260,8 @@ object WebText {
       .select(col("grp"), col("n"),
         explode(array(percents.map(lit(_)): _*)).as("p"))
       .withColumn("rnk", floor((col("p") * col("n") + 99) / lit(100.0)).cast("long"))
-    cum.join(ranks, "grp")
+    // null-safe join key: a NULL group must meet ITS ranks row, not vanish
+    cum.join(ranks, cum("grp") <=> ranks("grp")).drop(ranks("grp"))
       .filter(col("cum") >= col("rnk") && (col("cum") - col("c")) < col("rnk"))
       .select(col("grp").as(groupCol), col("p"), col("n"), col("v").as("q_value"))
   }

@@ -194,4 +194,13 @@ class WebTextSpec extends AnyFunSuite {
     // one result row per (group, percent) even with heavy value ties
     assert(got.size == 2 * ps.size)
   }
+
+  test("valueQuantiles drops null values; null group keys keep their stream") {
+    val docs = Seq((Some("a"), Some(1L)), (Some("a"), Some(2L)), (Some("a"), None),
+        (None, Some(7L))).toDF("lang", "n_chars")
+    val got = WebText.valueQuantiles(docs, "lang", "n_chars", Seq(100))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2), r.getLong(3))).toSet
+    // group a: n=2 (null value excluded), p100 -> 2; null group: its own row
+    assert(got == Set((Some("a"), 2L, 2L), (None, 1L, 7L)))
+  }
 }
