@@ -256,12 +256,14 @@ object WebText {
     val w = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum("c").over(w))
+    // the rank probe renames its key — cum and ranks share the hist lineage,
+    // and a same-name column reference on a self-join resolves ambiguously
     val ranks = hist.groupBy("grp").agg(sum("c").as("n"))
-      .select(col("grp"), col("n"),
+      .select(col("grp").as("__rgrp"), col("n"),
         explode(array(percents.map(lit(_)): _*)).as("p"))
       .withColumn("rnk", floor((col("p") * col("n") + 99) / lit(100.0)).cast("long"))
     // null-safe join key: a NULL group must meet ITS ranks row, not vanish
-    cum.join(ranks, cum("grp") <=> ranks("grp")).drop(ranks("grp"))
+    cum.join(ranks, col("grp") <=> col("__rgrp")).drop("__rgrp")
       .filter(col("cum") >= col("rnk") && (col("cum") - col("c")) < col("rnk"))
       .select(col("grp").as(groupCol), col("p"), col("n"), col("v").as("q_value"))
   }
