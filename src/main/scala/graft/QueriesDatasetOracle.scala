@@ -117,7 +117,13 @@ object QueriesDatasetOracle {
   /** municipalities = 4 quadrant rectangles (codes by quadrant); .5 bounds so
     * integral coordinates are never on a boundary. Points past 1000000 (an
     * offset OSM node on the far edge) fall outside every polygon -> NULL code
-    * -> guard-filtered, mirrored in the oracle's CASE returning NULL. */
+    * -> guard-filtered, mirrored in the oracle's CASE returning NULL.
+    * NOTE the coordinate EXACTLY 500000 sits in the one-unit gap BETWEEN
+    * quadrants ((-0.5 + 500000 = 499999.5) < 500000 < 500000.5) and belongs
+    * to NO municipality — the oracle CASEs must say `<= 499999`, not
+    * `<= 500000` (the sf0.1 sweep caught exactly this: sf0.001/sf0.01 keys
+    * never land on the stripe, sf0.1 keys do). QueriesSchoolsOracle got
+    * this right from the start (its scaladoc states the rule). */
   private[graft] def quadMunis(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(("0180", -0.5, -0.5), ("1480", 500000.5, -0.5),
@@ -547,9 +553,9 @@ object QueriesDatasetOracle {
         |  FROM orders),
         |ups AS (
         |  SELECT k, ux, uy, ref,
-        |    CASE WHEN ux <= 500000 AND uy <= 500000 THEN '0180'
-        |         WHEN ux >= 500001 AND ux <= 1000000 AND uy <= 500000 THEN '1480'
-        |         WHEN ux <= 500000 AND uy >= 500001 AND uy <= 1000000 THEN '2180'
+        |    CASE WHEN ux <= 499999 AND uy <= 499999 THEN '0180'
+        |         WHEN ux >= 500001 AND ux <= 1000000 AND uy <= 499999 THEN '1480'
+        |         WHEN ux <= 499999 AND uy >= 500001 AND uy <= 1000000 THEN '2180'
         |         WHEN ux >= 500001 AND ux <= 1000000
         |          AND uy >= 500001 AND uy <= 1000000 THEN '2580' END AS q,
         |    CASE WHEN k%2=0 THEN 'Vestas' END AS man,
@@ -572,9 +578,9 @@ object QueriesDatasetOracle {
         |  FROM b WHERE k%10 <> 0),
         |oq AS (
         |  SELECT *,
-        |    CASE WHEN ox >= 0 AND ox <= 500000 AND oy >= 0 AND oy <= 500000 THEN '0180'
-        |         WHEN ox >= 500001 AND ox <= 1000000 AND oy >= 0 AND oy <= 500000 THEN '1480'
-        |         WHEN ox >= 0 AND ox <= 500000 AND oy >= 500001 AND oy <= 1000000 THEN '2180'
+        |    CASE WHEN ox >= 0 AND ox <= 499999 AND oy >= 0 AND oy <= 499999 THEN '0180'
+        |         WHEN ox >= 500001 AND ox <= 1000000 AND oy >= 0 AND oy <= 499999 THEN '1480'
+        |         WHEN ox >= 0 AND ox <= 499999 AND oy >= 500001 AND oy <= 1000000 THEN '2180'
         |         WHEN ox >= 500001 AND ox <= 1000000
         |          AND oy >= 500001 AND oy <= 1000000 THEN '2580' END AS q
         |  FROM osm),
@@ -646,9 +652,9 @@ object QueriesDatasetOracle {
         |  FROM orders),
         |uq AS (
         |  SELECT *,
-        |    CASE WHEN ux <= 500000 AND uy <= 500000 THEN '0180'
-        |         WHEN ux >= 500001 AND ux <= 1000000 AND uy <= 500000 THEN '1480'
-        |         WHEN ux <= 500000 AND uy >= 500001 AND uy <= 1000000 THEN '2180'
+        |    CASE WHEN ux <= 499999 AND uy <= 499999 THEN '0180'
+        |         WHEN ux >= 500001 AND ux <= 1000000 AND uy <= 499999 THEN '1480'
+        |         WHEN ux <= 499999 AND uy >= 500001 AND uy <= 1000000 THEN '2180'
         |         WHEN ux >= 500001 AND ux <= 1000000
         |          AND uy >= 500001 AND uy <= 1000000 THEN '2580' END AS q
         |  FROM b),
@@ -666,9 +672,9 @@ object QueriesDatasetOracle {
         |  FROM b WHERE k%10 <> 0),
         |oq AS (
         |  SELECT *,
-        |    CASE WHEN ox >= 0 AND ox <= 500000 AND oy >= 0 AND oy <= 500000 THEN '0180'
-        |         WHEN ox >= 500001 AND ox <= 1000000 AND oy >= 0 AND oy <= 500000 THEN '1480'
-        |         WHEN ox >= 0 AND ox <= 500000 AND oy >= 500001 AND oy <= 1000000 THEN '2180'
+        |    CASE WHEN ox >= 0 AND ox <= 499999 AND oy >= 0 AND oy <= 499999 THEN '0180'
+        |         WHEN ox >= 500001 AND ox <= 1000000 AND oy >= 0 AND oy <= 499999 THEN '1480'
+        |         WHEN ox >= 0 AND ox <= 499999 AND oy >= 500001 AND oy <= 1000000 THEN '2180'
         |         WHEN ox >= 500001 AND ox <= 1000000
         |          AND oy >= 500001 AND oy <= 1000000 THEN '2580' END AS q
         |  FROM osm),
