@@ -72,6 +72,13 @@ object QueriesText {
     "q_txt_composition" -> ((s, dir) =>
       WebText.composition(docs(s, dir), Seq("lang", "source"), "text")),
 
+    "q_txt_filter" -> ((s, dir) =>
+      // thresholds picked to split the driver corpus non-trivially (word
+      // count 10-99, dup_word_frac median .54, top2 p90 .07)
+      WebText.curationFilter(docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+        minWords = 20, maxDupWordFrac = 0.6, maxTop2Ratio = 0.09,
+        maxDup3Frac = 0.05)),
+
     "q_txt_chunks" -> ((s, dir) =>
       WebText.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkWords = 20, overlapWords = 5)),
@@ -280,6 +287,33 @@ object QueriesText {
         |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_words,
         |  ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 4) AS avg_words
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    // same rule order and ROUNDED-stat comparisons as WebText.curationFilter
+    "q_txt_filter" ->
+      """WITH d AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-1)) AS i) t),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE)/SUM(c), 4) AS top2 FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-2)) AS i) t),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        |a3 AS (SELECT doc_id, ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)/SUM(c), 4) AS dup3
+        |       FROM c3 GROUP BY doc_id),
+        |st AS (SELECT d.doc_id, LEN(ws) AS nw,
+        |  ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)/LENGTH(text), 4) AS ar,
+        |  ROUND(CAST(LENGTH(text) - (LEN(ws)-1) AS DOUBLE)/LEN(ws), 4) AS mtl,
+        |  ROUND(CAST(LEN(ws) - LEN(LIST_DISTINCT(ws)) AS DOUBLE)/LEN(ws), 4) AS dwf,
+        |  COALESCE(a2.top2, 0.0) AS top2, COALESCE(a3.dup3, 0.0) AS dup3
+        |  FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)),
+        |r AS (SELECT doc_id,
+        |  CASE WHEN nw < 20 THEN 'too_short' WHEN nw > 100000 THEN 'too_long'
+        |       WHEN ar < 0.6 THEN 'low_alpha'
+        |       WHEN mtl < 2.0 OR mtl > 12.0 THEN 'token_len'
+        |       WHEN dwf > 0.6 THEN 'dup_words'
+        |       WHEN top2 > 0.09 THEN 'top_2gram'
+        |       WHEN dup3 > 0.05 THEN 'dup_3gram' END AS reason
+        |  FROM st)
+        |SELECT doc_id, reason IS NULL AS keep, reason FROM r""".stripMargin,
     "q_txt_chunks" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, s AS start_word,

@@ -202,6 +202,37 @@ object WebText {
   }
 
   /**
+   * The composed C4/Gopher-style keep/drop decision: quality heuristics
+   * ([[TextAnalysis.withQuality]]) and repetition statistics
+   * ([[withRepetitionStats]]) evaluated against thresholds, returning
+   * `(id, keep, reason)` where `reason` names the FIRST failing rule in a
+   * fixed order (length → alpha → token shape → word dup → 2-gram → 3-gram)
+   * and is null for kept docs. All decisions compare the ROUNDED statistics
+   * (the operators' own outputs), so the verdicts are engine-portable.
+   * Returns only the decision columns — join back on the id to materialize
+   * the filtered corpus (keeps this operator a narrow shuffle).
+   */
+  def curationFilter(docs: DataFrame, idCol: String, textCol: String,
+                     minWords: Long = 10, maxWords: Long = 100000,
+                     minAlphaRatio: Double = 0.6,
+                     minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+                     maxDupWordFrac: Double = 0.5, maxTop2Ratio: Double = 0.3,
+                     maxDup3Frac: Double = 0.3): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val withStats = withRepetitionStats(
+      TextAnalysis.withQuality(base, textCol), idCol, textCol)
+    val reason = when(col("n_words") < minWords, "too_short")
+      .when(col("n_words") > maxWords, "too_long")
+      .when(col("alpha_ratio") < minAlphaRatio, "low_alpha")
+      .when(col("mean_token_len") < minMeanTokenLen
+        || col("mean_token_len") > maxMeanTokenLen, "token_len")
+      .when(col("dup_word_frac") > maxDupWordFrac, "dup_words")
+      .when(col("top2_ratio") > maxTop2Ratio, "top_2gram")
+      .when(col("dup3_frac") > maxDup3Frac, "dup_3gram")
+    withStats.select(col(idCol), reason.isNull.as("keep"), reason.as("reason"))
+  }
+
+  /**
    * Split documents into fixed-size word chunks with optional overlap — the
    * context-window preparation step before tokenization/packing. Chunk
    * starts advance by `chunkWords - overlapWords`; the trailing partial

@@ -195,6 +195,30 @@ class WebTextSpec extends AnyFunSuite {
     assert(got.size == 2 * ps.size)
   }
 
+  test("curationFilter reasons fire in fixed order; kept docs have null reason") {
+    val docs = Seq(
+      (1L, "a b"),                                              // too_short
+      (2L, (1 to 25).map(i => s"w$i").mkString(" ")),           // too_long (max 20)
+      (3L, "12 34 56 78 90 11 22 33 44 55 66 77"),              // low_alpha
+      (4L, (1 to 12).map(i => f"verylongwordnumber$i%02dpadpad").mkString(" ")), // token_len
+      (5L, "ab cd ab cd ab cd ab cd ab cd"),                    // dup_words (0.8)
+      (6L, "ab cd ab cd ef gh ij kl mn op"),                    // top_2gram (2/9 > 0.2)
+      (7L, "ab cd ef ab cd ef gh ij kl mn op qr st uv wx yz aa bb"), // dup_3gram (2/16 > 0.1)
+      (8L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) // keep
+      .toDF("doc_id", "text")
+    val got = WebText.curationFilter(docs, "doc_id", "text",
+        maxWords = 20, maxTop2Ratio = 0.2, maxDup3Frac = 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got(1L) == ((false, Some("too_short"))))
+    assert(got(2L) == ((false, Some("too_long"))))
+    assert(got(3L) == ((false, Some("low_alpha"))))
+    assert(got(4L) == ((false, Some("token_len"))))
+    assert(got(5L) == ((false, Some("dup_words"))))
+    assert(got(6L) == ((false, Some("top_2gram"))))
+    assert(got(7L) == ((false, Some("dup_3gram"))))
+    assert(got(8L) == ((true, None)))
+  }
+
   test("valueQuantiles drops null values; null group keys keep their stream") {
     val docs = Seq((Some("a"), Some(1L)), (Some("a"), Some(2L)), (Some("a"), None),
         (None, Some(7L))).toDF("lang", "n_chars")
