@@ -12,19 +12,21 @@ for t in ['lineitem','orders','customer','nation','region','part','supplier','ev
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 def canon(df):
+    # STRICT on integer widths: the driver hasher distinguishes DuckDB
+    # HUGEINT/INT32 from Spark BIGINT, so we must NOT coerce here (the old
+    # int64-normalizing version called q_tm_sessions green while the driver
+    # hashed it red). We keep only float rounding (tolerance the driver also
+    # applies) and datetime unit alignment (storage detail, not a SQL type).
     df = df[sorted(df.columns)]
-    # normalize ints to int64 where possible (DuckDB HUGEINT etc.)
     for c in df.columns:
-        if df[c].dtype == object:
-            try:
-                df[c] = pd.to_numeric(df[c])
-            except Exception:
-                pass
         if str(df[c].dtype).startswith('float'):
             df[c] = df[c].round(9)
-        if str(df[c].dtype) in ('Int64','int32','uint32','int16'):
-            df[c] = df[c].astype('int64')
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        if str(df[c].dtype).startswith('datetime64'):
+            df[c] = df[c].astype('datetime64[us]')
+    return df.sort_values(by=list(df.columns), key=lambda s: s.astype(str) if s.dtype == object else s).reset_index(drop=True)
+
+def dtypes_of(df):
+    return {c: str(df[c].dtype) for c in sorted(df.columns)}
 
 fails, okc = [], 0
 for name, sql in sorted(sqls.items()):
@@ -38,6 +40,10 @@ for name, sql in sorted(sqls.items()):
         co, cs = canon(o), canon(s)
         if list(co.columns) != list(cs.columns):
             fails.append((name, f"cols oracle={list(co.columns)} spark={list(cs.columns)}")); continue
+        if dtypes_of(co) != dtypes_of(cs):
+            diff = {c: (dtypes_of(co)[c], dtypes_of(cs)[c])
+                    for c in co.columns if str(co[c].dtype) != str(cs[c].dtype)}
+            fails.append((name, f"DTYPE oracle-vs-spark {diff}")); continue
         if len(co) != len(cs):
             fails.append((name, f"rows oracle={len(co)} spark={len(cs)}")); continue
         try:

@@ -75,8 +75,13 @@ object QueriesText {
     "q_txt_filter" -> ((s, dir) =>
       // thresholds picked to split the driver corpus non-trivially (word
       // count 10-99, dup_word_frac median .54, top2 p90 .07)
+      // every threshold explicit (incl. the ones matching curationFilter's
+      // defaults) so a default change cannot silently desync the oracle SQL,
+      // which hardcodes the same literals
       WebText.curationFilter(docs(s, dir).select("doc_id", "text"), "doc_id", "text",
-        minWords = 20, maxDupWordFrac = 0.6, maxTop2Ratio = 0.09,
+        minWords = 20, maxWords = 100000, minAlphaRatio = 0.6,
+        minMeanTokenLen = 2.0, maxMeanTokenLen = 12.0,
+        maxDupWordFrac = 0.6, maxTop2Ratio = 0.09,
         maxDup3Frac = 0.05)),
 
     "q_txt_chunks" -> ((s, dir) =>
@@ -334,7 +339,8 @@ object QueriesText {
         |       FROM tot, (SELECT UNNEST([10, 50, 90]) AS p) q)
         |SELECT cum.grp AS lang, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
         |  v AS q_value
-        |FROM cum JOIN rk USING (grp) WHERE cum >= rnk AND cum - c < rnk""".stripMargin,
+        |FROM cum JOIN rk ON cum.grp IS NOT DISTINCT FROM rk.grp
+        |WHERE cum >= rnk AND cum - c < rnk""".stripMargin,
     "q_dedup_contam" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL

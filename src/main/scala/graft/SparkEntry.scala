@@ -148,6 +148,7 @@ object SparkEntry {
       QueriesDedupOracle.queries ++
       QueriesRaster.queries ++ QueriesStore.queries ++
       QueriesTemporal.queries ++ QueriesSampling.queries ++
+      QueriesPipelineOracle.queries ++
       pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,5 +161,5 @@ object SparkEntry {
       QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
       QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
       QueriesRaster.oracle ++ QueriesStore.oracle ++ QueriesTemporal.oracle ++
-      QueriesSampling.oracle
+      QueriesSampling.oracle ++ QueriesPipelineOracle.oracle
 }

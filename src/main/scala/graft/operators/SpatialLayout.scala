@@ -202,6 +202,34 @@ object SpatialLayout {
    * `buildTable` must have been written by `writeBucketedPoints` with
    * `radius = 0` and the same `cellSize`; `distance` ≤ `cellSize`.
    */
+  /** Exchange nodes in a frame's EXECUTED plan, descending into AQE query
+    * stages (a naive `collect` treats ShuffleQueryStageExec as a leaf and
+    * undercounts). Run an action on `df` first so AQE has finalized the
+    * plan. Used by the bucketed-join specs AND the driver-gate sync entry,
+    * which asserts its store-side join planned with zero store Exchange. */
+  def exchangeNodes(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case e: Exchange => Seq(e.nodeName)
+        case _: ReusedExchangeExec => Seq("ReusedExchange")
+        case _ => Nil
+      }
+      val below = p match {
+        case q: QueryStageExec => walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      self ++ below
+    }
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    walk(root)
+  }
+
   def bucketedDWithinBatch(batch: DataFrame, buildTable: String,
                            pX: String, pY: String, bX: String, bY: String,
                            cellSize: Double, distance: Double): DataFrame = {

@@ -153,14 +153,21 @@ object StreamingIngest {
    */
   def startDeviationSync(spark: SparkSession, pagesDir: String, checkpointDir: String,
                          store: graft.engine.DeviationStore,
-                         statePath: String = null): StreamingQuery = {
+                         statePath: String = null,
+                         maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import graft.engine.{BenchPipeline, ElementStore, MatchEngine}
     import graft.functions.GeoFunctions.stCentroid
     import graft.sources.Pages
     val es = new ElementStore(spark,
       if (statePath != null) statePath else checkpointDir + "_state")
     val schema = spark.read.parquet(pagesDir).schema
-    spark.readStream.schema(schema).parquet(pagesDir)
+    val reader0 = spark.readStream.schema(schema)
+    // AvailableNow + maxFilesPerTrigger splits a finite replay into REAL
+    // micro-batches (the gate entry uses it to prove multi-batch incremental
+    // maintenance converges to the batch result, not just 1-batch ingest)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    reader.parquet(pagesDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

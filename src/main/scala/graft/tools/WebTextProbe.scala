@@ -8,9 +8,7 @@ import graft.operators.WebText
  * Throughput evidence for the web-text curation family at pipeline scale
  * (feeds BASELINE.md): deterministic synthetic corpus (docs of `WT_WORDS`
  * words over a 4k vocab, modular arithmetic — no RNG, no files), each
- * operator timed as min-of-2 after a warm-up pass. Also scales the corpus
- * at two parallelism levels when WT_CORES2 is set, for the same
- * two-cluster-size evidence shape the bench uses.
+ * operator timed as min-of-2 after a warm-up pass.
  *
  * Envs: WT_DOCS (default 2,000,000), WT_WORDS (default 60), WT_CORES
  * (default 8).
