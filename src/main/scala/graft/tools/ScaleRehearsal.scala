@@ -131,6 +131,23 @@ object ScaleRehearsal {
           f"any_udf_pct=${100.0 * inUdfAny.get / tot}%.2f match=$mr dev=$dr")
         s.stop()
 
+      case "cands" =>
+        // candidate-pair count of the pipeline's cell join — evidence for
+        // the superlinear wall at fixed-bbox site scale-up: pairs within
+        // the 250 m radius grow ~quadratically in density, so 4x sites at
+        // the SAME Sweden bbox ≈ 16x candidates (a real corpus scale-up
+        // grows area/corpus at ~constant density instead)
+        val s = session(cores, aqeOn = false)
+        val pages = graft.sources.Pages.synthesize(s, n)
+        val (osm, ups) = graft.engine.BenchPipeline.extract(pages)
+        val spec = graft.engine.BenchPipeline.spec
+        val t0 = System.nanoTime()
+        val c = graft.operators.SpatialJoin.dwithinCandidates(
+          build = osm, probe = ups, buildGeom = "geom", probeGeom = "geometry",
+          spec = graft.operators.SpatialJoin.DWithinSpec(spec.maxDistance, 1000.0)).count()
+        println(f"CANDS cores=$cores n=$n candidates=$c sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        s.stop()
+
       case other => sys.error(s"unknown mode: $other")
     }
   }
