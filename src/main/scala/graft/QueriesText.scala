@@ -45,6 +45,26 @@ object QueriesText {
       WebText.withRepetitionStats(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
         .select("doc_id", "n_words", "dup_word_frac", "top2_ratio", "dup3_frac")),
 
+    // suffix-dedup-style exact duplicate-substring spans; full-copy overlay
+    // (%6 docs re-keyed +3e6) guarantees cross-doc duplicated 8-gram runs;
+    // within-doc gram repeats count too. hashGrams=false is the exact form
+    // (string keys — DuckDB-portable); the xxhash64 fast path is asserted
+    // equal in WebTextSpec.
+    "q_txt_dupspans" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(d.filter(pmod(col("doc_id"), lit(6L)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      WebText.duplicateSpans(corpus, "doc_id", "text", minLen = 8,
+        minOccurrences = 2, hashGrams = false)
+    }),
+
+    // C4/RefinedWeb per-domain cap over the real source column; total order
+    // (n_chars DESC, doc_id ASC) keeps ranks engine-portable
+    "q_txt_domaincap" -> ((s, dir) =>
+      WebText.domainCap(docs(s, dir), "doc_id", "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), maxPerDomain = 25)
+        .select(col("doc_id"), col("source"), col("domain_rank"), col("kept"))),
+
     "q_txt_pii" -> ((s, dir) =>
       WebText.withPiiRedacted(piiCorpus(s, dir), "text")
         .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")),
@@ -218,6 +238,37 @@ object QueriesText {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_txt_dupspans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 6 = 0),
+        |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM corpus
+        |      WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+        |occ AS (SELECT doc_id, i AS pos,
+        |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |        ||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS gram
+        |        FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-7)) AS i) t),
+        |hot AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+        |mk AS (SELECT o.doc_id, o.pos, o.pos + 7 AS e FROM occ o JOIN hot USING (gram)),
+        |sp AS (SELECT doc_id, pos, e,
+        |       MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        |       FROM mk),
+        |sp2 AS (SELECT *, CASE WHEN prev_e IS NULL OR pos > prev_e
+        |                       THEN 1 ELSE 0 END AS nw FROM sp),
+        |sp3 AS (SELECT *, CAST(SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id FROM sp2)
+        |SELECT doc_id, span_id, CAST(MIN(pos) AS BIGINT) AS start_word,
+        |  CAST(MAX(e) AS BIGINT) AS end_word,
+        |  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS n_words
+        |FROM sp3 GROUP BY doc_id, span_id""".stripMargin,
+    "q_txt_domaincap" ->
+      """SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS domain_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) <= 25 AS kept
+        |FROM documents""".stripMargin,
     "q_txt_repetition" ->
       """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
         |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g

@@ -298,4 +298,90 @@ object WebText {
       .filter(col("cum") >= col("rnk") && (col("cum") - col("c")) < col("rnk"))
       .select(col("grp").as(groupCol), col("p"), col("n"), col("v").as("q_value"))
   }
+
+  /**
+   * Exact duplicate-SUBSTRING spans (the suffix-array exact-substring dedup
+   * of Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+   * Better", re-expressed relationally): every word `minLen`-gram occurring
+   * at least `minOccurrences` times ACROSS THE CORPUS (within-doc repeats
+   * count too) marks its [pos, pos+minLen) word window; overlapping windows
+   * per document merge into maximal spans — the byte ranges a training
+   * pipeline would cut.
+   *
+   * Output: (doc_id, span_id, start_word, end_word, n_words) — word indices
+   * 1-based inclusive; span_id numbers a doc's spans in position order.
+   *
+   * Scale: gram occurrences are (id, pos, key) rows; the hot-gram selection
+   * is one map-side-combined count and the mark-back join shuffles on the
+   * gram key — both partition cleanly at any corpus size (no suffix array,
+   * no per-node sort of the corpus). The span merge is a per-document
+   * running-max window (state = one row). With `hashGrams` (default) the
+   * join key is xxhash64 of the gram — 8 bytes instead of the string — at
+   * the cost of ~2^-64-probability false merges; `hashGrams = false` is the
+   * exact/oracle form (results identical modulo those collisions;
+   * WebTextSpec asserts equality on real fixtures).
+   */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 8, minOccurrences: Long = 2,
+                     hashGrams: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2 && minOccurrences >= 2,
+      s"need minLen >= 2 and minOccurrences >= 2 (got $minLen, $minOccurrences)")
+    val occ0 = docs
+      .withColumn("__ws", split(col(textCol), " "))
+      .filter(size(col("__ws")) >= minLen)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("__ws")) - (minLen - 1)),
+          i => struct(i.as("pos"),
+            concat_ws(" ", (0 until minLen).map(k => element_at(col("__ws"), i + k)): _*)
+              .as("gram"))))
+          .as("__g"))
+      .select(col("doc_id"), col("__g.pos").as("pos"),
+        (if (hashGrams) xxhash64(col("__g.gram")) else col("__g.gram")).as("key"))
+    val hot = occ0.groupBy("key").count()
+      .filter(col("count") >= minOccurrences).select("key")
+    val marked = occ0.join(hot, "key")
+      .select(col("doc_id"), col("pos"), (col("pos") + (minLen - 1)).as("end"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
+      .withColumn("__prev_end", max(col("end")).over(wPrev))
+      // merge on OVERLAP (pos <= running max end); adjacent windows at
+      // pos = prev_end + 1 start a new span — consecutive duplicated grams
+      // overlap by minLen-1 words, so true runs always merge
+      .withColumn("__new", when(col("__prev_end").isNull
+        || col("pos") > col("__prev_end"), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("__new")).over(wRun))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("start_word"),
+        max(col("end")).cast("long").as("end_word"))
+      .withColumn("n_words", col("end_word") - col("start_word") + 1)
+  }
+
+  /**
+   * Per-domain document cap (the C4 / RefinedWeb curation step: no single
+   * domain may dominate the corpus): rank documents within `domainCol` by
+   * `orderBy` (caller supplies a TOTAL order — e.g. quality DESC, id ASC —
+   * or ranks within a domain are nondeterministic) and flag the top
+   * `maxPerDomain` as kept. Emits EVERY row with (domain_rank, kept) so the
+   * drop population stays auditable, like curationFilter's reasons.
+   *
+   * Scale: one rank window partitioned by domain — state is a counter, but
+   * a mega-domain is a single window partition; at 10^12 rows pre-filter
+   * obvious spam domains or raise spark.sql.windowExec buffer spill
+   * settings. (A two-phase partial top-N can't produce the per-row kept
+   * flag the audit output requires.)
+   */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String,
+                orderBy: Seq[Column], maxPerDomain: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1 (got $maxPerDomain)")
+    docs.withColumn("domain_rank",
+        row_number().over(Window.partitionBy(col(domainCol)).orderBy(orderBy: _*))
+          .cast("long"))
+      .withColumn("kept", col("domain_rank") <= maxPerDomain)
+  }
 }

@@ -227,4 +227,69 @@ class WebTextSpec extends AnyFunSuite {
     // group a: n=2 (null value excluded), p100 -> 2; null group: its own row
     assert(got == Set((Some("a"), 2L, 2L), (None, 1L, 7L)))
   }
+
+  /** brute-force duplicate-substring spans: global n-gram counts, mark
+    * windows, merge on overlap per doc */
+  private def bruteSpans(docs: Seq[(Long, String)], n: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val occ = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < n) Nil
+      else ws.sliding(n).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }
+    }
+    val hot = occ.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+    occ.filter(o => hot(o._3)).groupBy(_._1).foreach { case (id, os) =>
+      var spanId = 0L; var start = -1L; var end = -1L
+      os.map(_._2.toLong).sorted.foreach { p =>
+        if (start < 0 || p > end) {
+          if (start >= 0) out += ((id, spanId, start, end))
+          spanId += 1; start = p; end = p + n - 1
+        } else end = math.max(end, p + n - 1)
+      }
+      if (start >= 0) out += ((id, spanId, start, end))
+    }
+    out.toSet
+  }
+
+  test("duplicateSpans == brute force; hashGrams fast path identical") {
+    // corpus with engineered repeats: doc 100 repeats a doc-0 8-gram run
+    // mid-text; doc 101 is a full copy of doc 1; doc 102 repeats its own
+    // opening phrase at the end (within-doc duplication)
+    val base = corpus.take(20)
+    val d0ws = base.head._2.split(" ").take(12).mkString(" ")
+    val docs = base ++ Seq(
+      (100L, s"x0 x1 x2 x3 $d0ws y0 y1 y2"),
+      (101L, base(1)._2),
+      (102L, "p0 p1 p2 p3 p4 p5 p6 p7 mid1 mid2 p0 p1 p2 p3 p4 p5 p6 p7"))
+    val df = docs.toDF("doc_id", "text")
+    val got = WebText.duplicateSpans(df, "doc_id", "text", minLen = 8,
+        minOccurrences = 2, hashGrams = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == bruteSpans(docs, 8))
+    assert(got.exists(_._1 == 100L) && got.exists(_._1 == 102L))
+    // doc 102: its two copies of the 8-word phrase are two separate spans
+    assert(got.count(_._1 == 102L) == 2)
+    val hashed = WebText.duplicateSpans(df, "doc_id", "text", minLen = 8,
+        minOccurrences = 2, hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(hashed == got)
+  }
+
+  test("domainCap ranks within domain and flags kept; every row survives") {
+    val docs = Seq(
+      (1L, "a.com", 100L), (2L, "a.com", 300L), (3L, "a.com", 200L),
+      (4L, "b.org", 50L), (5L, "a.com", 300L)) // tie on quality -> id order
+      .toDF("doc_id", "source", "n_chars")
+    val got = WebText.domainCap(docs, "doc_id", "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), maxPerDomain = 2)
+      .select("doc_id", "domain_rank", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.size == 5) // audit output keeps every row
+    assert(got(2L) == ((1L, true)))  // 300 chars, lower id than 5
+    assert(got(5L) == ((2L, true)))
+    assert(got(3L) == ((3L, false)))
+    assert(got(1L) == ((4L, false)))
+    assert(got(4L) == ((1L, true)))
+  }
 }
