@@ -53,7 +53,7 @@ object QueriesRelational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long")) // BIGINT like the oracle's ROW_NUMBER
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
     }),

@@ -103,7 +103,8 @@ object QueriesSpatial {
           buildGeom = "geom", probeGeom = "geometry",
           probeKey = "a_id", buildKey = "b_id",
           k = 3, radius = 20000.0, cellSize = 20000.0)
-        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"), col("rank"))
+        .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"),
+          col("rank").cast("long").as("rank")) // BIGINT like the oracle
     }),
 
     // J7 / north star "k-ring-expansion kNN": GUARANTEED top-3 with no radius
@@ -118,7 +119,7 @@ object QueriesSpatial {
           probeKey = "a_id", buildKey = "b_id",
           k = 3, startRadius = 2000.0, maxRadius = 2000000.0)
         .select(col("p_a_id").as("a_id"), col("b_b_id").as("b_id"),
-                col("rank"), round(col("dist"), 3).as("dist"))
+                col("rank").cast("long").as("rank"), round(col("dist"), 3).as("dist"))
     }),
 
     // osm.site (30-osm-site.sql): role-filtered member joins into areas,
