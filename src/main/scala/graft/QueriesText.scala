@@ -40,6 +40,38 @@ object QueriesText {
       when(pmod(col("doc_id"), lit(13L)) === 0,
         lit(" call +46 70 123 4567 today")).otherwise("")).as("text"))
 
+  /** Common-Crawl-style pages (url, warc_ts) synthesized from doc_id —
+    * reproduced verbatim in the q_txt_urldedup oracle. See the gate entry
+    * for the variant classes each modulus creates. */
+  private def urlCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(7L)) === 0, "HTTP").otherwise("http"),
+        lit("://"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, "Example.COM").otherwise("example.com"),
+        when(pmod(col("doc_id"), lit(4L)) === 0, ":80")
+          .when(pmod(col("doc_id"), lit(4L)) === 1, ":8080").otherwise(""),
+        lit("/page/"), pmod(col("doc_id"), lit(50L)).cast("string"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, "?utm_source=x&b=2&a=1")
+          .when(pmod(col("doc_id"), lit(3L)) === 1, "?a=1&b=2")
+          .otherwise("?b=2&a=1"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, "#frag").otherwise("")).as("url"),
+      timestamp_seconds(lit(1767225600L) + col("doc_id") * lit(37L)).as("warc_ts"))
+
+  /** line-structured docs: shared banner + footer variants + an empty line
+    * + the doc body + a unique tail — reproduced verbatim in the
+    * q_txt_linededup oracle. */
+  private def lineCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("ACCEPT COOKIES banner\n"),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit("promo footer "), pmod(col("doc_id"), lit(3L)).cast("string"),
+          lit("\n"))).otherwise(""),
+      when(pmod(col("doc_id"), lit(5L)) === 0, "\n").otherwise(""),
+      col("text"),
+      lit("\ndoc "), col("doc_id").cast("string"), lit(" tail")).as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_repetition" -> ((s, dir) =>
       WebText.withRepetitionStats(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
@@ -107,6 +139,25 @@ object QueriesText {
     "q_txt_chunks" -> ((s, dir) =>
       WebText.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkWords = 20, overlapWords = 5)),
+
+    // latest-crawl-wins URL dedup over a synthesized Common-Crawl-style
+    // pages table: scheme/host case variants (%7/%3), default vs non-default
+    // port (%4 — :8080 is a DISTINCT resource and must NOT collapse),
+    // tracking params + param-order shuffles (%3), fragments (%5); 50 base
+    // paths x the port split give ~dozens of re-crawls per canonical url.
+    // warc_ts = epoch + 37*doc_id is globally unique -> rank deterministic.
+    "q_txt_urldedup" -> ((s, dir) =>
+      WebText.urlDedup(urlCorpus(s, dir), "url", "warc_ts")
+        .select("doc_id", "url", "canon_url", "crawl_rank", "kept")),
+
+    // RefinedWeb/Falcon cross-doc line dedup: shared banner (every doc),
+    // 3 promo-footer variants (%4 docs), an empty line (%5 docs — empty
+    // lines are structural and never removed), the doc body, and a unique
+    // tail line. hashLines=false is the exact/oracle form; the xxhash64
+    // fast path is asserted identical in WebTextSpec.
+    "q_txt_linededup" -> ((s, dir) =>
+      WebText.lineDedup(lineCorpus(s, dir), "doc_id", "text",
+        minDocs = 3, hashLines = false)),
 
     "q_agg_hll" -> ((s, dir) => { // rows-only (HLL++ sketch is engine-specific)
       val toks = docs(s, dir)
@@ -262,6 +313,70 @@ object QueriesText {
         |  CAST(MAX(e) AS BIGINT) AS end_word,
         |  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS n_words
         |FROM sp3 GROUP BY doc_id, span_id""".stripMargin,
+    // re-derives urlCorpus, then canonicalizes with the SAME RE2-subset
+    // patterns as WebText.canonicalUrl (shared-verbatim, the q_txt_pii
+    // precedent) and ranks newest-first per canonical url
+    "q_txt_urldedup" ->
+      ("""WITH p AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'http' END) || '://'
+        |  || (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM' ELSE 'example.com' END)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |           WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+        |  || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+        |           WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '?b=2&a=1' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+        |  TO_TIMESTAMP(1767225600 + doc_id * 37) AS warc_ts FROM documents),
+        |c AS (SELECT doc_id, url, warc_ts,
+        |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        |  REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |  REGEXP_EXTRACT(url, '^[^?#]*\?([^#]*)', 1) AS q FROM p),
+        |c2 AS (SELECT doc_id, url, warc_ts, scheme,
+        |  LOWER(REGEXP_EXTRACT(hostport, '^([^:]*)', 1)) AS host,
+        |  REGEXP_EXTRACT(hostport, ':([0-9]+)$', 1) AS port,
+        |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STRING_SPLIT(q, '&'),
+        |    x -> LEN(x) > 0 AND NOT REGEXP_MATCHES(x,
+        |      '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&') AS params
+        |  FROM c),
+        |canon AS (SELECT doc_id, url, warc_ts,
+        |  scheme || '://' || host
+        |  || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |           AND NOT (scheme = 'https' AND port = '443')
+        |      THEN ':' || port ELSE '' END)
+        |  || path || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url
+        |  FROM c2)
+        |SELECT doc_id, url, canon_url,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY canon_url
+        |    ORDER BY warc_ts DESC, url) AS BIGINT) AS crawl_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY canon_url
+        |    ORDER BY warc_ts DESC, url) = 1 AS kept
+        |FROM canon""").stripMargin,
+    // re-derives lineCorpus, counts distinct docs per trimmed non-empty
+    // line, removes hot lines everywhere, reassembles in line order
+    "q_txt_linededup" ->
+      """WITH c AS (SELECT doc_id,
+        |  'ACCEPT COOKIES banner' || chr(10)
+        |  || (CASE WHEN doc_id % 4 = 0
+        |      THEN 'promo footer ' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
+        |      ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN chr(10) ELSE '' END)
+        |  || text || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' tail' AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, STRING_SPLIT(text, chr(10)) AS ws FROM c),
+        |l AS (SELECT doc_id, i AS pos, ws[i] AS line, TRIM(ws[i]) AS t
+        |      FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i) u),
+        |hot AS (SELECT t FROM (SELECT DISTINCT t, doc_id FROM l WHERE t <> '') dl
+        |        GROUP BY t HAVING COUNT(*) >= 3),
+        |k AS (SELECT doc_id, pos, line,
+        |      (t = '' OR t NOT IN (SELECT t FROM hot)) AS keep FROM l)
+        |SELECT doc_id,
+        |  COALESCE(ARRAY_TO_STRING(LIST(line ORDER BY pos) FILTER (WHERE keep),
+        |    chr(10)), '') AS clean_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id""".stripMargin,
     "q_txt_domaincap" ->
       """SELECT doc_id, source,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source

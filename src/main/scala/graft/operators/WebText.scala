@@ -384,4 +384,114 @@ object WebText {
           .cast("long"))
       .withColumn("kept", col("domain_rank") <= maxPerDomain)
   }
+
+  /** query params dropped by [[canonicalUrl]]: click/campaign trackers that
+    * never change page content (the Common-Crawl URL-dedup convention).
+    * RE2-compatible (no \d / lookarounds) so the oracle shares it verbatim. */
+  val TrackingParamPattern: String =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)="
+
+  /**
+   * Canonical form of a web URL for crawl-level dedup: scheme and host
+   * lowercased, default port dropped (http:80 / https:443 — any other port
+   * kept), fragment dropped, tracking query params removed
+   * ([[TrackingParamPattern]]), the surviving params sorted bytewise and
+   * rejoined, and an empty path normalized to "/". Percent-decoding and IDN
+   * folding are deliberately out of scope — both are lossy without a full
+   * RFC 3986 table and the variants they fold are rare in crawl data.
+   * Strings that don't parse as scheme://... pass through unchanged (a
+   * canonicalizer must never merge things it can't read).
+   *
+   * Pure column expressions — no UDF, no shuffle. The regexp pieces are
+   * codegen'd; the param filter/sort are higher-order array functions
+   * (CodegenFallback) over arrays of a handful of elements — per-row cost
+   * is bounded by the query-string length, not the corpus.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val query = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => length(p) > 0 && !p.rlike(TrackingParamPattern))), "&")
+    when(scheme === "", url).otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(params === "", "").otherwise(concat(lit("?"), params))))
+  }
+
+  /**
+   * Latest-crawl-wins URL dedup over a Common-Crawl-style pages table: rank
+   * each page within its [[canonicalUrl]] group by (tsCol DESC, urlCol ASC)
+   * and flag rank 1 as kept — re-crawls, tracking-param variants, and
+   * case/port/fragment spellings of one resource collapse to the newest
+   * capture. Every row survives with (canon_url, crawl_rank, kept) so the
+   * drop population stays auditable (the domainCap convention).
+   *
+   * Scale: canonicalization is per-row codegen; the rank is ONE window
+   * shuffle on canon_url. Groups are per-resource (re-crawl counts, tens at
+   * most) so no salting is needed — the skew domainCap warns about cannot
+   * arise here.
+   */
+  def urlDedup(pages: DataFrame, urlCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pages.withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .withColumn("crawl_rank",
+        row_number().over(Window.partitionBy(col("canon_url"))
+          .orderBy(col(tsCol).desc, col(urlCol).asc)).cast("long"))
+      .withColumn("kept", col("crawl_rank") === 1L)
+  }
+
+  /**
+   * Cross-document line-level dedup (the RefinedWeb/Falcon boilerplate
+   * pass): a line whose trimmed text appears in at least `minDocs` DISTINCT
+   * documents is removed from every document that carries it — nav menus,
+   * cookie banners, and share footers die corpus-wide in one pass. Lines
+   * that trim to "" are structural, not content: they are never counted and
+   * never removed. Output: one row per input doc —
+   * (doc_id, clean_text, n_lines, n_removed) — docs whose every line is
+   * boilerplate survive with clean_text = ''.
+   *
+   * Scale: the line-frequency table is one map-side-combinable two-level
+   * aggregation (distinct (line, doc) then count per line — never a
+   * COUNT(DISTINCT) sort); the mark-back join shuffles on the line key; the
+   * reassembly is one groupBy(doc). With `hashLines` (default) the
+   * count/join key is xxhash64 of the trimmed line — 8 bytes instead of the
+   * string — at ~2^-64 false-merge probability; `hashLines = false` is the
+   * exact/oracle form (WebTextSpec asserts equality on real fixtures).
+   */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minDocs: Long = 3, hashLines: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__t", trim(col("line")))
+      .withColumn("key",
+        if (hashLines) xxhash64(col("__t")) else col("__t"))
+    val hot = lines.filter(col("__t") =!= "")
+      .select("key", "doc_id").distinct()
+      .groupBy("key").count()
+      .filter(col("count") >= minDocs)
+      .select(col("key"), lit(true).as("__hot"))
+    lines
+      .join(hot, Seq("key"), "left")
+      .withColumn("keep", col("__t") === "" || col("__hot").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("line")))),
+            x => x.getField("keep")),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
 }

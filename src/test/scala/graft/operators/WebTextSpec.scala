@@ -292,4 +292,80 @@ class WebTextSpec extends AnyFunSuite {
     assert(got(1L) == ((4L, false)))
     assert(got(4L) == ((1L, true)))
   }
+
+  test("canonicalUrl folds case/port/fragment/tracking/param-order; unparseable passes through") {
+    val cases = Seq(
+      // scheme+host case, default port, fragment
+      "HTTP://WWW.Example.COM:80/a/b#frag" -> "http://www.example.com/a/b",
+      "https://example.com:443/x" -> "https://example.com/x",
+      // non-default port survives
+      "http://example.com:8080/x" -> "http://example.com:8080/x",
+      // tracking params die, survivors sort, empty path -> /
+      "http://example.com?utm_source=tw&b=2&a=1" -> "http://example.com/?a=1&b=2",
+      "http://example.com/?a=1&b=2" -> "http://example.com/?a=1&b=2",
+      "http://example.com/?b=2&a=1&fbclid=xyz&gclid=1&ref=hn" -> "http://example.com/?a=1&b=2",
+      // all params tracking -> no '?'
+      "http://example.com/p?utm_campaign=x" -> "http://example.com/p",
+      // utm must be a PARAM NAME, not a value or substring
+      "http://example.com/?q=utm_source" -> "http://example.com/?q=utm_source",
+      "http://example.com/?xutm_a=1" -> "http://example.com/?xutm_a=1",
+      // empty query / lone '?' -> dropped
+      "http://example.com/p?" -> "http://example.com/p",
+      // no scheme: pass through untouched
+      "not a url at all" -> "not a url at all",
+      "www.example.com/x" -> "www.example.com/x")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), WebText.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"url: $in") }
+  }
+
+  test("urlDedup keeps the latest crawl per canonical url; audit rows survive") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val pages = Seq(
+      (1L, "http://A.com/p?utm_source=x", ts("2026-01-01 00:00:00")),
+      (2L, "http://a.com/p", ts("2026-03-01 00:00:00")), // newest -> kept
+      (3L, "http://a.com:80/p#frag", ts("2026-02-01 00:00:00")),
+      (4L, "http://b.com/q", ts("2026-01-01 00:00:00")), // singleton -> kept
+      // same ts tie -> url ASC wins
+      (5L, "http://c.com/r?z=1", ts("2026-01-01 00:00:00")),
+      (6L, "http://c.com/r?z=1&utm_x=1", ts("2026-01-01 00:00:00")))
+      .toDF("doc_id", "url", "warc_ts")
+    val got = WebText.urlDedup(pages, "url", "warc_ts")
+      .select("doc_id", "canon_url", "crawl_rank", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == 6)
+    assert(got(2L) == (("http://a.com/p", 1L, true)))
+    assert(got(3L) == (("http://a.com/p", 2L, false)))
+    assert(got(1L) == (("http://a.com/p", 3L, false)))
+    assert(got(4L) == (("http://b.com/q", 1L, true)))
+    assert(got(5L) == (("http://c.com/r?z=1", 1L, true))) // shorter url sorts first
+    assert(got(6L) == (("http://c.com/r?z=1", 2L, false)))
+  }
+
+  test("lineDedup == brute force; empty lines kept; all-boilerplate doc survives empty; hash path identical") {
+    val banner = "ACCEPT COOKIES"
+    val nav = "home | about | contact"
+    val docs = Seq(
+      (1L, s"$banner\n$nav\nunique body one\n\ndoc one footer"),
+      (2L, s"$banner\n$nav\nanother body"),
+      (3L, s"$banner\n  $nav  \nthird body"), // trim variant still counts
+      (4L, s"$banner\n$nav"),                 // all lines boilerplate
+      (5L, "standalone doc\n\n\nwith blanks"), // blanks never removed
+      (6L, s"no boilerplate here\n$banner"))   // banner in 5 docs total
+      .toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      WebText.lineDedup(docs, "doc_id", "text", minDocs = 3, hashLines = hash)
+        .select("doc_id", "clean_text", "n_lines", "n_removed")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = run(hash = true)
+    assert(got == run(hash = false)) // exact twin identical on real fixtures
+    // banner appears in docs 1,2,3,4,6 (5 >= 3 -> hot); nav in 1,2,3,4 via trim
+    assert(got(1L) == (("unique body one\n\ndoc one footer", 5L, 2L)))
+    assert(got(2L) == (("another body", 3L, 2L)))
+    assert(got(3L) == (("third body", 3L, 2L))) // '  nav  ' removed by trimmed key
+    assert(got(4L) == (("", 2L, 2L)))           // doc survives with empty text
+    assert(got(5L) == (("standalone doc\n\n\nwith blanks", 4L, 0L)))
+    assert(got(6L) == (("no boilerplate here", 2L, 1L)))
+  }
 }
