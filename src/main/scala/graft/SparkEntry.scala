@@ -148,7 +148,7 @@ object SparkEntry {
       QueriesDedupOracle.queries ++
       QueriesRaster.queries ++ QueriesStore.queries ++
       QueriesTemporal.queries ++ QueriesSampling.queries ++
-      QueriesPipelineOracle.queries ++
+      QueriesPipelineOracle.queries ++ QueriesWebGraph.queries ++
       pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +161,6 @@ object SparkEntry {
       QueriesMoreViewsOracle.oracle ++ QueriesTopo50Oracle.oracle ++
       QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
       QueriesRaster.oracle ++ QueriesStore.oracle ++ QueriesTemporal.oracle ++
-      QueriesSampling.oracle ++ QueriesPipelineOracle.oracle
+      QueriesSampling.oracle ++ QueriesPipelineOracle.oracle ++
+      QueriesWebGraph.oracle
 }

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.WebGraph
+
+/** Plan-shape probe for the web-graph operators: extractLinks must be
+  * shuffle-free (pure projection+explode), hostGraph exactly one Exchange
+  * with a map-side partial aggregate under it, pageRank one Exchange pair
+  * per iteration (join + agg) with no BroadcastNestedLoop anywhere.
+  * Usage: runMain graft.tools.DriveWebGraph [nPages] */
+object DriveWebGraph {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val pages = spark.range(n).select(
+      concat(lit("http://site"), pmod(col("id"), lit(5000L)), lit(".example/p/"),
+        col("id")).as("url"),
+      concat(lit("<a href=\"https://hub"), pmod(col("id"), lit(997L)),
+        lit(".example/x\">l</a><a href=\"/local/"), pmod(col("id"), lit(9L)),
+        lit("\">r</a>")).cast("binary").as("html"))
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.agg(count(lit(1))).collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"== $name: exchanges=" + "Exchange".r.findAllIn(p).length +
+        " bnl=" + "BroadcastNestedLoop".r.findAllIn(p).length +
+        " wscg_spans=" + "WholeStageCodegen".r.findAllIn(p).length)
+      p.split("\n").filter(l => l.contains("Exchange") || l.contains("Join") ||
+        l.contains("Aggregate") || l.contains("Generate")).take(24).foreach(println)
+    }
+
+    val links = WebGraph.extractLinks(pages, "url", "html")
+    audit("extractLinks", links)
+    val hg = WebGraph.hostGraph(links, "src_url", "dst_url")
+    audit("hostGraph", hg)
+    val pr = WebGraph.pageRankFixedPoint(hg, "src_host", "dst_host", iters = 3)
+    audit("pageRank(3)", pr)
+    println("TOP=" + pr.orderBy(col("rank").desc).limit(3).collect().mkString(" "))
+    spark.stop()
+  }
+}
