@@ -49,7 +49,33 @@ object QueriesDedupOracle {
         hashFn = PortableHash.shingleHash, bandHashFn = PortableHash.bandHash)),
 
     "q_txt_fingerprint_oracle" -> ((s, dir) =>
-      TextAnalysis.portableFingerprints(docsParallel(s, dir), "doc_id", "text")))
+      TextAnalysis.portableFingerprints(docsParallel(s, dir), "doc_id", "text")),
+
+    // incremental near-dup: new crawl batch vs the persisted corpus
+    // signature table — %3 variant classes: exact dup / appended tail
+    // (partial signature agreement) / fresh content (no match)
+    "q_dedup_incr_oracle" -> ((s, dir) =>
+      Dedup.incrementalMinhash(
+        newBatch(s, dir),
+        Dedup.minhashSignatures(docsParallel(s, dir), "doc_id", "text",
+          n = 3, numHashes = 16, maxDocFreq = 100L,
+          hashFn = PortableHash.shingleHash),
+        "doc_id", "text", n = 3, numHashes = 16, bands = 4, minMatches = 8,
+        maxDocFreq = 100L,
+        hashFn = PortableHash.shingleHash, bandHashFn = PortableHash.bandHash)))
+
+  /** new-crawl batch for incrementalMinhash: ids re-keyed +5e6; %3==0 exact
+    * corpus dup, %3==1 the corpus text with an appended tail (near dup),
+    * %3==2 fresh unique content. Reproduced verbatim in the oracle. */
+  private def newBatch(s: SparkSession, dir: String): DataFrame =
+    docsParallel(s, dir).select(
+      (col("doc_id") + 5000000L).as("doc_id"),
+      when(pmod(col("doc_id"), lit(3L)) === 0, col("text"))
+        .when(pmod(col("doc_id"), lit(3L)) === 1,
+          concat(col("text"), lit(" appended crawl tail words")))
+        .otherwise(concat(lit("fresh content for document "),
+          col("doc_id").cast("string"),
+          lit(" entirely new words never seen before"))).as("text"))
 
   // ---------------- generated oracle SQL ----------------
 
@@ -106,7 +132,68 @@ object QueriesDedupOracle {
        |  WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.5)""".stripMargin
   }
 
+  /** suffix-parameterized shingle+digest CTEs over a (doc_id, text)
+    * relation (maxDocFreq = 100, like [[shingleCtes]]) — the incremental
+    * oracle needs TWO independent shingle pipelines (corpus + new batch). */
+  private def shingleCtesSfx(rel: String, x: String): String =
+    s"""d$x AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM $rel
+       |      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+       |sh0$x AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |        FROM d$x, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-2)) AS i) t),
+       |sh$x AS (SELECT * FROM sh0$x WHERE s IN
+       |       (SELECT s FROM sh0$x GROUP BY s HAVING COUNT(*) <= 100)),
+       |dg$x AS (SELECT id, s, ${digestSql("s", 131L, P1)} AS dv FROM sh$x)""".stripMargin
+
+  /** 16 affine minhashes over dg<x> -> sig<x>. */
+  private def sigCteSfx(x: String): String = {
+    val sigCols = (0 until 16).map(i =>
+      s"MIN(((${37 + 2 * i}*dv + ${1000003L * i + 17}) % $P1)) AS h$i").mkString(",\n    ")
+    s"""sig$x AS (SELECT id,
+       |    $sigCols
+       |  FROM dg$x GROUP BY id)""".stripMargin
+  }
+
+  /** 4 band-bucket keys over sig<x> -> bk<x>. */
+  private def bandCteSfx(x: String): String = {
+    val bandRows = (0 until 4).map { b =>
+      val expr = (0 until 4).foldLeft(s"CAST(${1000003L + b} AS BIGINT)") { (acc, r) =>
+        s"(($acc)*1048573 + h${b * 4 + r}) % $P1"
+      }
+      s"SELECT id, $b AS band, $expr AS bh FROM sig$x"
+    }.mkString("\n  UNION ALL ")
+    s"bk$x AS ($bandRows)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_incr_oracle" -> {
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH newrel AS (SELECT doc_id + 5000000 AS doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text
+         |         WHEN doc_id % 3 = 1 THEN text || ' appended crawl tail words'
+         |         ELSE 'fresh content for document ' || CAST(doc_id AS VARCHAR)
+         |              || ' entirely new words never seen before' END AS text
+         |  FROM documents),
+         |${shingleCtesSfx("documents", "c")},
+         |${sigCteSfx("c")},
+         |${bandCteSfx("c")},
+         |${shingleCtesSfx("newrel", "nb")},
+         |${sigCteSfx("nb")},
+         |${bandCteSfx("nb")},
+         |cand AS (SELECT DISTINCT n.id AS id, c.id AS cid
+         |         FROM bknb n JOIN bkc c ON n.band = c.band AND n.bh = c.bh),
+         |score AS (SELECT cand.id, cand.cid, CAST($agree AS BIGINT) AS agree
+         |          FROM cand JOIN signb a ON a.id = cand.id
+         |                    JOIN sigc b ON b.id = cand.cid),
+         |best AS (SELECT id, cid, agree,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY agree DESC, cid ASC) AS rn
+         |  FROM score WHERE agree >= 8),
+         |allnew AS (SELECT DISTINCT doc_id AS id FROM newrel)
+         |SELECT allnew.id, best.cid AS matched_id, best.agree,
+         |  best.cid IS NOT NULL AS is_dup
+         |FROM allnew LEFT JOIN best ON best.id = allnew.id AND best.rn = 1""".stripMargin
+    },
+
     "q_dedup_minhash_oracle" ->
       s"""WITH $corpusCte,
          |${shingleCtes("corpus")},

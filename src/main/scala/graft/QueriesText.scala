@@ -72,7 +72,57 @@ object QueriesText {
       col("text"),
       lit("\ndoc "), col("doc_id").cast("string"), lit(" tail")).as("text"))
 
+  /** re-crawl corpus for crawlDelta: %9 docs get a unique /solo/ url (one
+    * crawl → 'new'); the rest share /p/(doc_id%120) — 120 is even, so group
+    * members share parity and the %2 text rule makes whole groups stable
+    * ('unchanged') or per-crawl-unique ('changed'). warc_ts strictly
+    * increases with doc_id → the latest crawl is the max doc_id. Reproduced
+    * verbatim in the q_txt_crawldelta oracle; mixed-history groups and the
+    * same-timestamp tiebreak live in WebTextSpec. */
+  private def recrawlCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      when(pmod(col("doc_id"), lit(9L)) === 0,
+        concat(lit("http://ex.com/solo/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("http://ex.com/p/"),
+          pmod(col("doc_id"), lit(120L)).cast("string"))).as("url"),
+      timestamp_seconds(lit(1767225600L) + col("doc_id") * lit(37L)).as("warc_ts"),
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+        concat(lit("stable "), pmod(col("doc_id"), lit(120L)).cast("string")))
+        .otherwise(concat(lit("rev "), col("doc_id").cast("string"))).as("text"))
+
+  /** inverted-index corpus: 'the' in every doc (df > cap → postings NULL),
+    * an a-term (df ≈ n/97) carried 3× on even ids / 2× on odd (tf ordering
+    * + doc_id tiebreak), a b-term (df ≈ n/13), a unique u-term on %5 docs
+    * (df = 1), and a double space on %4 docs (empty-token filter).
+    * Reproduced verbatim in the q_txt_invindex oracle. */
+  private def indexCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("the a"), pmod(col("doc_id"), lit(97L)).cast("string"),
+      when(pmod(col("doc_id"), lit(4L)) === 0, "  ").otherwise(" "),
+      lit("a"), pmod(col("doc_id"), lit(97L)).cast("string"),
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+        concat(lit(" a"), pmod(col("doc_id"), lit(97L)).cast("string"))).otherwise(""),
+      lit(" b"), pmod(col("doc_id"), lit(13L)).cast("string"),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(lit(" u"), col("doc_id").cast("string"))).otherwise("")).as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ts columns projected to epoch seconds: Spark's instant-semantics
+    // parquet timestamps read tz-aware while DuckDB's TO_TIMESTAMP is
+    // TIMESTAMPTZ — BIGINT seconds are the portable comparison surface
+    "q_txt_crawldelta" -> ((s, dir) =>
+      WebText.crawlDelta(recrawlCorpus(s, dir), "url", "warc_ts", "text")
+        .select(col("url"), col("n_crawls"),
+          col("first_ts").cast("long").as("first_ts_s"),
+          col("last_ts").cast("long").as("last_ts_s"), col("status"))),
+
+    // dfCap 60: at 500 docs 'the' (df=500) is capped, a/b/u-terms post;
+    // at 5000 docs the b-terms (df≈385) cross the cap too — both SFs
+    // exercise capped and posted classes
+    "q_txt_invindex" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(indexCorpus(s, dir), "doc_id", "text",
+        k = 3, dfCap = 60L)),
+
     "q_txt_repetition" -> ((s, dir) =>
       WebText.withRepetitionStats(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
         .select("doc_id", "n_words", "dup_word_frac", "top2_ratio", "dup3_frac")),
@@ -289,6 +339,59 @@ object QueriesText {
     }))
 
   val oracle: Map[String, String] = Map(
+    // re-derives recrawlCorpus; latest-crawl row = rn = n, status from the
+    // LAG against the previous capture — same (ts, text) order as the engine
+    "q_txt_crawldelta" ->
+      """WITH p AS (SELECT
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN 'http://ex.com/solo/' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'http://ex.com/p/' || CAST(doc_id % 120 AS VARCHAR) END AS url,
+        |    1767225600 + doc_id * 37 AS ts_s,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'stable ' || CAST(doc_id % 120 AS VARCHAR)
+        |         ELSE 'rev ' || CAST(doc_id AS VARCHAR) END AS text
+        |  FROM documents),
+        |w AS (SELECT url, text,
+        |    ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts_s, text) AS rn,
+        |    COUNT(*) OVER (PARTITION BY url) AS n,
+        |    MIN(ts_s) OVER (PARTITION BY url) AS first_ts_s,
+        |    MAX(ts_s) OVER (PARTITION BY url) AS last_ts_s,
+        |    LAG(text) OVER (PARTITION BY url ORDER BY ts_s, text) AS prev
+        |  FROM p)
+        |SELECT url, CAST(n AS BIGINT) AS n_crawls,
+        |  CAST(first_ts_s AS BIGINT) AS first_ts_s,
+        |  CAST(last_ts_s AS BIGINT) AS last_ts_s,
+        |  CASE WHEN n = 1 THEN 'new'
+        |       WHEN text <> prev THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM w WHERE rn = n""".stripMargin,
+
+    // re-derives indexCorpus; df cap + top-3 postings exactly as
+    // TextAnalysis.invertedIndex (tfc DESC, doc_id ASC rank order)
+    "q_txt_invindex" ->
+      """WITH c AS (SELECT doc_id,
+        |    'the a' || CAST(doc_id % 97 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '  ' ELSE ' ' END)
+        |    || 'a' || CAST(doc_id % 97 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |         THEN ' a' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END)
+        |    || ' b' || CAST(doc_id % 13 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |         THEN ' u' || CAST(doc_id AS VARCHAR) ELSE '' END) AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM c),
+        |t AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tfc
+        |      FROM toks WHERE word <> '' GROUP BY word, doc_id),
+        |stats AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+        |          CAST(SUM(tfc) AS BIGINT) AS tf_total FROM t GROUP BY word),
+        |r AS (SELECT t.word, t.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY t.word ORDER BY t.tfc DESC, t.doc_id) AS rn
+        |  FROM t JOIN stats USING (word) WHERE stats.df <= 60),
+        |p AS (SELECT word, STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
+        |  FROM r WHERE rn <= 3 GROUP BY word)
+        |SELECT stats.word, stats.df, stats.tf_total, p.postings
+        |FROM stats LEFT JOIN p USING (word)""".stripMargin,
+
     "q_txt_dupspans" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -21,8 +21,10 @@ object QueriesWebGraph {
     *  %4  → explicit :8443 port (kept through root-relative resolution);
     *  %2  → a root-relative href (HREF uppercase — case-insensitive matcher);
     *  %7  → mailto/#fragment/relative hrefs (all dropped);
-    *  %11 → a duplicated absolute href (link multiplicity preserved).
-    * Reproduced verbatim in all three q_web_* oracles. */
+    *  %11 → a duplicated absolute href (link multiplicity preserved);
+    *  %13 → a whitespace-only anchor body (trims to '' — link mass but not
+    *        anchor vocabulary in anchorStats).
+    * Reproduced verbatim in all the q_web_* oracles. */
   private def webCorpus(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
@@ -48,6 +50,8 @@ object QueriesWebGraph {
         when(pmod(col("doc_id"), lit(11L)) === 0,
           concat(lit("<a href=\"https://Hub"), pmod(col("doc_id"), lit(3L)).cast("string"),
             lit(".example.org/x\">dup</a>"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(13L)) === 0,
+          "<a href=\"https://blank.example.org/b\">  </a>").otherwise(""),
         lit("</html>")).cast("binary").as("html"))
 
   /** Directed host edges straight from doc_id: src ∈ h0..h96, dst ∈ h0..h100
@@ -72,7 +76,33 @@ object QueriesWebGraph {
     "q_web_pagerank" -> ((s, dir) =>
       WebGraph.pageRankFixedPoint(edgeCorpus(s, dir), "src_host", "dst_host",
         iters = 3)
-        .select(col("host"), col("rank").as("pr"))))
+        .select(col("host"), col("rank").as("pr"))),
+
+    "q_web_anchors" -> ((s, dir) =>
+      WebGraph.extractAnchors(webCorpus(s, dir), "url", "html")),
+
+    "q_web_anchorstats" -> ((s, dir) =>
+      WebGraph.anchorStats(
+        WebGraph.extractAnchors(webCorpus(s, dir), "url", "html"),
+        "dst_url", "anchor")),
+
+    "q_web_hits" -> ((s, dir) =>
+      WebGraph.hitsFixedPoint(edgeCorpus(s, dir), "src_host", "dst_host",
+        iters = 2)),
+
+    // 11 hosts (~45 urls each at 500 docs), cycling priorities so ties are
+    // real (url ASC tiebreak pinned); %13 unparseable urls bucket to host ''
+    "q_web_frontier" -> ((s, dir) =>
+      WebGraph.frontierSchedule(
+        docs(s, dir).select(
+          when(pmod(col("doc_id"), lit(13L)) === 0,
+            concat(lit("not a url "), col("doc_id").cast("string")))
+            .otherwise(concat(lit("http://host"),
+              pmod(col("doc_id"), lit(11L)).cast("string"),
+              lit(".example/p/"), col("doc_id").cast("string"))).as("url"),
+          pmod(col("doc_id") * 7L, lit(1000L)).as("priority")),
+        "url", "priority", slotsPerWave = 4)
+        .select("url", "host", "host_rank", "wave")))
 
   /** The url/html CASE ladder mirrors webCorpus; the href matcher is
     * [[WebGraph.HrefPattern]] verbatim (RE2-subset, inline (?i) works in
@@ -100,6 +130,9 @@ object QueriesWebGraph {
       |       THEN '<a href="https://Hub' || CAST(doc_id % 3 AS VARCHAR)
       |            || '.example.org/x">dup</a>'
       |       ELSE '' END)
+      |  || (CASE WHEN doc_id % 13 = 0
+      |       THEN '<a href="https://blank.example.org/b">  </a>'
+      |       ELSE '' END)
       |  || '</html>' AS html FROM documents"""
 
   /** Margin-bearing for the same reason as [[oraclePages]]. */
@@ -117,8 +150,96 @@ object QueriesWebGraph {
       |    END AS dst_url
       |  FROM x) WHERE dst_url IS NOT NULL"""
 
+  /** Anchor extraction: whole `<a>` elements first (group 0), then group
+    * 1/2 per element — [[WebGraph.AnchorPattern]] verbatim. Margin-bearing
+    * like [[oraclePages]]. */
+  private val oracleAnchors: String =
+    s"""WITH p AS ($oraclePages),
+      |x AS (SELECT url,
+      |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |  UNNEST(REGEXP_EXTRACT_ALL(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 0)) AS a
+      |  FROM p),
+      |y AS (SELECT url, scheme, hostport,
+      |  REGEXP_EXTRACT(a, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS href,
+      |  TRIM(REGEXP_EXTRACT(a, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+      |  FROM x)
+      |SELECT src_url, dst_url, anchor FROM (
+      |  SELECT url AS src_url,
+      |    CASE WHEN REGEXP_MATCHES(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+      |         WHEN href LIKE '/%' AND scheme <> ''
+      |           THEN scheme || '://' || hostport || href
+      |    END AS dst_url, anchor
+      |  FROM y) WHERE dst_url IS NOT NULL"""
+
   val oracle: Map[String, String] = Map(
     "q_web_links" -> oracleLinks.stripMargin,
+
+    "q_web_anchors" -> oracleAnchors.stripMargin,
+
+    "q_web_anchorstats" ->
+      s"""WITH anchors AS ($oracleAnchors),
+        |h AS (SELECT
+        |  LOWER(REGEXP_EXTRACT(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS dst_host,
+        |  anchor FROM anchors),
+        |ba AS (SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM h WHERE dst_host <> '' GROUP BY dst_host, anchor),
+        |tot AS (SELECT dst_host, CAST(SUM(n) AS BIGINT) AS n_links,
+        |        CAST(SUM(CASE WHEN anchor <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_anchors
+        |        FROM ba GROUP BY dst_host),
+        |top AS (SELECT dst_host, anchor AS top_anchor, n AS top_anchor_n FROM (
+        |  SELECT dst_host, anchor, n,
+        |    ROW_NUMBER() OVER (PARTITION BY dst_host ORDER BY n DESC, anchor) AS rn
+        |  FROM ba WHERE anchor <> '') WHERE rn = 1)
+        |SELECT tot.dst_host, n_links, n_anchors, top_anchor, top_anchor_n
+        |FROM tot LEFT JOIN top USING (dst_host)""".stripMargin,
+
+    // 2 unrolled HITS iterations; `//` floor division on non-negative
+    // BIGINTs = Spark `div` → bit-identical scores. scale = 1000000.
+    "q_web_hits" ->
+      """WITH e AS (SELECT DISTINCT
+        |    'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+        |    'h' || CAST((doc_id * 5 + 3) % 101 AS VARCHAR) AS dst FROM documents),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+        |a1r AS (SELECT e.dst AS host, SUM(h0.hub) AS raw
+        |        FROM e JOIN h0 ON h0.host = e.src GROUP BY e.dst),
+        |a1 AS (SELECT n.host,
+        |       CAST((COALESCE(a1r.raw, 0) * 1000000) // (SELECT MAX(raw) FROM a1r) AS BIGINT) AS auth
+        |       FROM nodes n LEFT JOIN a1r USING (host)),
+        |h1r AS (SELECT e.src AS host, SUM(a1.auth) AS raw
+        |        FROM e JOIN a1 ON a1.host = e.dst GROUP BY e.src),
+        |h1 AS (SELECT n.host,
+        |       CAST((COALESCE(h1r.raw, 0) * 1000000) // (SELECT MAX(raw) FROM h1r) AS BIGINT) AS hub
+        |       FROM nodes n LEFT JOIN h1r USING (host)),
+        |a2r AS (SELECT e.dst AS host, SUM(h1.hub) AS raw
+        |        FROM e JOIN h1 ON h1.host = e.src GROUP BY e.dst),
+        |a2 AS (SELECT n.host,
+        |       CAST((COALESCE(a2r.raw, 0) * 1000000) // (SELECT MAX(raw) FROM a2r) AS BIGINT) AS auth
+        |       FROM nodes n LEFT JOIN a2r USING (host)),
+        |h2r AS (SELECT e.src AS host, SUM(a2.auth) AS raw
+        |        FROM e JOIN a2 ON a2.host = e.dst GROUP BY e.src),
+        |h2 AS (SELECT n.host,
+        |       CAST((COALESCE(h2r.raw, 0) * 1000000) // (SELECT MAX(raw) FROM h2r) AS BIGINT) AS hub
+        |       FROM nodes n LEFT JOIN h2r USING (host))
+        |SELECT h2.host, h2.hub, a2.auth FROM h2 JOIN a2 USING (host)""".stripMargin,
+
+    // host regex mirrors WebGraph.hostOf; `//` = Spark div on positive rn
+    "q_web_frontier" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN doc_id % 13 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'http://host' || CAST(doc_id % 11 AS VARCHAR)
+        |              || '.example/p/' || CAST(doc_id AS VARCHAR) END AS url,
+        |    (doc_id * 7) % 1000 AS priority
+        |  FROM documents),
+        |r AS (SELECT url,
+        |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+        |      ORDER BY priority DESC, url ASC) AS rn
+        |  FROM f)
+        |SELECT url, host, CAST(rn AS BIGINT) AS host_rank,
+        |  CAST((rn - 1) // 4 AS BIGINT) AS wave FROM r""".stripMargin,
 
     "q_web_hostgraph" ->
       s"""WITH links AS ($oracleLinks)

@@ -162,6 +162,86 @@ object Dedup {
   val defaultBandHash: (Int, Seq[Column]) => Column =
     (b, hs) => xxhash64((lit(b) +: hs): _*)
 
+  /** (id, h0..h{numHashes-1}) minhash signature table — the PERSISTABLE
+    * corpus dedup state ([[incrementalMinhash]] consumes it): numHashes
+    * longs per doc, no shingles retained. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 16,
+                        maxDocFreq: Long = Long.MaxValue,
+                        hashFn: (Int, Column) => Column = defaultShingleHash): DataFrame = {
+    val hashCols: Seq[Column] =
+      (0 until numHashes).map(i => min(hashFn(i, col("shingle"))).as(s"h$i"))
+    cappedShingles(docs, idCol, textCol, n, maxDocFreq)
+      .groupBy("id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** (id, band, bh) LSH band keys of a signature table. */
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int,
+      bandHashFn: (Int, Seq[Column]) => Column): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        bandHashFn(b, (0 until rows).map(r => col(s"h${b * rows + r}"))).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+  }
+
+  /**
+   * Incremental near-dup: mark each NEW document against a persisted corpus
+   * [[minhashSignatures]] table WITHOUT touching corpus text — the per-crawl
+   * increment of a rolling dedup (the element-store MERGE idea on the dedup
+   * axis). New docs are signed, band-joined against the corpus band keys
+   * (candidates are bucket collisions, linear not all-pairs), and each
+   * candidate pair is scored by exact signature agreement
+   * (#{i : h_i == g_i}, the unbiased minhash Jaccard estimate ×numHashes —
+   * corpus shingles are gone, so estimate-by-signature IS the contract);
+   * pairs with agree >= `minMatches` are dups. One row per new doc:
+   * (id, matched_id, agree, is_dup) — matched_id is the best corpus match
+   * (max agree, min corpus id tie — pinned), NULL when none.
+   *
+   * Scale: corpus state is numHashes longs/doc; the increment costs
+   * O(new + collisions), never O(corpus). The new-side signature table is
+   * localCheckpoint'ed (3 consumers). Run [[exactGroups]] collapse on the
+   * new batch first when it can carry identical docs (the [[dedupPipeline]]
+   * discipline) — N identical new docs hit the same corpus buckets N times.
+   */
+  def incrementalMinhash(newDocs: DataFrame, corpusSigs: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                         minMatches: Int = 8,
+                         maxDocFreq: Long = Long.MaxValue,
+                         hashFn: (Int, Column) => Column = defaultShingleHash,
+                         bandHashFn: (Int, Seq[Column]) => Column = defaultBandHash): DataFrame = {
+    require(minMatches >= 1 && minMatches <= numHashes)
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, numHashes,
+      maxDocFreq, hashFn).localCheckpoint()
+    val cSigs = corpusSigs.select(col("id").as("__cid") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"g$i")): _*)
+    val cand = bandKeys(newSigs, numHashes, bands, bandHashFn)
+      .join(bandKeys(cSigs.select(col("__cid").as("id") +:
+          (0 until numHashes).map(i => col(s"g$i").as(s"h$i")): _*),
+          numHashes, bands, bandHashFn)
+          .select(col("id").as("__cid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("id", "__cid").distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"h$i") === col(s"g$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val best = cand
+      .join(newSigs, "id").join(cSigs, "__cid")
+      .select(col("id"), col("__cid"), agree.as("agree"))
+      .filter(col("agree") >= minMatches)
+      .groupBy("id")
+      .agg(max(struct(col("agree"), (-col("__cid")).as("__negid"))).as("__b"))
+      .select(col("id"), (-col("__b.__negid")).as("matched_id"),
+        col("__b.agree").as("agree"))
+    newDocs.select(col(idCol).as("id")).distinct()
+      .join(best, Seq("id"), "left")
+      .withColumn("is_dup", col("matched_id").isNotNull)
+  }
+
   /** band-bucket candidate pairs over a shingle table (the LSH core of
     * `minhashLshPairs`, exposed for pipeline composition + tests).
     *
@@ -173,16 +253,10 @@ object Dedup {
       hashFn: (Int, Column) => Column = defaultShingleHash,
       bandHashFn: (Int, Seq[Column]) => Column = defaultBandHash): DataFrame = {
     require(numHashes % bands == 0)
-    val rows = numHashes / bands
     val hashCols: Seq[Column] =
       (0 until numHashes).map(i => min(hashFn(i, col("shingle"))).as(s"h$i"))
     val sig = sh.groupBy("id").agg(hashCols.head, hashCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        bandHashFn(b, (0 until rows).map(r => col(s"h${b * rows + r}"))).as("bh"))
-    }
-    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val buckets = bandKeys(sig, numHashes, bands, bandHashFn)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))

@@ -176,4 +176,51 @@ object TextAnalysis {
                            k: Int = 8, win: Int = 16): DataFrame =
     docs.select(col(idCol), explode(portableFingerprintCol(col(textCol), k, win)).as("fp"))
       .distinct()
+
+  /**
+   * Capped inverted index over whitespace tokens: one row per term —
+   * (word, df, tf_total, postings) where postings is the top-`k` doc ids by
+   * (term frequency DESC, doc_id ASC), comma-joined, and NULL for terms
+   * with df > `dfCap` (stopwords: their postings are useless for retrieval
+   * and are exactly where a per-term operation skews). Retrieval /
+   * decontamination-lookup side of a corpus build. Tokenization is the
+   * corpus-portable whitespace split [[WebText.tfidfTopTerms]] uses —
+   * lowercase/strip caller-side if wanted.
+   *
+   * Scale: ONE token scan — the (word, doc) count table is eagerly
+   * localCheckpoint'ed and every downstream consumer (term stats, the
+   * df-cap term set, the postings rank) reads the materialized table.
+   * Without it Catalyst's partial-aggregate rewrite plans a separate
+   * corpus scan per consumer (three scans+explodes of the full corpus —
+   * measured in DriveWebGraph — because the rewritten stats subtree is no
+   * longer byte-identical to the postings one, so ReuseExchange can't
+   * serve it). The tf table is the retrieval index's own size;
+   * materializing it once is the right trade against re-reading 10^12
+   * pages. The top-k window runs AFTER the df-cap semi-join, so the
+   * per-term rank never sees a stopword group — the df cap is the skew
+   * guard, not a cosmetic filter. Output is one bounded row per term.
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, dfCap: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && dfCap >= 1)
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tfc"))
+      .localCheckpoint()
+    val stats = tf.groupBy("word")
+      .agg(count(lit(1)).as("df"), sum("tfc").as("tf_total"))
+    val postings = tf
+      .join(stats.filter(col("df") <= dfCap).select("word"), Seq("word"), "leftsemi")
+      .withColumn("__rn", row_number().over(Window.partitionBy("word")
+        .orderBy(col("tfc").desc, col("doc_id").asc)))
+      .filter(col("__rn") <= k)
+      .groupBy("word")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col("doc_id")))),
+        x => x.getField("doc_id").cast("string")), ",").as("postings"))
+    stats.join(postings, Seq("word"), "left")
+  }
 }

@@ -58,9 +58,112 @@ object WebGraph {
       .select("src_url", "dst_url")
   }
 
+  /** RE2-compatible full `<a href="…">text</a>` matcher shared VERBATIM with
+    * the q_web_anchors oracle — group 1 is the href, group 2 the anchor text
+    * (up to the first `<`, so nested markup truncates rather than matches). */
+  val AnchorPattern: String = "(?i)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /**
+   * (src_url, dst_url, anchor) triples — [[extractLinks]] plus the anchor
+   * text, the classic relevance signal (anchor text describes the TARGET
+   * page; search and training-data pipelines aggregate it per destination).
+   * Same href-resolution rules as [[extractLinks]]; the anchor is trimmed
+   * but otherwise verbatim, '' when the element body is empty or opens with
+   * a nested tag. One row per occurrence, multiplicity preserved.
+   *
+   * Scale: extracts whole `<a>` elements once (group 0), then re-derives
+   * both groups per element — three regex passes over short element strings
+   * instead of two full-document passes kept in lockstep. Zero shuffles;
+   * the html column is read exactly once.
+   */
+  def extractAnchors(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val src = col(urlCol)
+    val scheme = lower(regexp_extract(src, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(src, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val href = regexp_extract(col("__a"), AnchorPattern, 1)
+    pages
+      .select(src.as("src_url"), scheme.as("__scheme"), hostport.as("__hostport"),
+        explode(regexp_extract_all(col(htmlCol).cast("string"),
+          lit(AnchorPattern), lit(0))).as("__a"))
+      .withColumn("dst_url",
+        when(href.rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), href)
+          .when(href.startsWith("/") && col("__scheme") =!= "",
+            concat(col("__scheme"), lit("://"), col("__hostport"), href)))
+      .filter(col("dst_url").isNotNull)
+      .select(col("src_url"), col("dst_url"),
+        trim(regexp_extract(col("__a"), AnchorPattern, 2)).as("anchor"))
+  }
+
+  /**
+   * Per-destination-host anchor profile over an [[extractAnchors]] table:
+   * (dst_host, n_links, n_anchors, top_anchor, top_anchor_n) where
+   * `n_anchors` counts DISTINCT non-empty anchors and `top_anchor` is the
+   * most frequent one (ties broken lexicographically ascending — pinned).
+   * Empty anchors count as link mass but never as anchor vocabulary.
+   *
+   * Scale: one map-side-combined aggregation to (host, anchor) counts — the
+   * shuffle carries pre-combined counts, bounded by per-host anchor
+   * vocabulary, not link volume — then one window rank-1 per host plus the
+   * host totals, both over the already-collapsed table. A host with 10^9
+   * in-links but 10^4 distinct anchors costs 10^4 post-combine rows. The
+   * collapsed table is eagerly localCheckpoint'ed: its two consumers
+   * optimize into non-identical subtrees (the anchor≠'' filter pushes into
+   * one branch only), so without it each branch re-scans and re-regexes
+   * the anchors input — the full corpus when composed over
+   * [[extractAnchors]] (measured in DriveWebGraph).
+   */
+  def anchorStats(anchors: DataFrame, dstCol: String, anchorCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byAnchor = anchors
+      .select(hostOf(col(dstCol)).as("dst_host"), col(anchorCol).as("anchor"))
+      .filter(col("dst_host") =!= "")
+      .groupBy("dst_host", "anchor")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = byAnchor.groupBy("dst_host").agg(
+      sum("n").as("n_links"),
+      sum(when(col("anchor") =!= "", 1L).otherwise(0L)).as("n_anchors"))
+    val top = byAnchor.filter(col("anchor") =!= "")
+      .withColumn("__rn", row_number().over(Window.partitionBy("dst_host")
+        .orderBy(col("n").desc, col("anchor").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("dst_host"), col("anchor").as("top_anchor"),
+        col("n").as("top_anchor_n"))
+    totals.join(top, Seq("dst_host"), "left")
+  }
+
   /** lowercased host (no port) of a URL column — '' when unparseable. */
   private def hostOf(url: org.apache.spark.sql.Column) =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+
+  /**
+   * Politeness-aware frontier schedule: rank each URL within its host by
+   * (priority DESC, url ASC — pinned tie) and assign it to fetch wave
+   * `(host_rank - 1) div slotsPerWave`, so no wave fetches more than
+   * `slotsPerWave` URLs from one host — the per-host concurrency cap a
+   * crawler's politeness policy imposes, expressed as a dataset op (wave =
+   * the batch a distributed fetch would run together). URLs with an
+   * unparseable host go to host '' (rate-limiting garbage together is
+   * safe). Feed [[pageRankFixedPoint]] host scores joined onto the
+   * frontier as the priority.
+   *
+   * Scale: ONE window shuffle keyed on host. Ordering within a host is
+   * inherently sequential (that is the politeness constraint itself), so a
+   * mega-host's frontier sorts in one partition — cap per-host frontiers
+   * first ([[WebText.domainCap]] on the host column) exactly as production
+   * crawlers bound per-domain queues; the cap is policy, not a workaround.
+   */
+  def frontierSchedule(frontier: DataFrame, urlCol: String,
+                       priorityCol: String, slotsPerWave: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slotsPerWave >= 1)
+    frontier
+      .withColumn("host", hostOf(col(urlCol)))
+      .withColumn("host_rank",
+        row_number().over(Window.partitionBy(col("host"))
+          .orderBy(col(priorityCol).desc, col(urlCol).asc)).cast("long"))
+      .withColumn("wave", expr(s"(host_rank - 1L) div ${slotsPerWave}L"))
+  }
 
   /**
    * Collapse a link table to the host graph: (src_host, dst_host, n_links)
@@ -126,5 +229,69 @@ object WebGraph {
             .as("rank"))
     }
     ranks
+  }
+
+  /**
+   * Deterministic fixed-point HITS (Kleinberg hubs/authorities), `iters`
+   * synchronous iterations over a directed edge list:
+   *
+   *   hub[0]      = scale                          (per node)
+   *   auth'[k+1]  = sum(hub[k]  over in-edges)     (per dst)
+   *   auth[k+1]   = (auth' * scale) div max(auth') (max-normalized)
+   *   hub'[k+1]   = sum(auth[k+1] over out-edges)  (per src)
+   *   hub[k+1]    = (hub' * scale) div max(hub')
+   *
+   * Max-normalization instead of the textbook L2 norm: a BIGINT max is
+   * bit-portable (DuckDB `//` reproduces every step exactly), an L2 norm is
+   * a float sqrt whose reduction order moves the last ulp. Like
+   * [[pageRankFixedPoint]], scores are an ORDERING signal. Parallel edges
+   * collapse first; nodes with no in-edges get auth 0 (resp. hub 0).
+   *
+   * Overflow bound: auth' ≤ max_indegree * scale, and the normalization
+   * multiplies by scale again, so pick scale with
+   * max_degree * scale^2 < 2^63 — the default 10^6 is safe to ~9·10^6
+   * in-links per host; drop to 10^4 for heavier-tailed graphs (costs rank
+   * resolution, not correctness).
+   *
+   * Scale: per iteration, two edge-list equi-joins + two map-side-combinable
+   * sums + two scalar maxes (broadcast back, no shuffle). The score tables
+   * are |hosts| rows. Each normalize reads its raw-sum table TWICE (the max
+   * and the join), so without materialization the plan quadruples per
+   * half-step — every half-step score is eagerly localCheckpoint'ed (the
+   * [[Dedup]] connected-components discipline), which is also the Pregel
+   * superstep shape: O(1) plan per iteration, the |hosts|-row working set
+   * materialized once per half-step.
+   */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
+    // raw per-node sums -> max-normalized scores on every node (0 for nodes
+    // the edge side never touches). max(raw) >= scale*1 whenever e is
+    // nonempty, so the div is never by zero.
+    def normalize(rawDf: DataFrame, outCol: String): DataFrame = {
+      val raw = rawDf.localCheckpoint()
+      val m = raw.agg(max("__raw").as("__max"))
+      nodes.join(raw, Seq("host"), "left").crossJoin(broadcast(m))
+        .select(col("host"),
+          expr(s"(coalesce(__raw, 0L) * $scale) div __max").as(outCol))
+        .localCheckpoint()
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        e.join(hub.withColumnRenamed("host", "__h"), col("src") === col("__h"))
+          .groupBy(col("dst").as("host")).agg(sum("hub").as("__raw")),
+        "auth")
+      hub = normalize(
+        e.join(auth.withColumnRenamed("host", "__h"), col("dst") === col("__h"))
+          .groupBy(col("src").as("host")).agg(sum("auth").as("__raw")),
+        "hub")
+    }
+    hub.join(auth, Seq("host"))
   }
 }

@@ -451,6 +451,51 @@ object WebText {
   }
 
   /**
+   * Re-crawl change classification over a Common-Crawl-style pages table:
+   * one row per url — (url, n_crawls, first_ts, last_ts, status) where
+   * status describes the LATEST capture: 'new' (only one crawl), 'changed'
+   * (text differs from the previous capture), 'unchanged'. The freshness /
+   * churn signal an incremental corpus build keys on — 'unchanged' pages
+   * need no re-extraction, 'changed' ones invalidate downstream dedup and
+   * quality rows (the dirty-tracking idea from the deviation engine, on the
+   * crawl axis).
+   *
+   * Crawls order by (tsCol ASC, textCol ASC) — the text tiebreak pins the
+   * pathological same-timestamp duplicate rather than leaving it
+   * partition-order dependent. Text comparison is exact string equality on
+   * adjacent captures; compose over a canonicalized/extracted text column
+   * to ignore boilerplate churn.
+   *
+   * Scale: one window + one groupBy, BOTH keyed on url — the aggregation
+   * reuses the window's hash partitioning, so it is a single shuffle of
+   * (url, ts, text) rows. Groups are per-url capture counts (tens), no
+   * skew. At 10^12 pages, project text down to a hash column caller-side
+   * if the full body isn't needed downstream — the shuffle carries what
+   * you select.
+   */
+  def crawlDelta(pages: DataFrame, urlCol: String, tsCol: String,
+                 textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(urlCol))
+      .orderBy(col(tsCol).asc, col(textCol).asc)
+    pages
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__chg", lag(col(textCol), 1).over(w) =!= col(textCol))
+      .groupBy(col(urlCol).as("url"))
+      .agg(
+        max("__rn").as("n_crawls"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        // __rn is unique within the group, so the struct max IS the latest
+        // crawl's row; __chg rides along (NULL only on rn=1 = 'new' anyway)
+        max(struct(col("__rn"), col("__chg"))).getField("__chg").as("__last_chg"))
+      .select(col("url"), col("n_crawls"), col("first_ts"), col("last_ts"),
+        when(col("n_crawls") === 1L, "new")
+          .when(col("__last_chg"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /**
    * Cross-document line-level dedup (the RefinedWeb/Falcon boilerplate
    * pass): a line whose trimmed text appears in at least `minDocs` DISTINCT
    * documents is removed from every document that carries it — nav menus,

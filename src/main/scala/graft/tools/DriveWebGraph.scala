@@ -43,6 +43,25 @@ object DriveWebGraph {
     val pr = WebGraph.pageRankFixedPoint(hg, "src_host", "dst_host", iters = 3)
     audit("pageRank(3)", pr)
     println("TOP=" + pr.orderBy(col("rank").desc).limit(3).collect().mkString(" "))
+
+    // session-4 operators: anchors shuffle-free; anchorStats bounded by
+    // (host, anchor) vocabulary; hits 2 join+agg Exchange pairs/iteration;
+    // crawlDelta window+groupBy sharing ONE url shuffle; invertedIndex df
+    // branch served by ReuseExchange (no second token scan)
+    audit("extractAnchors", WebGraph.extractAnchors(pages, "url", "html"))
+    audit("anchorStats", WebGraph.anchorStats(
+      WebGraph.extractAnchors(pages, "url", "html"), "dst_url", "anchor"))
+    audit("hits(2)", WebGraph.hitsFixedPoint(hg, "src_host", "dst_host", iters = 2))
+    val crawl = spark.range(n).select(
+      concat(lit("http://s.example/p/"), pmod(col("id"), lit(50000L))).as("url"),
+      timestamp_seconds(lit(1767225600L) + col("id") * 37L).as("warc_ts"),
+      concat(lit("t"), pmod(col("id"), lit(3L))).as("text"))
+    audit("crawlDelta", graft.operators.WebText.crawlDelta(crawl, "url", "warc_ts", "text"))
+    val docs = spark.range(n / 10).select(col("id").as("doc_id"),
+      concat(lit("w"), pmod(col("id"), lit(5000L)), lit(" w"),
+        pmod(col("id") * 7L, lit(5000L)), lit(" the")).as("text"))
+    audit("invertedIndex", graft.operators.TextAnalysis.invertedIndex(
+      docs, "doc_id", "text", k = 3, dfCap = 500L))
     spark.stop()
   }
 }

@@ -247,4 +247,53 @@ class DedupSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
+
+  test("incrementalMinhash: exact dup agrees 16/16, fresh doc no match, short doc survives") {
+    val mk = (s: String) => s // readability
+    val corpus = Seq(
+      (1L, mk("alpha beta gamma delta epsilon zeta eta theta")),
+      (2L, mk("one two three four five six seven eight nine")),
+      (3L, mk("totally different corpus entry with many words here")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val newDocs = Seq(
+      (101L, mk("alpha beta gamma delta epsilon zeta eta theta")), // exact dup of 1
+      (102L, mk("fresh words nobody in the corpus ever wrote down")),
+      (103L, mk("too short"))) // <3 words -> no shingles, must still appear
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhash(newDocs, sigs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(101L) == ((1L, 16L, true)))
+    assert(got(102L) == ((-1L, -1L, false)))
+    assert(got(103L) == ((-1L, -1L, false)))
+  }
+
+  test("incrementalMinhash: best match = max agree, min corpus id tie; minMatches gates") {
+    // two identical corpus docs -> new exact dup agrees 16 with both, tie
+    // must pick the smaller corpus id
+    val corpus = Seq(
+      (7L, "w1 w2 w3 w4 w5 w6"), (4L, "w1 w2 w3 w4 w5 w6"),
+      (9L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val newDocs = Seq((201L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhash(newDocs, sigs, "doc_id", "text").head()
+    assert(got.getLong(1) == 4L && got.getLong(2) == 16L && got.getBoolean(3))
+    // the strictest legal bar: an exact dup still clears 16/16
+    val strict = Dedup.incrementalMinhash(newDocs, sigs, "doc_id", "text",
+      minMatches = 16)
+    assert(strict.head().getBoolean(3))
+  }
+
+  test("incrementalMinhash == self-consistency: signatures of corpus match themselves") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    // feed the corpus back as the 'new' batch: every doc matches itself 16/16
+    val got = Dedup.incrementalMinhash(corpus, sigs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 16L)), 2L -> ((2L, 16L))))
+  }
 }

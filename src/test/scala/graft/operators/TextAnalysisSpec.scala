@@ -76,4 +76,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(vals.nonEmpty && vals.forall(v => v >= 0 && v < p))
   }
+
+  test("invertedIndex: df/tf totals, top-k postings by (tf DESC, doc ASC), df cap NULLs postings") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat  dog dog"),   // double space -> empty token filtered
+      (3L, "cat dog"),
+      (4L, "cat bird"),
+      (5L, "cat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text", k = 3, dfCap = 4L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    // cat: df 5 > cap -> postings NULL, stats still reported
+    assert(got("cat") == ((5L, 7L, None)))
+    // dog: df 3; tf 2 in doc2, 1 in docs 1,3 -> postings "2,1,3"
+    assert(got("dog") == ((3L, 4L, Some("2,1,3"))))
+    assert(got("bird") == ((1L, 1L, Some("4"))))
+  }
+
+  test("invertedIndex: k caps postings length; ties broken by doc_id ASC") {
+    val docs = Seq((1L, "w"), (2L, "w"), (3L, "w"), (4L, "w")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text", k = 2, dfCap = 10L)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got == Map("w" -> "1,2"))
+  }
 }

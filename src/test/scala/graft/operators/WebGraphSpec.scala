@@ -95,4 +95,103 @@ class WebGraphSpec extends AnyFunSuite {
     // base = 150000; b = c = 150000 + 85*500000/100 = 575000; a = 150000
     assert(got == Map("a" -> 150000L, "b" -> 575000L, "c" -> 575000L))
   }
+
+  test("extractAnchors: anchor text trimmed, whitespace body -> '', multiplicity kept") {
+    val p = pages(
+      ("http://a.example/p",
+       """<a href="https://b.example/x"> Buy Now </a>""" +
+       """<a href="/y">  </a>""" +
+       """<a href="https://b.example/x"> Buy Now </a>"""))
+    val got = WebGraph.extractAnchors(p, "url", "html")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got == Seq(
+      ("http://a.example/y", ""),
+      ("https://b.example/x", "Buy Now"),
+      ("https://b.example/x", "Buy Now")))
+  }
+
+  test("extractAnchors: nested-markup anchor bodies don't match; dropped hrefs dropped") {
+    val p = pages(
+      ("http://a.example/p",
+       """<a href="https://b.example/x"><b>bold</b></a>""" + // nested -> no match
+       """<a href="mailto:x@y">m</a><a href="rel/p">r</a>""")) // unresolvable hrefs
+    assert(WebGraph.extractAnchors(p, "url", "html").count() == 0L)
+  }
+
+  test("anchorStats: top anchor by count with lexicographic tie-break; empty anchors = link mass only") {
+    val anchors = Seq(
+      ("http://s/1", "https://T.example:81/a", "beta"),
+      ("http://s/2", "https://t.example/b", "beta"),
+      ("http://s/3", "https://t.example/c", "alpha"), // ties beta at 2 after next row
+      ("http://s/4", "https://t.example/d", "alpha"),
+      ("http://s/5", "https://t.example/e", ""),      // counts in n_links only
+      ("http://s/6", "https://only-empty.example/f", "")
+    ).toDF("src_url", "dst_url", "anchor")
+    val got = WebGraph.anchorStats(anchors, "dst_url", "anchor")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3)),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // t.example: 5 links, 2 distinct non-empty anchors, alpha==beta at 2 -> alpha
+    assert(got("t.example") == ((5L, 2L, Some("alpha"), 2L)))
+    assert(got("only-empty.example") == ((1L, 0L, None, -1L)))
+  }
+
+  /** Driver-side reference HITS with the same Long floor-division +
+    * max-normalization rules. */
+  private def bruteHits(edges: Seq[(String, String)], iters: Int,
+                        scale: Long): Map[String, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (d, es) => d -> es.map(x => hub(x._1)).sum }
+      val am = ar.values.max
+      auth = nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / am).toMap
+      val hr = e.groupBy(_._1).map { case (s, es) => s -> es.map(x => auth(x._2)).sum }
+      val hm = hr.values.max
+      hub = nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / hm).toMap
+    }
+    nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+  }
+
+  test("hitsFixedPoint == brute force on a random graph (bit-identical Longs)") {
+    val r = new scala.util.Random(11)
+    val hosts = (0 until 25).map(i => s"h$i")
+    val edges = ((0 until 150).map(_ => (hosts(r.nextInt(25)), hosts(r.nextInt(25))))
+      .filter { case (a, b) => a != b } ++ Seq(("h0", "h24"), ("h1", "h24"))).distinct
+    val df = edges.toDF("s", "d")
+    for (iters <- Seq(1, 2, 3)) {
+      val got = WebGraph.hitsFixedPoint(df, "s", "d", iters = iters)
+        .collect().map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+      assert(got == bruteHits(edges, iters, 1000000L), s"iters=$iters")
+    }
+  }
+
+  test("frontierSchedule: per-host waves cap fetches; priority DESC, url ASC ties") {
+    val frontier = Seq(
+      ("http://A.ex/1", 10L), ("http://a.ex/2", 10L), ("http://a.ex/3", 5L),
+      ("http://b.ex/1", 99L),
+      ("not a url", 50L))
+      .toDF("url", "priority")
+    val got = WebGraph.frontierSchedule(frontier, "url", "priority", slotsPerWave = 2)
+      .collect().map(r => r.getString(0) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // a.ex: ties at 10 -> url ASC: A.ex/1 (uppercase A sorts before a) rank 1
+    assert(got("http://A.ex/1") == (("a.ex", 1L, 0L)))
+    assert(got("http://a.ex/2") == (("a.ex", 2L, 0L)))
+    assert(got("http://a.ex/3") == (("a.ex", 3L, 1L))) // third url -> next wave
+    assert(got("http://b.ex/1") == (("b.ex", 1L, 0L)))
+    assert(got("not a url") == (("", 1L, 0L)))          // unparseable -> host ''
+  }
+
+  test("hitsFixedPoint: hand case — pure hub scores 0 auth, pure authority 0 hub") {
+    // a -> c, b -> c: c is the only authority; a,b are equal hubs; c has no
+    // out-edges so hub(c)=0, a/b have no in-edges so auth=0.
+    val edges = Seq(("a", "c"), ("b", "c")).toDF("s", "d")
+    val got = WebGraph.hitsFixedPoint(edges, "s", "d", iters = 2)
+      .collect().map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> ((1000000L, 0L)), "b" -> ((1000000L, 0L)), "c" -> ((0L, 1000000L))))
+  }
 }

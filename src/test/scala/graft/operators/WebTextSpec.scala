@@ -368,4 +368,39 @@ class WebTextSpec extends AnyFunSuite {
     assert(got(5L) == (("standalone doc\n\n\nwith blanks", 4L, 0L)))
     assert(got(6L) == (("no boilerplate here", 2L, 1L)))
   }
+
+  test("crawlDelta: new / changed / unchanged on mixed per-url histories") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val pages = Seq(
+      // A: x -> y -> y : latest equals previous -> unchanged
+      ("http://a/p", ts("2026-01-01 00:00:00"), "x"),
+      ("http://a/p", ts("2026-01-02 00:00:00"), "y"),
+      ("http://a/p", ts("2026-01-03 00:00:00"), "y"),
+      // B: x -> y : changed
+      ("http://b/p", ts("2026-01-01 00:00:00"), "x"),
+      ("http://b/p", ts("2026-01-05 00:00:00"), "y"),
+      // C: single crawl -> new
+      ("http://c/p", ts("2026-02-01 00:00:00"), "only"))
+      .toDF("url", "warc_ts", "text")
+    val got = WebText.crawlDelta(pages, "url", "warc_ts", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getString(4)))).toMap
+    assert(got("http://a/p") ==
+      ((3L, ts("2026-01-01 00:00:00"), ts("2026-01-03 00:00:00"), "unchanged")))
+    assert(got("http://b/p") ==
+      ((2L, ts("2026-01-01 00:00:00"), ts("2026-01-05 00:00:00"), "changed")))
+    assert(got("http://c/p") ==
+      ((1L, ts("2026-02-01 00:00:00"), ts("2026-02-01 00:00:00"), "new")))
+  }
+
+  test("crawlDelta: same-timestamp captures order by text ASC (pinned tiebreak)") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val pages = Seq(
+      ("http://t/p", ts, "bbb"), ("http://t/p", ts, "aaa"), // latest = 'bbb'
+      ("http://u/p", ts, "same"), ("http://u/p", ts, "same"))
+      .toDF("url", "warc_ts", "text")
+    val got = WebText.crawlDelta(pages, "url", "warc_ts", "text")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(got == Map("http://t/p" -> "changed", "http://u/p" -> "unchanged"))
+  }
 }
