@@ -106,7 +106,36 @@ object QueriesText {
       when(pmod(col("doc_id"), lit(5L)) === 0,
         concat(lit(" u"), col("doc_id").cast("string"))).otherwise("")).as("text"))
 
+  /** html-metadata corpus: %2 titled (padded — trim exercised), %5 of those
+    * nested-markup titles (no match → ''), %3 meta description, %4 charset
+    * (mixed case — lowercasing), %7 canonical link. Reproduced verbatim in
+    * the q_txt_htmlmeta oracle. */
+  private def metaCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("http://m.example/p/"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><head>"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(lit("<title><b>Doc "), col("doc_id").cast("string"),
+              lit("</b></title>")))
+            .otherwise(concat(lit("<TITLE> Doc "), col("doc_id").cast("string"),
+              lit(" </TITLE>")))).otherwise(""),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit("<meta name=\"description\" content=\"About doc "),
+            col("doc_id").cast("string"), lit("\">"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          "<meta charset=\"UTF-8\">").otherwise(""),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit("<link href=\"http://m.example/c/"),
+            col("doc_id").cast("string"),
+            lit("\" rel=\"canonical\">"))).otherwise(""),
+        lit("</head><body>x</body></html>")).cast("binary").as("html"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_htmlmeta" -> ((s, dir) =>
+      WebText.htmlMeta(metaCorpus(s, dir), "url", "html")),
+
     // ts columns projected to epoch seconds: Spark's instant-semantics
     // parquet timestamps read tz-aware while DuckDB's TO_TIMESTAMP is
     // TIMESTAMPTZ — BIGINT seconds are the portable comparison surface
@@ -339,6 +368,33 @@ object QueriesText {
     }))
 
   val oracle: Map[String, String] = Map(
+    // re-derives metaCorpus; matchers are WebText.htmlMeta's verbatim
+    "q_txt_htmlmeta" ->
+      """WITH p AS (SELECT doc_id,
+        |    'http://m.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |    '<html><head>'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN
+        |          CASE WHEN doc_id % 5 = 0
+        |               THEN '<title><b>Doc ' || CAST(doc_id AS VARCHAR) || '</b></title>'
+        |               ELSE '<TITLE> Doc ' || CAST(doc_id AS VARCHAR) || ' </TITLE>' END
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |         THEN '<meta name="description" content="About doc '
+        |              || CAST(doc_id AS VARCHAR) || '">' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '<meta charset="UTF-8">' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0
+        |         THEN '<link href="http://m.example/c/' || CAST(doc_id AS VARCHAR)
+        |              || '" rel="canonical">' ELSE '' END)
+        |    || '</head><body>x</body></html>' AS html
+        |  FROM documents)
+        |SELECT url,
+        |  TRIM(REGEXP_EXTRACT(html, '(?i)<title>([^<]*)</title>', 1)) AS title,
+        |  REGEXP_EXTRACT(html,
+        |    '(?i)<meta\s+name="description"\s+content="([^"]*)"', 1) AS meta_description,
+        |  LOWER(REGEXP_EXTRACT(html, '(?i)<meta\s+charset="([^"]*)"', 1)) AS charset,
+        |  REGEXP_MATCHES(html, '(?i)<link\s[^>]*rel="canonical"') AS has_canonical
+        |FROM p""".stripMargin,
+
     // re-derives recrawlCorpus; latest-crawl row = rn = n, status from the
     // LAG against the previous capture — same (ts, text) order as the engine
     "q_txt_crawldelta" ->

@@ -451,6 +451,39 @@ object WebText {
   }
 
   /**
+   * HTML metadata extraction over a Common-Crawl-style pages table: pure
+   * regex column expressions pulling the four signals a corpus build reads
+   * before (or instead of) full text extraction —
+   *
+   *  - `title`: first `<title>…</title>` body, trimmed ('' when absent or
+   *    when the body carries nested markup — same contract as
+   *    [[graft.operators.WebGraph.AnchorPattern]] bodies);
+   *  - `meta_description`: first `<meta name="description" content="…">`
+   *    (attribute order as written — the dominant form; reversed-attribute
+   *    variants are rare and a full HTML parser is out of scope by the
+   *    [[canonicalUrl]] principle: never guess at what you can't read);
+   *  - `charset`: lowercased `<meta charset="…">` value, '' when absent;
+   *  - `has_canonical`: whether a `<link rel="canonical"…>` is present
+   *    (the page's own dedup hint — [[urlDedup]] upstream signal).
+   *
+   * All matchers are case-insensitive RE2-subset patterns shared VERBATIM
+   * with the q_txt_htmlmeta oracle. Zero shuffles, zero UDFs — one
+   * projection over the html bytes; WSCG-resident like [[WebGraph.extractLinks]].
+   */
+  def htmlMeta(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol).cast("string")
+    pages.select(
+      col(urlCol).as("url"),
+      trim(regexp_extract(h, "(?i)<title>([^<]*)</title>", 1)).as("title"),
+      regexp_extract(h,
+        "(?i)<meta\\s+name=\"description\"\\s+content=\"([^\"]*)\"", 1)
+        .as("meta_description"),
+      lower(regexp_extract(h, "(?i)<meta\\s+charset=\"([^\"]*)\"", 1))
+        .as("charset"),
+      h.rlike("(?i)<link\\s[^>]*rel=\"canonical\"").as("has_canonical"))
+  }
+
+  /**
    * Re-crawl change classification over a Common-Crawl-style pages table:
    * one row per url — (url, n_crawls, first_ts, last_ts, status) where
    * status describes the LATEST capture: 'new' (only one crawl), 'changed'

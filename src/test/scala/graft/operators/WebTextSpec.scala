@@ -369,6 +369,23 @@ class WebTextSpec extends AnyFunSuite {
     assert(got(6L) == (("no boilerplate here", 2L, 1L)))
   }
 
+  test("htmlMeta: title trim + case, attr-order-robust canonical, nested markup -> ''") {
+    val pages = Seq(
+      ("http://a/1",
+       "<head><TITLE> Padded Title </TITLE><meta charset=\"UTF-8\">" +
+       "<meta name=\"description\" content=\"desc one\">" +
+       "<link href=\"http://a/c\" rel=\"canonical\"></head>"),
+      ("http://a/2", "<head><title><b>nested</b></title></head>"),
+      ("http://a/3", "<head>no metadata at all</head>"))
+      .toDF("url", "html").withColumn("html", col("html").cast("binary"))
+    val got = WebText.htmlMeta(pages, "url", "html")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(got("http://a/1") == (("Padded Title", "desc one", "utf-8", true)))
+    assert(got("http://a/2") == (("", "", "", false))) // nested markup no match
+    assert(got("http://a/3") == (("", "", "", false)))
+  }
+
   test("crawlDelta: new / changed / unchanged on mixed per-url histories") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val pages = Seq(
