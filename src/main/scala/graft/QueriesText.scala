@@ -132,7 +132,36 @@ object QueriesText {
             lit("\" rel=\"canonical\">"))).otherwise(""),
         lit("</head><body>x</body></html>")).cast("binary").as("html"))
 
+  /** html-extraction corpus: %2 script block (single-quoted fake markup in
+    * the body — must vanish WITH the tags, multiline), %3 style block,
+    * %5 multiline comment, %7 entity paragraph (incl. `&amp;amp;` — the
+    * single-pass decode order case), always an h1 + a tab/multi-space
+    * paragraph with inline markup splitting a word. Reproduced verbatim in
+    * the q_txt_extract oracle. */
+  private def extractCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("http://t.example/d/"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><head>"),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("<script type=\"text/javascript\">var x = '<p>not text</p>';\nalert(1);</script>"))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit("<style media=\"all\">body { color: red; }</style>")).otherwise(""),
+        lit("</head><body>"),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit("<!-- hidden\ncomment -->"))
+          .otherwise(""),
+        lit("<div class=\"c\"><h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p>Para <b>on</b>e \t with  spaces</p>"),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          lit("<p>A &amp;amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39; N&nbsp;B</p>"))
+          .otherwise(""),
+        lit("</div></body></html>")).cast("binary").as("html"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_extract" -> ((s, dir) =>
+      WebText.extractText(extractCorpus(s, dir), "url", "html")),
+
     "q_txt_htmlmeta" -> ((s, dir) =>
       WebText.htmlMeta(metaCorpus(s, dir), "url", "html")),
 
@@ -287,6 +316,18 @@ object QueriesText {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5,
         maxDocFreq = 100L)),
 
+    // partial-copy corpus: %5 docs re-keyed +2e6 carrying only their first
+    // 8 words — containment(copy → original) = 1.0 while Jaccard is tiny;
+    // the oracle re-derives the slice with the same clamping semantics
+    "q_dedup_containment" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      Dedup.containmentPairs(
+        base.unionByName(base.filter(pmod(col("doc_id"), lit(5L)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("text"))),
+        "doc_id", "text", n = 3, threshold = 0.6, maxDocFreq = 100L)
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => // rows-only (xxhash64 signatures)
       Dedup.minhashLshPairs(dupCorpus(s, dir), "doc_id", "text",
         n = 3, numHashes = 16, bands = 4, threshold = 0.5, maxDocFreq = 100L)),
@@ -368,6 +409,46 @@ object QueriesText {
     }))
 
   val oracle: Map[String, String] = Map(
+    // re-derives extractCorpus, then applies WebText.extractText's chain
+    // step for step — every pattern is the Scala constant VERBATIM (RE2
+    // subset; 'g' = Spark's always-global regexp_replace), entity REPLACEs
+    // in the same order (&amp; last), TRIM over ' '+newline like the engine
+    "q_txt_extract" ->
+      """WITH p AS (SELECT doc_id,
+        |    'http://t.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |    '<html><head>'
+        |    || (CASE WHEN doc_id % 2 = 0
+        |         THEN '<script type="text/javascript">var x = ''<p>not text</p>'';'
+        |              || chr(10) || 'alert(1);</script>' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |         THEN '<style media="all">body { color: red; }</style>' ELSE '' END)
+        |    || '</head><body>'
+        |    || (CASE WHEN doc_id % 5 = 0
+        |         THEN '<!-- hidden' || chr(10) || 'comment -->' ELSE '' END)
+        |    || '<div class="c"><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        |    || '<p>Para <b>on</b>e ' || chr(9) || ' with  spaces</p>'
+        |    || (CASE WHEN doc_id % 7 = 0
+        |         THEN '<p>A &amp;amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39; N&nbsp;B</p>'
+        |         ELSE '' END)
+        |    || '</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT url, REGEXP_REPLACE(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS t FROM p),
+        |s2 AS (SELECT url, REGEXP_REPLACE(t, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS t FROM s1),
+        |s3 AS (SELECT url, REGEXP_REPLACE(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+        |s4 AS (SELECT url, REGEXP_REPLACE(t,
+        |  '(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|table|br|title|blockquote|section|article|header|footer)\b[^>]*>',
+        |  chr(10), 'g') AS t FROM s3),
+        |s5 AS (SELECT url, REGEXP_REPLACE(t, '<[^>]*>', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT url,
+        |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
+        |s7 AS (SELECT url, REGEXP_REPLACE(t, '[ \t\r]+', ' ', 'g') AS t FROM s6),
+        |s8 AS (SELECT url, REGEXP_REPLACE(t, ' ?\n ?', chr(10), 'g') AS t FROM s7),
+        |s9 AS (SELECT url,
+        |  TRIM(REGEXP_REPLACE(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS text FROM s8)
+        |SELECT url, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM s9""".stripMargin,
+
     // re-derives metaCorpus; matchers are WebText.htmlMeta's verbatim
     "q_txt_htmlmeta" ->
       """WITH p AS (SELECT doc_id,
@@ -765,6 +846,32 @@ object QueriesText {
         |  ROUND(CAST(shared AS DOUBLE)/(sa.n + sb.n - shared), 4) AS jac
         |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(shared AS DOUBLE)/(sa.n + sb.n - shared) >= 0.5""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM corpus
+        |      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-2)) AS i) t),
+        |sh AS (SELECT * FROM sh0 WHERE s IN
+        |       (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS shared
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |          GROUP BY x.doc_id, y.doc_id),
+        |dir2 AS (
+        |  SELECT a_id AS src_id, b_id AS dst_id,
+        |    CAST(shared AS DOUBLE)/sa.n AS c
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = a_id
+        |  UNION ALL
+        |  SELECT b_id, a_id, CAST(shared AS DOUBLE)/sb.n
+        |  FROM pairs JOIN sizes sb ON sb.doc_id = b_id)
+        |SELECT src_id, dst_id, ROUND(c, 4) AS containment
+        |FROM dir2 WHERE c >= 0.6""".stripMargin,
     "q_emb_cospairs" ->
       """WITH ev AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
         |            FROM embeddings, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i) t),

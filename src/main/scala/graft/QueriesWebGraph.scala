@@ -63,7 +63,24 @@ object QueriesWebGraph {
       concat(lit("h"), pmod(col("doc_id") * 5L + 3L, lit(101L)).cast("string"))
         .as("dst_host"))
 
+  /** Host edges with 10 DISJOINT components by construction (the c<k>
+    * prefix partitions the node space); inside a component, nodes n0..n22
+    * and modular edges (doc_id*3 %23 → doc_id*5+1 %23) give irregular
+    * structure — some prefixes connect fully, sparse ones fragment into
+    * real sub-components, and accidental self-loops exist. The oracle
+    * computes ground truth by recursive reachability, so the exact shape
+    * is irrelevant — only that both engines see the same edges. */
+  private def componentEdges(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("c"), pmod(col("doc_id"), lit(10L)).cast("string"), lit("n"),
+        pmod(col("doc_id") * 3L, lit(23L)).cast("string")).as("src_host"),
+      concat(lit("c"), pmod(col("doc_id"), lit(10L)).cast("string"), lit("n"),
+        pmod(col("doc_id") * 5L + 1L, lit(23L)).cast("string")).as("dst_host"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_web_components" -> ((s, dir) =>
+      WebGraph.weakComponents(componentEdges(s, dir), "src_host", "dst_host")),
+
     "q_web_links" -> ((s, dir) =>
       WebGraph.extractLinks(webCorpus(s, dir), "url", "html")),
 
@@ -173,6 +190,24 @@ object QueriesWebGraph {
       |  FROM y) WHERE dst_url IS NOT NULL"""
 
   val oracle: Map[String, String] = Map(
+    // ground-truth weak components: undirected closure by recursive
+    // reachability (the q_raster_regions_global precedent), comp = MIN
+    // reachable node — ASCII string MIN is byte-identical in both engines
+    "q_web_components" ->
+      """WITH RECURSIVE raw AS (SELECT
+        |    'c' || CAST(doc_id % 10 AS VARCHAR) || 'n'
+        |        || CAST((doc_id * 3) % 23 AS VARCHAR) AS src,
+        |    'c' || CAST(doc_id % 10 AS VARCHAR) || 'n'
+        |        || CAST((doc_id * 5 + 1) % 23 AS VARCHAR) AS dst
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src AS u, dst AS v FROM raw
+        |      UNION SELECT dst, src FROM raw),
+        |reach(id, lab) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT e.u, reach.lab FROM e JOIN reach ON reach.id = e.v)
+        |SELECT id, MIN(lab) AS comp FROM reach GROUP BY id""".stripMargin,
+
     "q_web_links" -> oracleLinks.stripMargin,
 
     "q_web_anchors" -> oracleAnchors.stripMargin,

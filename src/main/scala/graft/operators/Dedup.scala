@@ -134,6 +134,49 @@ object Dedup {
   }
 
   /**
+   * Directional shingle-containment pairs (Broder's containment
+   * c(A,B) = |S(A)∩S(B)| / |S(A)|, the resemblance metric's asymmetric
+   * sibling): detects PARTIAL duplication — a quoted excerpt, a page
+   * embedding another page's paragraph — where symmetric Jaccard stays low
+   * because the containing document is much larger. Output:
+   * (src_id, dst_id, containment) for ordered pairs with c(src→dst) ≥
+   * threshold — "src is (nearly) contained in dst"; a full duplicate
+   * reports both directions.
+   *
+   * Scale: identical blocking to [[jaccardPairs]] — the only join is the
+   * shared-shingle equi-join (`maxDocFreq` bounds block width); shared
+   * counts are computed ONCE per unordered pair and both directions come
+   * out of a single 2-element explode over that frame (NOT a self-union —
+   * Catalyst's partial-agg rewrite makes union branches non-identical, so
+   * ReuseExchange would not serve the second scan; the session-4
+   * anchorStats lesson).
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = cappedShingles(docs, idCol, textCol, n, maxDocFreq).cache()
+    val shared = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val out = shared
+      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          (col("shared").cast("double") / col("na")).as("c")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          (col("shared").cast("double") / col("nb")).as("c")))).as("r"))
+      .select(col("r.src_id"), col("r.dst_id"), col("r.c"))
+      .filter(col("c") >= threshold)
+      .select(col("src_id"), col("dst_id"), round(col("c"), 4).as("containment"))
+      .transform(Materialize(_))
+    sh.unpersist()
+    out
+  }
+
+  /**
    * MinHash + LSH near-dup pairs: `numHashes` xxhash64 min-signatures,
    * banded into `bands` buckets; bucket-collision candidates verified with
    * exact Jaccard ≥ threshold. Candidate generation is linear in corpus size

@@ -294,4 +294,22 @@ object WebGraph {
     }
     hub.join(auth, Seq("host"))
   }
+
+  /**
+   * Weakly-connected components over a directed edge list — the host-graph
+   * clustering surface (mirror/link-farm constellations, isolated
+   * sub-webs): (node, comp) with comp = MIN node of the component (string
+   * min — lexicographic — when nodes are hosts). Direction is discarded;
+   * delegates to [[Dedup.connectedComponents]]'s iterated min-label
+   * propagation (one equi-join + one combinable agg per round, eager
+   * localCheckpoint between rounds so the plan stays O(1) per round — the
+   * [[hitsFixedPoint]] lesson). Converges in O(component diameter) rounds;
+   * web-host components are short-diameter in practice, `maxIter` bounds
+   * adversarial chains (labels beyond it are a valid refinement:
+   * over-segmented, never wrongly merged).
+   */
+  def weakComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxIter: Int = 30): DataFrame =
+    Dedup.connectedComponents(
+      edges.select(col(srcCol).as("a_id"), col(dstCol).as("b_id")), maxIter)
 }

@@ -572,4 +572,67 @@ object WebText {
         count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
   }
+
+  /** `<script …>…</script>` blocks (content INCLUDED — script bodies are
+    * code, not text). RE2-subset, shared verbatim with the oracle. */
+  val ScriptPattern: String = "(?is)<script\\b[^>]*>.*?</script>"
+  /** `<style …>…</style>` blocks, content included. */
+  val StylePattern: String = "(?is)<style\\b[^>]*>.*?</style>"
+  /** HTML comments `<!-- … -->`. */
+  val CommentPattern: String = "(?s)<!--.*?-->"
+  /** Block-level tags that imply a line break when stripped. */
+  val BlockTagPattern: String =
+    "(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|table|br|title|blockquote|section|article|header|footer)\\b[^>]*>"
+  /** Any remaining tag (inline — `<b>`, `<a …>`, …): stripped to nothing. */
+  val InlineTagPattern: String = "<[^>]*>"
+
+  /**
+   * Deterministic HTML → text extraction — the north rule's per-row
+   * invariant surface ("byte-identical extracted text per url") as a
+   * standalone operator: (url, html) → (url, text, n_chars) where `text`
+   * is a pure function of the html bytes that any conforming engine can
+   * reproduce byte-for-byte. The pipeline, in order (each step a single
+   * RE2-subset global regexp_replace or literal replace, shared VERBATIM
+   * with the q_txt_extract oracle):
+   *
+   *  1. drop `<script>`/`<style>` blocks WITH their bodies and `<!-- -->`
+   *     comments ([[ScriptPattern]]/[[StylePattern]]/[[CommentPattern]]);
+   *  2. block-level tags ([[BlockTagPattern]]) → '\n' (paragraph breaks
+   *     survive as line structure — [[lineDedup]]'s unit downstream);
+   *  3. remaining (inline) tags ([[InlineTagPattern]]) → '' (inline markup
+   *     does not break words: `fo<b>o</b>` → `foo`);
+   *  4. entity decode, literal replaces: `&lt; &gt; &quot; &#39;` then
+   *     `&nbsp;` → ' ' and `&amp;` LAST (so `&amp;lt;` → `&lt;`, the
+   *     correct single-pass decode order; numeric entities beyond &#39;
+   *     pass through — a full entity table is out of scope by the
+   *     [[canonicalUrl]] principle: never guess at what you can't read);
+   *  5. whitespace normalization: `[ \t\r]+` → ' ', spaces trimmed around
+   *     newlines, newline runs collapsed to one, final trim.
+   *
+   * Scale: zero shuffles, zero UDFs — one WholeStageCodegen projection
+   * over the html bytes, like [[WebGraph.extractLinks]]; at 10^12 pages
+   * this is a pure map stage bounded by parquet scan + regex throughput.
+   * A tag or block left OPEN (no `>`) keeps its literal text — RE2 has no
+   * error channel, and a non-matching suffix must survive, not vanish.
+   */
+  def extractText(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    var t: Column = col(htmlCol).cast("string")
+    t = regexp_replace(t, ScriptPattern, "")
+    t = regexp_replace(t, StylePattern, "")
+    t = regexp_replace(t, CommentPattern, "")
+    t = regexp_replace(t, BlockTagPattern, "\n")
+    t = regexp_replace(t, InlineTagPattern, "")
+    for ((from, to) <- EntityTable) t = replace(t, lit(from), lit(to))
+    t = regexp_replace(t, "[ \\t\\r]+", " ")
+    t = regexp_replace(t, " ?\\n ?", "\n")
+    t = regexp_replace(t, "\\n+", "\n")
+    t = trim(t, " \n")
+    pages.select(col(urlCol).as("url"), t.as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** decode order matters: &amp; LAST (single-pass HTML entity decode). */
+  val EntityTable: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
 }

@@ -62,6 +62,21 @@ object DriveWebGraph {
         pmod(col("id") * 7L, lit(5000L)), lit(" the")).as("text"))
     audit("invertedIndex", graft.operators.TextAnalysis.invertedIndex(
       docs, "doc_id", "text", k = 3, dfCap = 500L))
+
+    // session-5 operators: extractText shuffle-free projection;
+    // weakComponents = CC propagation (Exchange count grows with rounds —
+    // audit is the NO-BNL/no-cartesian assert); containmentPairs = one
+    // shared-shingle equi-join + sizes from the CACHED shingle table (the
+    // explode emits both directions without a self-union re-scan)
+    audit("extractText", graft.operators.WebText.extractText(pages, "url", "html"))
+    audit("weakComponents", WebGraph.weakComponents(hg, "src_host", "dst_host"))
+    val cdocs = spark.range(n / 20).select(col("id").as("doc_id"),
+      concat(lit("w"), pmod(col("id"), lit(400L)), lit(" w"),
+        pmod(col("id") * 7L, lit(400L)), lit(" w"),
+        pmod(col("id") * 11L, lit(400L)), lit(" w"),
+        pmod(col("id") * 13L, lit(400L))).as("text"))
+    audit("containmentPairs", graft.operators.Dedup.containmentPairs(
+      cdocs, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 200L))
     spark.stop()
   }
 }

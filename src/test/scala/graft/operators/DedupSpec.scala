@@ -194,6 +194,31 @@ class DedupSpec extends AnyFunSuite {
     assert(dupPairs.subsetOf(lsh), s"missed dups: ${(dupPairs -- lsh).take(5)}")
   }
 
+  test("containmentPairs == brute force; excerpt→original reads 1.0, reverse direction small") {
+    val excerpt = simDocs.filter(_._1 % 4 == 0).map { case (i, t) =>
+      (i + 5000L, t.split(" ").take(8).mkString(" "))
+    }
+    val all = simDocs ++ excerpt
+    val got = Dedup.containmentPairs(all.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side brute force over the same shingle sets
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = all.toMap.map { case (i, t) => i -> sh(t) }
+    val brute = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.6
+    } yield (a, b) -> BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got == brute)
+    // every 8-word excerpt is fully contained in its original...
+    for ((i, _) <- excerpt) assert(got((i, i - 5000L)) == 1.0)
+    // ...and never contains a 30-word original (6 of ~28 shingles shared)
+    for ((i, _) <- excerpt) assert(!got.contains((i - 5000L, i)))
+  }
+
   test("dedupPipeline maps null-text docs to themselves instead of dropping them") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, null))
       .toDF("doc_id", "text")

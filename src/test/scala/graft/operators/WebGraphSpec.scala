@@ -194,4 +194,19 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got == Map(
       "a" -> ((1000000L, 0L)), "b" -> ((1000000L, 0L)), "c" -> ((0L, 1000000L))))
   }
+
+  test("weakComponents: direction discarded, chain converges, disjoint components stay apart") {
+    // component 1: a chain whose min label sits at one END (worst-case
+    // propagation depth); component 2: a directed 2-cycle; component 3: a
+    // self-loop singleton
+    val edges = Seq(
+      ("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), // chain, min at the far end
+      ("x", "y"), ("y", "x"),
+      ("z", "z")).toDF("s", "d")
+    val got = WebGraph.weakComponents(edges, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
 }

@@ -420,4 +420,31 @@ class WebTextSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(4)).toMap
     assert(got == Map("http://t/p" -> "changed", "http://u/p" -> "unchanged"))
   }
+
+  private def extract(html: String): String = {
+    val p = Seq(("http://x/", html)).toDF("url", "html")
+      .withColumn("html", col("html").cast("binary"))
+    WebText.extractText(p, "url", "html").collect()(0).getString(1)
+  }
+
+  test("extractText: script/style/comment bodies die, block tags break, inline tags join") {
+    val html = "<html><head><script type=\"t\">var x = '<p>fake</p>';\nalert(1);" +
+      "</script><style media=\"a\">body { color: red; }</style></head>" +
+      "<body><!-- hidden\ncomment --><div class=\"c\"><h1>Title</h1>" +
+      "<p>Para <b>on</b>e \t with  spaces</p></div></body></html>"
+    assert(extract(html) == "Title\nPara one with spaces")
+  }
+
+  test("extractText: entities decode once, &amp; last (&amp;amp; -> &amp;)") {
+    assert(extract("<p>A &amp;amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39; N&nbsp;B</p>") ==
+      "A &amp; B <x> \"q\" 's' N B")
+  }
+
+  test("extractText: unclosed tag keeps its literal text; n_chars counts the result") {
+    val p = Seq(("http://x/", "before <span after")).toDF("url", "html")
+      .withColumn("html", col("html").cast("binary"))
+    val r = WebText.extractText(p, "url", "html").collect()(0)
+    assert(r.getString(1) == "before <span after")
+    assert(r.getLong(2) == "before <span after".length.toLong)
+  }
 }
