@@ -81,6 +81,37 @@ object QueriesWebGraph {
     "q_web_components" -> ((s, dir) =>
       WebGraph.weakComponents(componentEdges(s, dir), "src_host", "dst_host")),
 
+    // 10 hosts with modular robots.txt classes (%3 a specific-agent group
+    // first, %5 a stacked UA run, %2 a longer Allow carve-out, %4 an empty
+    // Disallow + comment line) against a 4-class frontier (%11 no path →
+    // '/', %3 the allowed carve-out, %7 the disallowed subtree, else /pub).
+    // CASE order matters and is mirrored in the oracle verbatim.
+    "q_web_robots" -> ((s, dir) => {
+      val h = docs(s, dir).select(pmod(col("doc_id"), lit(10L)).as("h")).distinct()
+      val robots = h.select(
+        concat(lit("h"), col("h").cast("string"), lit(".example")).as("host"),
+        concat(
+          when(pmod(col("h"), lit(3L)) === 0, "User-agent: bot\nDisallow: /\n")
+            .otherwise(""),
+          when(pmod(col("h"), lit(5L)) === 0, "User-agent: a\n").otherwise(""),
+          lit("User-agent: *\nDisallow: /private\n"),
+          when(pmod(col("h"), lit(2L)) === 0, "Allow: /private/ok\n").otherwise(""),
+          when(pmod(col("h"), lit(4L)) === 0, "Disallow:\n# note\n").otherwise(""))
+          .as("body"))
+      val frontier = docs(s, dir).select(
+        concat(lit("http://h"), pmod(col("doc_id"), lit(10L)).cast("string"),
+          lit(".example"),
+          when(pmod(col("doc_id"), lit(11L)) === 0, "")
+            .when(pmod(col("doc_id"), lit(3L)) === 0,
+              concat(lit("/private/ok/"), col("doc_id").cast("string")))
+            .when(pmod(col("doc_id"), lit(7L)) === 0,
+              concat(lit("/private/"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("/pub/"), col("doc_id").cast("string")))).as("url"))
+        .distinct()
+      WebGraph.robotsFilter(frontier, "url",
+        WebGraph.parseRobots(robots, "host", "body"))
+    }),
+
     "q_web_links" -> ((s, dir) =>
       WebGraph.extractLinks(webCorpus(s, dir), "url", "html")),
 
@@ -207,6 +238,62 @@ object QueriesWebGraph {
         |  UNION
         |  SELECT e.u, reach.lab FROM e JOIN reach ON reach.id = e.v)
         |SELECT id, MIN(lab) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    // full robots replay: re-derive bodies, strip comments, window-assign
+    // UA-run groups (lag + running sum, as the engine), keep *-groups'
+    // non-empty Allow/Disallow rules, then longest-prefix / Allow-tie /
+    // prefix-DESC pick per distinct frontier url; no-rule urls allowed
+    "q_web_robots" ->
+      """WITH hs AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
+        |bod AS (SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+        |    (CASE WHEN h % 3 = 0
+        |       THEN 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10)
+        |       ELSE '' END)
+        |    || (CASE WHEN h % 5 = 0 THEN 'User-agent: a' || chr(10) ELSE '' END)
+        |    || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+        |    || (CASE WHEN h % 2 = 0 THEN 'Allow: /private/ok' || chr(10) ELSE '' END)
+        |    || (CASE WHEN h % 4 = 0 THEN 'Disallow:' || chr(10) || '# note' || chr(10) ELSE '' END)
+        |    AS body FROM hs),
+        |l0 AS (SELECT host, i AS pos,
+        |    TRIM(REGEXP_REPLACE(ls[i], '#.*', '')) AS line
+        |  FROM (SELECT host, STRING_SPLIT(body, chr(10)) AS ls FROM bod),
+        |       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ls))) AS i) t),
+        |tg AS (SELECT host, pos, line,
+        |    REGEXP_MATCHES(LOWER(line), '^user-agent:') AS is_ua FROM l0),
+        |tg2 AS (SELECT *, is_ua AND NOT COALESCE(
+        |    LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE) AS ua_start
+        |  FROM tg),
+        |tg3 AS (SELECT *, SUM(CASE WHEN ua_start THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY host ORDER BY pos) AS grp FROM tg2),
+        |star AS (SELECT DISTINCT host, grp FROM tg3 WHERE is_ua
+        |  AND TRIM(REGEXP_EXTRACT(line, '(?i)^user-agent:(.*)$', 1)) = '*'),
+        |rules AS (SELECT t.host,
+        |    LOWER(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):.*$', 1)) = 'allow' AS allow,
+        |    TRIM(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):(.*)$', 2)) AS prefix
+        |  FROM tg3 t JOIN star USING (host, grp)
+        |  WHERE LOWER(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):.*$', 1)) <> ''
+        |    AND TRIM(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):(.*)$', 2)) <> ''),
+        |f AS (SELECT DISTINCT
+        |    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.example' ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ''
+        |         WHEN doc_id % 3 = 0 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 7 = 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+        |         ELSE '/pub/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |fp AS (SELECT url,
+        |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+        |    CASE WHEN REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+        |         THEN '/'
+        |         ELSE REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS path
+        |  FROM f),
+        |j AS (SELECT fp.url, r.allow, r.prefix,
+        |    ROW_NUMBER() OVER (PARTITION BY fp.url
+        |      ORDER BY LEN(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+        |  FROM fp JOIN rules r
+        |    ON r.host = fp.host AND STARTS_WITH(fp.path, r.prefix))
+        |SELECT fp.url, COALESCE(j.allow, TRUE) AS robots_allowed,
+        |  j.prefix AS matched_prefix
+        |FROM fp LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (url)""".stripMargin,
 
     "q_web_links" -> oracleLinks.stripMargin,
 

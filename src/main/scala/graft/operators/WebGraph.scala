@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -293,6 +293,88 @@ object WebGraph {
         "hub")
     }
     hub.join(auth, Seq("host"))
+  }
+
+  /**
+   * Parse robots.txt bodies into prefix rules — the politeness input of
+   * [[frontierSchedule]]. One row per (host, rule):
+   * (host, allow:boolean, prefix, plen). Semantics (deterministic subset,
+   * shared with the q_web_robots oracle):
+   *
+   *  - `#` comments strip to end of line; lines trim;
+   *  - directives live in User-agent GROUPS — a group is a RUN of
+   *    consecutive `User-agent:` lines followed by its directives; only
+   *    groups naming `*` emit rules (specific-agent groups are out of
+   *    scope, documented);
+   *  - `Allow:` / `Disallow:` (case-insensitive) with a non-empty value
+   *    become rules; an empty value means "no rule" (the RFC 9309 empty
+   *    Disallow = allow-all), any other directive is ignored;
+   *  - matching is LITERAL prefix on the url's path+query (`*`/`$`
+   *    wildcards out of scope — never guess at what you can't read).
+   *
+   * Scale: one window pair (lag + running sum) keyed on host assigns
+   * group ids — a single shuffle of the line table; bodies are small
+   * (RFC caps parse at 500 KiB) so per-host groups are bounded.
+   */
+  def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col("pos"))
+    val lines = robots
+      .select(lower(col(hostCol)).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
+    val tagged = lines
+      .withColumn("is_ua", lower(col("line")).startsWith("user-agent:"))
+      .withColumn("ua_start",
+        col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp",
+        sum(when(col("ua_start"), 1L).otherwise(0L)).over(w))
+    val starGroups = tagged
+      .filter(col("is_ua") &&
+        trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1)) === "*")
+      .select(col("host"), col("grp")).distinct()
+    tagged
+      .withColumn("dir",
+        lower(regexp_extract(col("line"), "(?i)^(allow|disallow):.*$", 1)))
+      .withColumn("prefix",
+        trim(regexp_extract(col("line"), "(?i)^(allow|disallow):(.*)$", 2)))
+      .filter(col("dir") =!= "" && col("prefix") =!= "")
+      .join(starGroups, Seq("host", "grp"))
+      .select(col("host"), (col("dir") === "allow").as("allow"),
+        col("prefix"), length(col("prefix")).cast("long").as("plen"))
+  }
+
+  /** path+query of a url ('' and no-path urls normalize to "/"). */
+  private def pathOf(url: Column): Column =
+    when(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1) === "",
+      lit("/"))
+      .otherwise(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1))
+
+  /**
+   * Robots-compliance decision per DISTINCT frontier url against
+   * [[parseRobots]] rules: (url, robots_allowed, matched_prefix) with
+   * longest-prefix-wins, Allow winning length ties (the RFC 9309 /
+   * Google rule), and no-rule / unknown-host urls allowed. Join back to
+   * the frontier on url (decisions are per-url, so the frontier's own
+   * multiplicity never inflates the rule join).
+   *
+   * Scale: ONE equi-join on host — the prefix comparison rides the join
+   * as a residual predicate, so each url meets only its own host's rules
+   * (10s-100s; RFC-bounded), never a global theta join. The winner pick
+   * is an argmax struct aggregation (plen, allow, prefix), no window.
+   */
+  def robotsFilter(frontier: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val urls = frontier.select(col(urlCol).as("url")).distinct()
+      .withColumn("__host", hostOf(col("url")))
+      .withColumn("__path", pathOf(col("url")))
+    urls
+      .join(rules, urls("__host") === rules("host") &&
+        urls("__path").startsWith(rules("prefix")), "left")
+      .groupBy(col("url"))
+      .agg(max(struct(col("plen"), col("allow"), col("prefix"))).as("m"))
+      .select(col("url"),
+        coalesce(col("m.allow"), lit(true)).as("robots_allowed"),
+        col("m.prefix").as("matched_prefix"))
   }
 
   /**

@@ -195,6 +195,49 @@ class WebGraphSpec extends AnyFunSuite {
       "a" -> ((1000000L, 0L)), "b" -> ((1000000L, 0L)), "c" -> ((0L, 1000000L))))
   }
 
+  test("parseRobots: star groups only, stacked UA runs, comments, empty Disallow dropped") {
+    val robots = Seq(
+      ("A.ex",
+       "User-agent: bot\nDisallow: /all\n" +        // specific agent: ignored
+       "User-agent: a\nUser-agent: *\n" +            // stacked run naming *
+       "Disallow: /private # trailing comment\n" +
+       "Allow: /private/ok\n" +
+       "Disallow:\n" +                               // empty: allow-all, no rule
+       "# pure comment\nCrawl-delay: 5\n"))          // unknown directive ignored
+      .toDF("host", "body")
+    val got = WebGraph.parseRobots(robots, "host", "body")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a.ex", false, "/private", 8L),
+      ("a.ex", true, "/private/ok", 11L)))
+  }
+
+  test("robotsFilter: longest prefix wins, Allow beats Disallow on ties, no-rule urls pass") {
+    val rules = Seq(
+      ("a.ex", false, "/private", 8L),
+      ("a.ex", true, "/private/ok", 11L),
+      ("b.ex", false, "/p", 2L),
+      ("b.ex", true, "/p", 2L))                      // tie: Allow wins
+      .toDF("host", "allow", "prefix", "plen")
+    val frontier = Seq(
+      "http://A.ex/private/ok/1",                    // allow (longer prefix)
+      "http://a.ex/private/x",                       // disallow
+      "http://a.ex/pub/1",                           // no rule matches
+      "http://b.ex/p/q",                             // tie -> allow
+      "http://a.ex",                                 // no path -> "/" -> no rule
+      "http://unknown.ex/private/x")                 // host without rules
+      .toDF("url")
+    val got = WebGraph.robotsFilter(frontier, "url", rules)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      "http://A.ex/private/ok/1" -> ((true, Some("/private/ok"))),
+      "http://a.ex/private/x" -> ((false, Some("/private"))),
+      "http://a.ex/pub/1" -> ((true, None)),
+      "http://b.ex/p/q" -> ((true, Some("/p"))),
+      "http://a.ex" -> ((true, None)),
+      "http://unknown.ex/private/x" -> ((true, None))))
+  }
+
   test("weakComponents: direction discarded, chain converges, disjoint components stay apart") {
     // component 1: a chain whose min label sits at one END (worst-case
     // propagation depth); component 2: a directed 2-cycle; component 3: a
