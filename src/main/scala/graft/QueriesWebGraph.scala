@@ -77,9 +77,64 @@ object QueriesWebGraph {
       concat(lit("c"), pmod(col("doc_id"), lit(10L)).cast("string"), lit("n"),
         pmod(col("doc_id") * 5L + 1L, lit(23L)).cast("string")).as("dst_host"))
 
+  /** robots.txt bodies for hosts h0..h9.example — shared by q_web_robots
+    * and q_web_crawlpipe; classes documented at the q_web_robots entry. */
+  private def robotsCorpus(s: SparkSession, dir: String): DataFrame = {
+    val h = docs(s, dir).select(pmod(col("doc_id"), lit(10L)).as("h")).distinct()
+    h.select(
+      concat(lit("h"), col("h").cast("string"), lit(".example")).as("host"),
+      concat(
+        when(pmod(col("h"), lit(3L)) === 0, "User-agent: bot\nDisallow: /\n")
+          .otherwise(""),
+        when(pmod(col("h"), lit(5L)) === 0, "User-agent: a\n").otherwise(""),
+        lit("User-agent: *\nDisallow: /private\n"),
+        when(pmod(col("h"), lit(2L)) === 0, "Allow: /private/ok\n").otherwise(""),
+        when(pmod(col("h"), lit(4L)) === 0, "Disallow:\n# note\n").otherwise(""))
+        .as("body"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_web_components" -> ((s, dir) =>
       WebGraph.weakComponents(componentEdges(s, dir), "src_host", "dst_host")),
+
+    // THE CRAWL-SIDE COMPOSITION (the dedupPipeline idea on the frontier
+    // axis): canonicalUrl → latest-crawl-wins urlDedup → robots compliance
+    // on the canonical form → politeness waves. Fixture classes: %5
+    // mixed-case host + fragment, %4 default :80 port (canon drops it),
+    // %3/%7/%11 path classes over doc_id%40 page slots (real re-crawls per
+    // canonical url), 3 query-param spellings folding to one. Priority is
+    // an engine-portable function of the canonical url (LENGTH*7 % 100).
+    "q_web_crawlpipe" -> ((s, dir) => {
+      val pages = docs(s, dir).select(
+        concat(
+          lit("http://"),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(lit("H"), pmod(col("doc_id"), lit(10L)).cast("string"),
+              lit(".Example")))
+            .otherwise(concat(lit("h"), pmod(col("doc_id"), lit(10L)).cast("string"),
+              lit(".example"))),
+          when(pmod(col("doc_id"), lit(4L)) === 0, ":80").otherwise(""),
+          when(pmod(col("doc_id"), lit(11L)) === 0, "")
+            .when(pmod(col("doc_id"), lit(3L)) === 0,
+              concat(lit("/private/ok/"), pmod(col("doc_id"), lit(40L)).cast("string")))
+            .when(pmod(col("doc_id"), lit(7L)) === 0,
+              concat(lit("/private/"), pmod(col("doc_id"), lit(40L)).cast("string")))
+            .otherwise(concat(lit("/pub/"), pmod(col("doc_id"), lit(40L)).cast("string"))),
+          when(pmod(col("doc_id"), lit(3L)) === 0, "?utm_source=x&b=2&a=1")
+            .when(pmod(col("doc_id"), lit(3L)) === 1, "?a=1&b=2")
+            .otherwise("?b=2&a=1"),
+          when(pmod(col("doc_id"), lit(5L)) === 0, "#frag").otherwise("")).as("url"),
+        timestamp_seconds(lit(1767225600L) + col("doc_id") * lit(37L)).as("warc_ts"))
+      val kept = graft.operators.WebText.urlDedup(pages, "url", "warc_ts")
+        .filter(col("kept")).select(col("canon_url").as("url"))
+      val decided = WebGraph.robotsFilter(kept, "url",
+        WebGraph.parseRobots(robotsCorpus(s, dir), "host", "body"))
+      WebGraph.frontierSchedule(
+        decided.filter(col("robots_allowed"))
+          .select(col("url"), (length(col("url")) * 7 % 100).as("priority")),
+        "url", "priority", slotsPerWave = 3)
+        .select("url", "host", "host_rank", "wave")
+    }),
 
     // 10 hosts with modular robots.txt classes (%3 a specific-agent group
     // first, %5 a stacked UA run, %2 a longer Allow carve-out, %4 an empty
@@ -87,17 +142,7 @@ object QueriesWebGraph {
     // '/', %3 the allowed carve-out, %7 the disallowed subtree, else /pub).
     // CASE order matters and is mirrored in the oracle verbatim.
     "q_web_robots" -> ((s, dir) => {
-      val h = docs(s, dir).select(pmod(col("doc_id"), lit(10L)).as("h")).distinct()
-      val robots = h.select(
-        concat(lit("h"), col("h").cast("string"), lit(".example")).as("host"),
-        concat(
-          when(pmod(col("h"), lit(3L)) === 0, "User-agent: bot\nDisallow: /\n")
-            .otherwise(""),
-          when(pmod(col("h"), lit(5L)) === 0, "User-agent: a\n").otherwise(""),
-          lit("User-agent: *\nDisallow: /private\n"),
-          when(pmod(col("h"), lit(2L)) === 0, "Allow: /private/ok\n").otherwise(""),
-          when(pmod(col("h"), lit(4L)) === 0, "Disallow:\n# note\n").otherwise(""))
-          .as("body"))
+      val robots = robotsCorpus(s, dir)
       val frontier = docs(s, dir).select(
         concat(lit("http://h"), pmod(col("doc_id"), lit(10L)).cast("string"),
           lit(".example"),
@@ -220,6 +265,43 @@ object QueriesWebGraph {
       |    END AS dst_url, anchor
       |  FROM y) WHERE dst_url IS NOT NULL"""
 
+  /** robots.txt parse as a CTE chain `hs…rules` mirroring
+    * [[WebGraph.parseRobots]] (comment strip → UA-run groups via
+    * lag + running sum → *-groups' non-empty Allow/Disallow). MARGIN-BEARING
+    * fragment composed by PLAIN-STRING concatenation (never s-interpolation:
+    * the patterns carry `$`); strip once at the final consumer. Shared by
+    * q_web_robots and q_web_crawlpipe. */
+  private val oracleRobotsRules: String =
+    """hs AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
+      |bod AS (SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+      |    (CASE WHEN h % 3 = 0
+      |       THEN 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10)
+      |       ELSE '' END)
+      |    || (CASE WHEN h % 5 = 0 THEN 'User-agent: a' || chr(10) ELSE '' END)
+      |    || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+      |    || (CASE WHEN h % 2 = 0 THEN 'Allow: /private/ok' || chr(10) ELSE '' END)
+      |    || (CASE WHEN h % 4 = 0 THEN 'Disallow:' || chr(10) || '# note' || chr(10) ELSE '' END)
+      |    AS body FROM hs),
+      |l0 AS (SELECT host, i AS pos,
+      |    TRIM(REGEXP_REPLACE(ls[i], '#.*', '')) AS line
+      |  FROM (SELECT host, STRING_SPLIT(body, chr(10)) AS ls FROM bod),
+      |       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ls))) AS i) t),
+      |tg AS (SELECT host, pos, line,
+      |    REGEXP_MATCHES(LOWER(line), '^user-agent:') AS is_ua FROM l0),
+      |tg2 AS (SELECT *, is_ua AND NOT COALESCE(
+      |    LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE) AS ua_start
+      |  FROM tg),
+      |tg3 AS (SELECT *, SUM(CASE WHEN ua_start THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY host ORDER BY pos) AS grp FROM tg2),
+      |star AS (SELECT DISTINCT host, grp FROM tg3 WHERE is_ua
+      |  AND TRIM(REGEXP_EXTRACT(line, '(?i)^user-agent:(.*)$', 1)) = '*'),
+      |rules AS (SELECT t.host,
+      |    LOWER(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):.*$', 1)) = 'allow' AS allow,
+      |    TRIM(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):(.*)$', 2)) AS prefix
+      |  FROM tg3 t JOIN star USING (host, grp)
+      |  WHERE LOWER(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):.*$', 1)) <> ''
+      |    AND TRIM(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):(.*)$', 2)) <> '')"""
+
   val oracle: Map[String, String] = Map(
     // ground-truth weak components: undirected closure by recursive
     // reachability (the q_raster_regions_global precedent), comp = MIN
@@ -244,35 +326,7 @@ object QueriesWebGraph {
     // non-empty Allow/Disallow rules, then longest-prefix / Allow-tie /
     // prefix-DESC pick per distinct frontier url; no-rule urls allowed
     "q_web_robots" ->
-      """WITH hs AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
-        |bod AS (SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
-        |    (CASE WHEN h % 3 = 0
-        |       THEN 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10)
-        |       ELSE '' END)
-        |    || (CASE WHEN h % 5 = 0 THEN 'User-agent: a' || chr(10) ELSE '' END)
-        |    || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
-        |    || (CASE WHEN h % 2 = 0 THEN 'Allow: /private/ok' || chr(10) ELSE '' END)
-        |    || (CASE WHEN h % 4 = 0 THEN 'Disallow:' || chr(10) || '# note' || chr(10) ELSE '' END)
-        |    AS body FROM hs),
-        |l0 AS (SELECT host, i AS pos,
-        |    TRIM(REGEXP_REPLACE(ls[i], '#.*', '')) AS line
-        |  FROM (SELECT host, STRING_SPLIT(body, chr(10)) AS ls FROM bod),
-        |       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ls))) AS i) t),
-        |tg AS (SELECT host, pos, line,
-        |    REGEXP_MATCHES(LOWER(line), '^user-agent:') AS is_ua FROM l0),
-        |tg2 AS (SELECT *, is_ua AND NOT COALESCE(
-        |    LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE) AS ua_start
-        |  FROM tg),
-        |tg3 AS (SELECT *, SUM(CASE WHEN ua_start THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY host ORDER BY pos) AS grp FROM tg2),
-        |star AS (SELECT DISTINCT host, grp FROM tg3 WHERE is_ua
-        |  AND TRIM(REGEXP_EXTRACT(line, '(?i)^user-agent:(.*)$', 1)) = '*'),
-        |rules AS (SELECT t.host,
-        |    LOWER(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):.*$', 1)) = 'allow' AS allow,
-        |    TRIM(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):(.*)$', 2)) AS prefix
-        |  FROM tg3 t JOIN star USING (host, grp)
-        |  WHERE LOWER(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):.*$', 1)) <> ''
-        |    AND TRIM(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):(.*)$', 2)) <> ''),
+      ("""WITH """ + oracleRobotsRules + """,
         |f AS (SELECT DISTINCT
         |    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.example' ||
         |    CASE WHEN doc_id % 11 = 0 THEN ''
@@ -293,7 +347,71 @@ object QueriesWebGraph {
         |    ON r.host = fp.host AND STARTS_WITH(fp.path, r.prefix))
         |SELECT fp.url, COALESCE(j.allow, TRUE) AS robots_allowed,
         |  j.prefix AS matched_prefix
-        |FROM fp LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (url)""".stripMargin,
+        |FROM fp LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (url)""").stripMargin,
+
+    // chains the three oracle shapes on one fixture: canonicalization +
+    // latest-crawl rank (the q_txt_urldedup form), the shared robots parse,
+    // compliance pick, then politeness waves (priority = LENGTH(url)*7 % 100)
+    "q_web_crawlpipe" ->
+      ("""WITH """ + oracleRobotsRules + """,
+        |p AS (SELECT doc_id,
+        |  'http://' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'H' || CAST(doc_id % 10 AS VARCHAR) || '.Example'
+        |        ELSE 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN ''
+        |        WHEN doc_id % 3 = 0 THEN '/private/ok/' || CAST(doc_id % 40 AS VARCHAR)
+        |        WHEN doc_id % 7 = 0 THEN '/private/' || CAST(doc_id % 40 AS VARCHAR)
+        |        ELSE '/pub/' || CAST(doc_id % 40 AS VARCHAR) END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+        |        WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '?b=2&a=1' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+        |  1767225600 + doc_id * 37 AS ts FROM documents),
+        |cc AS (SELECT doc_id, url, ts,
+        |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        |  REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |  REGEXP_EXTRACT(url, '^[^?#]*\?([^#]*)', 1) AS q FROM p),
+        |cc2 AS (SELECT doc_id, url, ts, scheme,
+        |  LOWER(REGEXP_EXTRACT(hostport, '^([^:]*)', 1)) AS host,
+        |  REGEXP_EXTRACT(hostport, ':([0-9]+)$', 1) AS port,
+        |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STRING_SPLIT(q, '&'),
+        |    x -> LEN(x) > 0 AND NOT REGEXP_MATCHES(x,
+        |      '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&') AS params
+        |  FROM cc),
+        |canon AS (SELECT doc_id, url, ts,
+        |  scheme || '://' || host
+        |  || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |           AND NOT (scheme = 'https' AND port = '443')
+        |      THEN ':' || port ELSE '' END)
+        |  || path || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url
+        |  FROM cc2),
+        |kept AS (SELECT canon_url AS url FROM (
+        |  SELECT canon_url, ROW_NUMBER() OVER (PARTITION BY canon_url
+        |    ORDER BY ts DESC, url) AS rn FROM canon) WHERE rn = 1),
+        |fp AS (SELECT url,
+        |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+        |    CASE WHEN REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+        |         THEN '/'
+        |         ELSE REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS path
+        |  FROM kept),
+        |j AS (SELECT fp.url, r.allow,
+        |    ROW_NUMBER() OVER (PARTITION BY fp.url
+        |      ORDER BY LEN(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+        |  FROM fp JOIN rules r
+        |    ON r.host = fp.host AND STARTS_WITH(fp.path, r.prefix)),
+        |dec AS (SELECT fp.url FROM fp
+        |  LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (url)
+        |  WHERE COALESCE(j.allow, TRUE)),
+        |fr AS (SELECT url,
+        |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+        |      ORDER BY (LENGTH(url) * 7) % 100 DESC, url ASC) AS rn
+        |  FROM dec)
+        |SELECT url, host, CAST(rn AS BIGINT) AS host_rank,
+        |  CAST((rn - 1) // 3 AS BIGINT) AS wave FROM fr""").stripMargin,
 
     "q_web_links" -> oracleLinks.stripMargin,
 
