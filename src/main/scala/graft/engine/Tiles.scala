@@ -21,29 +21,50 @@ import graft.functions.GeoFunctions._
  */
 object Tiles {
 
-  /** tiles whose EPSG:3006-projected bounds intersect the geometry */
+  /** tiles whose EPSG:3006-projected bounds intersect the geometry.
+    *
+    * A POINT takes the exact Mercator partition (floor of the slippy
+    * formula): that IS "intersects the true curved tile bounds", it is what
+    * the DuckDB oracle can recompute bit-for-bit, and it skips the
+    * quad transform + distance test on the dominant row shape at scale.
+    * The quad refinement below approximates each tile edge in 3006 by the
+    * straight segment between its transformed corners, which sags ~10 cm
+    * from the true curve over a 2.4 km z14 edge (meridian-convergence
+    * curvature ~1.4e-7/m: κL²/8) — enough that a point inside that band
+    * fails its own floor-tile's quad test and, with a 1-tile candidate
+    * range, used to emit NO tile at all (observed: 2 of 370k fixture
+    * points at sf0.1 silently dropped; ~0.004% of features at 10^12 rows).
+    *
+    * Extended geometries keep the quad-intersect semantics (the reference
+    * transforms tile bounds corner-wise too — 12:97) but the candidate
+    * range is widened one ring so a boundary tile whose quad bulges past
+    * the envelope's floor range cannot be lost: adjacent quads share their
+    * corner segments, so the quads partition the plane and a one-ring
+    * margin (10 cm ≪ 2.4 km) always covers the true cover. */
   private def tilesFor(g: Geom, z: Int): Seq[(Int, Int)] = {
-    val env = g.envelope
-    // project envelope corners to 3857 (margin: corners bound the quad well
-    // at tile scale; TM distortion over ≤ a few km is far below a tile)
-    val corners = Seq((env.minX, env.minY), (env.minX, env.maxY),
-                      (env.maxX, env.minY), (env.maxX, env.maxY))
-      .map { case (x, y) =>
-        val (lon, lat) = Proj.swerefToWgs84(x, y)
-        Proj.wgs84ToMercator(lon, lat)
-      }
-    val mxs = corners.map(_._1); val mys = corners.map(_._2)
-    val world = 2 * math.Pi * 6378137.0
-    val ts = world / (1 << z)
-    def tx(m: Double) = math.floor((m + world / 2) / ts).toInt
-    def ty(m: Double) = math.floor((world / 2 - m) / ts).toInt
-    val x0 = tx(mxs.min); val x1 = tx(mxs.max)
-    val y0 = ty(mys.max); val y1 = ty(mys.min)
-    for {
-      txx <- x0 to x1
-      tyy <- y0 to y1
-      if intersectsTile(g, z, txx, tyy)
-    } yield (txx, tyy)
+    g match {
+      case PointG(p) => Seq(Proj.tileOfSweref(p.x, p.y, z))
+      case _ =>
+        val env = g.envelope
+        val corners = Seq((env.minX, env.minY), (env.minX, env.maxY),
+                          (env.maxX, env.minY), (env.maxX, env.maxY))
+          .map { case (x, y) =>
+            val (lon, lat) = Proj.swerefToWgs84(x, y)
+            Proj.wgs84ToMercator(lon, lat)
+          }
+        val mxs = corners.map(_._1); val mys = corners.map(_._2)
+        val world = 2 * math.Pi * 6378137.0
+        val ts = world / (1 << z)
+        def tx(m: Double) = math.floor((m + world / 2) / ts).toInt
+        def ty(m: Double) = math.floor((world / 2 - m) / ts).toInt
+        val x0 = tx(mxs.min) - 1; val x1 = tx(mxs.max) + 1
+        val y0 = ty(mys.max) - 1; val y1 = ty(mys.min) + 1
+        for {
+          txx <- x0 to x1
+          tyy <- y0 to y1
+          if intersectsTile(g, z, txx, tyy)
+        } yield (txx, tyy)
+    }
   }
 
   private def intersectsTile(g: Geom, z: Int, tx: Int, ty: Int): Boolean = {

@@ -20,7 +20,8 @@ import graft.operators.{WebGraph, WebText}
   * iteration loop over a PRE-MATERIALIZED (localCheckpoint'ed) edge table
   * so the number is iteration cost, not a re-run of extraction.
   *
-  * Usage: runMain graft.tools.WebGraphProbe [nPages] [cores,cores,...] [trials]
+  * Usage: runMain graft.tools.WebGraphProbe [nPages] [cores,cores,...] [trials] [stage,stage,...]
+  * (4th arg filters to the named stages; default = all)
   */
 object WebGraphProbe {
 
@@ -71,6 +72,9 @@ object WebGraphProbe {
     val coreList = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
                    else Seq(8, 32)
     val trials = if (args.length > 2) args(2).toInt else 3
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Set.empty
+    def want(stage: String): Boolean = only.isEmpty || only(stage)
     for (cores <- coreList) {
       val s = session(cores)
       val p = pages(s, n)
@@ -79,38 +83,45 @@ object WebGraphProbe {
         WebGraph.extractLinks(pages(s, 20000L), "url", "html"),
         "src_url", "dst_url").count()
 
-      timed("links_hostgraph", cores, n, trials) {
+      if (want("links_hostgraph")) timed("links_hostgraph", cores, n, trials) {
         WebGraph.hostGraph(WebGraph.extractLinks(p, "url", "html"),
           "src_url", "dst_url").count()
       }
-      // materialize the edge table ONCE so the pagerank number is the
-      // iteration loop, not a third run of regex extraction
-      val edges = WebGraph.hostGraph(
-        WebGraph.extractLinks(p, "url", "html"), "src_url", "dst_url")
-        .localCheckpoint()
-      val nEdges = edges.count()
-      timed("pagerank3", cores, nEdges, trials) {
-        WebGraph.pageRankFixedPoint(edges, "src_host", "dst_host", iters = 3)
-          .agg(sum("rank")).collect()
-        nEdges
+      if (want("pagerank3")) {
+        // materialize the edge table ONCE so the pagerank number is the
+        // iteration loop, not a third run of regex extraction
+        val edges = WebGraph.hostGraph(
+          WebGraph.extractLinks(p, "url", "html"), "src_url", "dst_url")
+          .localCheckpoint()
+        val nEdges = edges.count()
+        timed("pagerank3", cores, nEdges, trials) {
+          WebGraph.pageRankFixedPoint(edges, "src_host", "dst_host", iters = 3)
+            .agg(sum("rank")).collect()
+          nEdges
+        }
       }
-      timed("anchorstats", cores, n, trials) {
+      if (want("anchorstats")) timed("anchorstats", cores, n, trials) {
         WebGraph.anchorStats(WebGraph.extractAnchors(p, "url", "html"),
           "dst_url", "anchor").count()
       }
-      timed("frontier", cores, n, trials) {
+      if (want("frontier")) timed("frontier", cores, n, trials) {
         WebGraph.frontierSchedule(
           p.select(col("url"), pmod(xxhash64(col("url")), lit(1000L)).as("priority")),
           "url", "priority", slotsPerWave = 4)
           .agg(max("wave")).collect()
         n
       }
-      timed("urldedup", cores, n, trials) {
+      if (want("urldedup")) timed("urldedup", cores, n, trials) {
         WebText.urlDedup(
           p.select(col("url"),
             timestamp_seconds(lit(1767225600L) + xxhash64(col("url")) % 100000L)
               .as("warc_ts")),
           "url", "warc_ts").filter(col("kept")).count()
+      }
+      if (want("extracttext")) timed("extracttext", cores, n, trials) {
+        WebText.extractText(p, "url", "html")
+          .agg(sum("n_chars")).collect()
+        n
       }
       s.stop()
     }

@@ -141,6 +141,45 @@ class SkewAndTilesSpec extends AnyFunSuite {
     assert(sTiles >= 2, s"3 km feature must span >= 2 tiles, got $sTiles")
   }
 
+  test("tile assignment: every point emits exactly one tile, even <10cm from a tile edge") {
+    // Regression (found by q_pipe_tiles_oracle at sf0.1): the quad
+    // approximation of a z14 tile edge in 3006 sags ~10 cm from the true
+    // Mercator boundary, so a point inside that band failed its own
+    // floor-tile's quad test and was DROPPED (zero tiles emitted). Walk a
+    // 2 m transect in 1 cm steps across a tile_y boundary near Gävle: each
+    // point must land in exactly one tile, the transect must cross tiles
+    // exactly once, and each tile must equal the direct slippy floor.
+    val gavle = (617000.0, 6728000.0)
+    val (bx, by) = {
+      // locate the tile_y boundary north of gavle by bisecting on tileOfSweref
+      val ty0 = Proj.tileOfSweref(gavle._1, gavle._2, 14)._2
+      var lo = gavle._2; var hi = gavle._2 + 3000.0
+      while (hi - lo > 1e-6) {
+        val mid = (lo + hi) / 2
+        if (Proj.tileOfSweref(gavle._1, mid, 14)._2 == ty0) lo = mid else hi = mid
+      }
+      (gavle._1, (lo + hi) / 2)
+    }
+    val pts = (-100 to 100).map(i => (4L + i, bx, by + i * 0.01))
+    val rows = pts.map { case (id, x, y) =>
+      (Seq(id), Geom.toWkb(Geom.point(x, y)),
+        null.asInstanceOf[java.lang.Long], null.asInstanceOf[String],
+        null.asInstanceOf[Array[Byte]])
+    }.toDF("upstream_item_ids", "upstream_geom", "osm_element_id",
+      "osm_element_type", "osm_geom")
+      .withColumn("upstream_tags", lit(null).cast("map<string,string>"))
+    val out = Tiles.tileAssignment(rows, z = 14)
+      .select(col("upstream_item_ids").getItem(0).as("id"),
+        col("tile_x"), col("tile_y"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out.size == pts.size,
+      s"every transect point must emit a tile: got ${out.size} of ${pts.size}")
+    for ((id, x, y) <- pts)
+      assert(out(id) == Proj.tileOfSweref(x, y, 14),
+        s"point $id must take its slippy floor tile")
+    assert(out.values.toSet.size == 2, "transect must cross exactly one boundary")
+  }
+
   test("mvtTiles: valid MVT bytes per tile with state attrs and in-tile coords") {
     val gavle = (617000.0, 6728000.0)
     val rows = Seq(
