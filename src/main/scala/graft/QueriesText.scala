@@ -72,6 +72,40 @@ object QueriesText {
       col("text"),
       lit("\ndoc "), col("doc_id").cast("string"), lit(" tail")).as("text"))
 
+  /** C4 line-filter corpus: every doc opens with a kept sentence; %3 adds a
+    * too-short line, %4 a javascript-boilerplate line (9 words, ends '.' —
+    * only the javascript rule drops it), %5 a long unpunctuated line, %6 a
+    * second kept sentence, %7 a quote-after-period sentence (the closing-"
+    * class of [[graft.operators.WebText.TerminalPunctPattern]]); the raw
+    * doc body never ends in punctuation (driver corpus is bare words) so it
+    * is always a dropped line; %11 appends lorem ipsum (mixed case on %2 —
+    * case-insensitivity), %13 a braced code line; %143 docs carry both (the
+    * lorem-first precedence). Reproduced verbatim in the q_txt_c4filter
+    * oracle. */
+  private def c4Corpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("This is a good first sentence for document "),
+      col("doc_id").cast("string"), lit(".\n"),
+      when(pmod(col("doc_id"), lit(3L)) === 0, "Too short.\n").otherwise(""),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        "Please enable JavaScript to view the comments powered here.\n")
+        .otherwise(""),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        "this line has plenty of words but no terminal punctuation\n")
+        .otherwise(""),
+      when(pmod(col("doc_id"), lit(6L)) === 0,
+        "Another complete sentence that should survive the filter!\n")
+        .otherwise(""),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        "He said the quote ends after the period \"just like this.\"\n")
+        .otherwise(""),
+      col("text"),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        when(pmod(col("doc_id"), lit(2L)) === 0, "\nLorem Ipsum dolor sit amet.")
+          .otherwise("\nlorem ipsum dolor sit amet.")).otherwise(""),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        "\nif (x) { return window.top; }").otherwise("")).as("text"))
+
   /** re-crawl corpus for crawlDelta: %9 docs get a unique /solo/ url (one
     * crawl → 'new'); the rest share /p/(doc_id%120) — 120 is even, so group
     * members share parity and the %2 text rule makes whole groups stable
@@ -266,6 +300,14 @@ object QueriesText {
     "q_txt_linededup" -> ((s, dir) =>
       WebText.lineDedup(lineCorpus(s, dir), "doc_id", "text",
         minDocs = 3, hashLines = false)),
+
+    // C4-style per-line cleaning + doc-level drop reasons on c4Corpus;
+    // minKeptLines=2 so the %6/%7 kept-sentence classes split keep vs
+    // too_few_sentences non-trivially (all thresholds explicit — the
+    // q_txt_filter ADVICE convention; the oracle hardcodes the same)
+    "q_txt_c4filter" -> ((s, dir) =>
+      WebText.c4LineFilter(c4Corpus(s, dir), "doc_id", "text",
+        minLineWords = 5, minKeptLines = 2)),
 
     "q_agg_hll" -> ((s, dir) => { // rows-only (HLL++ sketch is engine-specific)
       val toks = docs(s, dir)
@@ -617,6 +659,49 @@ object QueriesText {
         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id""".stripMargin,
+    // re-derives c4Corpus, then replays c4LineFilter's rules: a line is
+    // kept iff TRIM ends in [.!?"]$ (TerminalPunctPattern, shared
+    // verbatim), has >= 5 non-empty space tokens, and doesn't contain
+    // 'javascript' (case-insensitive); doc reason = lorem_ipsum -> brace ->
+    // too_few_sentences (< 2 kept), in that order
+    "q_txt_c4filter" ->
+      """WITH c AS (SELECT doc_id,
+        |  'This is a good first sentence for document ' || CAST(doc_id AS VARCHAR)
+        |  || '.' || chr(10)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN 'Too short.' || chr(10) ELSE '' END)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN
+        |      'Please enable JavaScript to view the comments powered here.' || chr(10)
+        |      ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN
+        |      'this line has plenty of words but no terminal punctuation' || chr(10)
+        |      ELSE '' END)
+        |  || (CASE WHEN doc_id % 6 = 0 THEN
+        |      'Another complete sentence that should survive the filter!' || chr(10)
+        |      ELSE '' END)
+        |  || (CASE WHEN doc_id % 7 = 0 THEN
+        |      'He said the quote ends after the period "just like this."' || chr(10)
+        |      ELSE '' END)
+        |  || text
+        |  || (CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+        |            ELSE 'lorem ipsum dolor sit amet.' END) ELSE '' END)
+        |  || (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'if (x) { return window.top; }'
+        |      ELSE '' END) AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, text, STRING_SPLIT(text, chr(10)) AS ls FROM c),
+        |k AS (SELECT doc_id, text, LEN(ls) AS n_lines,
+        |  LIST_FILTER(ls, x -> REGEXP_MATCHES(TRIM(x), '[.!?"]$')
+        |    AND LEN(LIST_FILTER(STRING_SPLIT(TRIM(x), ' '), y -> y <> '')) >= 5
+        |    AND NOT CONTAINS(LOWER(TRIM(x)), 'javascript')) AS kept
+        |  FROM d),
+        |r AS (SELECT doc_id, n_lines, kept,
+        |  CASE WHEN CONTAINS(LOWER(text), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN CONTAINS(text, '{') THEN 'brace'
+        |       WHEN LEN(kept) < 2 THEN 'too_few_sentences' END AS reason FROM k)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(LEN(kept) AS BIGINT) AS n_kept, reason IS NULL AS keep, reason,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(kept, x -> TRIM(x)), chr(10)) AS clean_text
+        |FROM r""".stripMargin,
     "q_txt_domaincap" ->
       """SELECT doc_id, source,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -573,6 +573,52 @@ object WebText {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** a kept C4 line ends in terminal punctuation (incl. a closing quote
+    * after it) — RE2-subset, shared verbatim with the q_txt_c4filter
+    * oracle. */
+  val TerminalPunctPattern: String = "[.!?\"]$"
+
+  /**
+   * C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+   * deterministic-string subset of its rules): each document is split into
+   * lines; a line is KEPT iff it ends in terminal punctuation
+   * ([[TerminalPunctPattern]]), has at least `minLineWords` words (non-empty
+   * space-separated tokens — runs of spaces don't inflate the count), and
+   * does not mention "javascript" (case-insensitive — the boilerplate
+   * "please enable JavaScript" class). The document as a whole is DROPPED
+   * (keep = false, with the first-failing reason, [[curationFilter]]'s
+   * convention) when it contains "lorem ipsum" (case-insensitive), contains
+   * a curly brace `{` (leaked code/templating), or retains fewer than
+   * `minKeptLines` kept lines ("pages with fewer than 3 sentences"). The
+   * cleaned text (kept lines, trimmed, '\n'-joined) is emitted for dropped
+   * docs too — audit columns, the [[urlDedup]] convention.
+   *
+   * Scale: pure per-row array arithmetic (split → filter → array_join) —
+   * zero shuffles, no state; the per-doc work is linear in line count. The
+   * cross-document boilerplate complement is [[lineDedup]] (frequency-based,
+   * needs the corpus-wide line table); this one needs no second pass.
+   */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+                   minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 1,
+      s"need minLineWords >= 1, minKeptLines >= 1 (got $minLineWords, $minKeptLines)")
+    val ws = split(col(textCol), "\n")
+    val kept = filter(ws, x => {
+      val tr = trim(x)
+      tr.rlike(TerminalPunctPattern) &&
+        size(filter(split(tr, " "), w => w =!= "")) >= minLineWords &&
+        !(instr(lower(tr), "javascript") > 0)
+    })
+    val nKept = size(kept).cast("long")
+    val reason = when(instr(lower(col(textCol)), "lorem ipsum") > 0, "lorem_ipsum")
+      .when(instr(col(textCol), "{") > 0, "brace")
+      .when(nKept < minKeptLines, "too_few_sentences")
+    docs.select(col(idCol).as("doc_id"),
+      size(ws).cast("long").as("n_lines"), nKept.as("n_kept"),
+      reason.isNull.as("keep"), reason.as("reason"),
+      array_join(transform(kept, x => trim(x)), "\n").as("clean_text"))
+  }
+
   /** `<script …>…</script>` blocks (content INCLUDED — script bodies are
     * code, not text). RE2-subset, shared verbatim with the oracle. */
   val ScriptPattern: String = "(?is)<script\\b[^>]*>.*?</script>"

@@ -369,6 +369,46 @@ class WebTextSpec extends AnyFunSuite {
     assert(got(6L) == (("no boilerplate here", 2L, 1L)))
   }
 
+  test("c4LineFilter: line rules, drop-reason order, quote-after-period, no empty-token words") {
+    val docs = Seq(
+      // kept, too-short, kept, unpunctuated -> n_kept=2 -> keep
+      (1L, "A perfectly fine sentence with enough words here.\nShort one.\n" +
+        "Another good long sentence that also ends properly!\n" +
+        "no terminal punctuation on this long line at all"),
+      // javascript line dropped despite length+punct -> 1 kept -> too few
+      (2L, "Please enable JavaScript to view this excellent content today.\n" +
+        "Only good sentence in here with enough words."),
+      (3L, "This document mentions lorem ipsum somewhere in the body text.\n" +
+        "Another adequately long sentence to keep the count up."),
+      (4L, "A sentence with a brace { inside should drop the document.\n" +
+        "Second adequately long sentence for the kept line count."),
+      // quote-after-period kept; 'four  real words here.' has 5 space-split
+      // tokens but only 4 non-empty words -> dropped
+      (5L, "He finished with a quoted ending \"exactly like this.\"\n" +
+        "Double  spaced   words do not inflate the real word count.\n" +
+        "four  real words here."),
+      // lorem beats brace when both present; case-insensitive match
+      (6L, "Lorem Ipsum with a brace { present still reports lorem first.\n" +
+        "Another adequately long sentence to keep the count up."))
+      .toDF("doc_id", "text")
+    val got = WebText.c4LineFilter(docs, "doc_id", "text",
+      minLineWords = 5, minKeptLines = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3),
+          Option(r.getString(4)), r.getString(5)))).toMap
+    assert(got(1L) == ((4L, 2L, true, None,
+      "A perfectly fine sentence with enough words here.\n" +
+      "Another good long sentence that also ends properly!")))
+    assert(got(2L) == ((2L, 1L, false, Some("too_few_sentences"),
+      "Only good sentence in here with enough words.")))
+    assert(got(3L)._3 == false && got(3L)._4 == Some("lorem_ipsum"))
+    assert(got(4L)._3 == false && got(4L)._4 == Some("brace"))
+    assert(got(5L) == ((3L, 2L, true, None,
+      "He finished with a quoted ending \"exactly like this.\"\n" +
+      "Double  spaced   words do not inflate the real word count.")))
+    assert(got(6L)._4 == Some("lorem_ipsum")) // precedence over brace
+  }
+
   test("htmlMeta: title trim + case, attr-order-robust canonical, nested markup -> ''") {
     val pages = Seq(
       ("http://a/1",
