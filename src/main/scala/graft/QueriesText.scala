@@ -309,6 +309,14 @@ object QueriesText {
       WebText.c4LineFilter(c4Corpus(s, dir), "doc_id", "text",
         minLineWords = 5, minKeptLines = 2)),
 
+    // GPT-style concat-and-chunk sequence packing over the REAL corpus;
+    // bucketSize=97 exercises the two-level prefix sum with ~N/97 buckets
+    // (the output is bucketSize-invariant, spec-asserted); the oracle
+    // computes the same layout with one naive global window
+    "q_txt_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir).select("doc_id", "text"),
+        "doc_id", "text", seqLen = 512, bucketSize = 97L)),
+
     "q_agg_hll" -> ((s, dir) => { // rows-only (HLL++ sketch is engine-specific)
       val toks = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("word"))
@@ -702,6 +710,25 @@ object QueriesText {
         |  CAST(LEN(kept) AS BIGINT) AS n_kept, reason IS NULL AS keep, reason,
         |  ARRAY_TO_STRING(LIST_TRANSFORM(kept, x -> TRIM(x)), chr(10)) AS clean_text
         |FROM r""".stripMargin,
+    // one naive global running sum (fine at oracle scale; the engine's
+    // two-level form is the 10^12-row shape); DuckDB's windowed SUM is
+    // HUGEINT and // keeps the width -> CAST every derived column
+    "q_txt_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), y -> y <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |  CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_toks, start_tok,
+        |  CAST(start_tok // 512 AS BIGINT) AS first_seq,
+        |  CAST(CASE WHEN n_toks > 0 THEN (start_tok + n_toks - 1) // 512
+        |       ELSE start_tok // 512 END AS BIGINT) AS last_seq,
+        |  CAST(CASE WHEN n_toks > 0
+        |       THEN (start_tok + n_toks - 1) // 512 - start_tok // 512 + 1
+        |       ELSE 0 END AS BIGINT) AS n_seqs
+        |FROM c""".stripMargin,
     "q_txt_domaincap" ->
       """SELECT doc_id, source,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -93,9 +93,54 @@ object QueriesWebGraph {
         .as("body"))
   }
 
+  /** UT1-style blocklist: ads<k>.example.org on k%3==0, spam<k>.com
+    * otherwise (k=1 mixed-case — the operator lowercases), PLUS
+    * www.spam2.com so one host matches two domains (longest wins). */
+  private def blockCorpus(s: SparkSession, dir: String): DataFrame = {
+    val ks = docs(s, dir)
+      .select(pmod(col("doc_id"), lit(10L)).as("k")).distinct()
+    ks.select(
+      when(pmod(col("k"), lit(3L)) === 0,
+        concat(lit("ads"), col("k").cast("string"), lit(".example.org")))
+        .when(col("k") === 1, "Spam1.Com")
+        .otherwise(concat(lit("spam"), col("k").cast("string"), lit(".com")))
+        .as("domain"))
+      .unionByName(ks.filter(col("k") === 2)
+        .select(lit("www.spam2.com").as("domain")))
+  }
+
+  /** frontier for hostBlocklist — CASE order is semantic (%13 before %7
+    * before %5 before %11 before %17), mirrored in the oracle: unparseable
+    * pass-through, www-subdomain under a spam domain (blocked only when
+    * k%3!=0 — on k%3==0 the blocklist holds ads<k>, not spam<k>), exact
+    * host, deep subdomain under ads<k>, and the contains-but-NOT-suffix
+    * trap spam<k>.com.evil.net (must pass: label-boundary matching). */
+  private def blockFrontier(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        concat(lit("not a url "), col("doc_id").cast("string")))
+        .when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit("http://www.spam"), pmod(col("doc_id"), lit(10L)).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string")))
+        .when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit("https://spam"), pmod(col("doc_id"), lit(10L)).cast("string"),
+            lit(".com/x")))
+        .when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(lit("http://sub.ads"), pmod(col("doc_id"), lit(10L)).cast("string"),
+            lit(".example.org/y")))
+        .when(pmod(col("doc_id"), lit(17L)) === 0,
+          concat(lit("http://spam"), pmod(col("doc_id"), lit(10L)).cast("string"),
+            lit(".com.evil.net/z")))
+        .otherwise(concat(lit("http://ok"), pmod(col("doc_id"), lit(20L)).cast("string"),
+          lit(".net/p/"), col("doc_id").cast("string"))).as("url"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_web_components" -> ((s, dir) =>
       WebGraph.weakComponents(componentEdges(s, dir), "src_host", "dst_host")),
+
+    "q_web_blocklist" -> ((s, dir) =>
+      WebGraph.hostBlocklist(blockFrontier(s, dir), "url",
+        blockCorpus(s, dir), "domain")),
 
     // THE CRAWL-SIDE COMPOSITION (the dedupPipeline idea on the frontier
     // axis): canonicalUrl → latest-crawl-wins urlDedup → robots compliance
@@ -320,6 +365,41 @@ object QueriesWebGraph {
         |  UNION
         |  SELECT e.u, reach.lab FROM e JOIN reach ON reach.id = e.v)
         |SELECT id, MIN(lab) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    // re-derives blockCorpus + blockFrontier, explodes each host into its
+    // label-boundary suffix chain, joins the blocklist, longest match wins
+    // (suffix lengths are unique per host -> MAX_BY deterministic)
+    "q_web_blocklist" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 10 AS k FROM documents),
+        |bl AS (SELECT LOWER(CASE
+        |    WHEN k % 3 = 0 THEN 'ads' || CAST(k AS VARCHAR) || '.example.org'
+        |    WHEN k = 1 THEN 'Spam1.Com'
+        |    ELSE 'spam' || CAST(k AS VARCHAR) || '.com' END) AS dom FROM ks
+        |  UNION SELECT 'www.spam2.com' FROM ks WHERE k = 2),
+        |f AS (SELECT doc_id, CASE
+        |  WHEN doc_id % 13 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |  WHEN doc_id % 7 = 0 THEN 'http://www.spam' || CAST(doc_id % 10 AS VARCHAR)
+        |       || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |  WHEN doc_id % 5 = 0 THEN 'https://spam' || CAST(doc_id % 10 AS VARCHAR)
+        |       || '.com/x'
+        |  WHEN doc_id % 11 = 0 THEN 'http://sub.ads' || CAST(doc_id % 10 AS VARCHAR)
+        |       || '.example.org/y'
+        |  WHEN doc_id % 17 = 0 THEN 'http://spam' || CAST(doc_id % 10 AS VARCHAR)
+        |       || '.com.evil.net/z'
+        |  ELSE 'http://ok' || CAST(doc_id % 20 AS VARCHAR) || '.net/p/'
+        |       || CAST(doc_id AS VARCHAR) END AS url FROM documents),
+        |h AS (SELECT doc_id, url,
+        |  LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host
+        |  FROM f),
+        |hh AS (SELECT DISTINCT host, STRING_SPLIT(host, '.') AS ls FROM h
+        |       WHERE host <> ''),
+        |sfx AS (SELECT host, ARRAY_TO_STRING(LIST_SLICE(ls, i, LEN(ls)), '.') AS s
+        |        FROM hh, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ls))) AS i) t),
+        |m AS (SELECT host, MAX_BY(s, LEN(s)) AS matched_domain
+        |      FROM sfx JOIN bl ON s = dom GROUP BY host)
+        |SELECT h.doc_id, h.url, h.host, m.matched_domain,
+        |  m.matched_domain IS NOT NULL AS blocked
+        |FROM h LEFT JOIN m USING (host)""".stripMargin,
 
     // full robots replay: re-derive bodies, strip comments, window-assign
     // UA-run groups (lag + running sum, as the engine), keep *-groups'

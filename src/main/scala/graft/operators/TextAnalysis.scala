@@ -223,4 +223,53 @@ object TextAnalysis {
         x => x.getField("doc_id").cast("string")), ",").as("postings"))
     stats.join(postings, Seq("word"), "left")
   }
+
+  /**
+   * GPT-style training-sequence packing (concat-and-chunk): documents are
+   * laid out end to end in doc-id order and cut into fixed `seqLen`-token
+   * training sequences; each doc gets its global token offset and the
+   * sequence range it lands in — (doc_id, n_toks, start_tok, first_seq,
+   * last_seq, n_seqs). Tokens are non-empty space-split words (the
+   * [[withTokenStats]] convention); a zero-token doc occupies no sequence
+   * (n_seqs = 0, first/last pinned at its offset's sequence).
+   *
+   * Scale: the global prefix sum is computed at TWO levels so no window
+   * ever sees the full corpus in one partition — an intra-bucket running
+   * sum partitioned by `bucket = doc_id div bucketSize` (parallel, each
+   * group ≤ bucketSize rows) plus a running sum over the per-bucket
+   * totals (N / bucketSize rows — at 10^12 docs and the default bucket
+   * size, a 10^6-row window: driver-trivial) broadcast-joined back. A
+   * single `Window.orderBy(doc_id)` would funnel 10^12 rows through one
+   * task; this is the textbook scalable scan decomposition. Output is
+   * bucketSize-invariant (spec-asserted).
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, bucketSize: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1 && bucketSize >= 1)
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), w => w =!= ""))
+        .cast("long").as("n_toks"))
+      .withColumn("__bucket", expr(s"doc_id div ${bucketSize}L"))
+    val intra = base.withColumn("__intra",
+      sum(col("n_toks")).over(Window.partitionBy(col("__bucket"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__intra", coalesce(col("__intra"), lit(0L)))
+    val bucketBase = base.groupBy(col("__bucket"))
+      .agg(sum(col("n_toks")).as("__btot"))
+      .withColumn("__base",
+        coalesce(sum(col("__btot")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__base"))
+    intra.join(broadcast(bucketBase), Seq("__bucket"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("__base + __intra").as("start_tok"),
+        expr(s"(__base + __intra) div ${seqLen}L").as("first_seq"),
+        when(col("n_toks") > 0, expr(s"(__base + __intra + n_toks - 1L) div ${seqLen}L"))
+          .otherwise(expr(s"(__base + __intra) div ${seqLen}L")).as("last_seq"),
+        when(col("n_toks") > 0,
+          expr(s"(__base + __intra + n_toks - 1L) div ${seqLen}L") -
+            expr(s"(__base + __intra) div ${seqLen}L") + lit(1L))
+          .otherwise(lit(0L)).as("n_seqs"))
+  }
 }

@@ -378,6 +378,49 @@ object WebGraph {
   }
 
   /**
+   * UT1/blocklist-style domain filter: a frontier URL is BLOCKED when its
+   * host equals a blocklisted domain or sits under one (`www.spam0.com`
+   * matches `spam0.com`; `spam0.com.evil.net` does NOT — matching is on
+   * whole label-boundary suffixes, never substrings). Emits every input
+   * row with (host, blocked, matched_domain) where matched_domain is the
+   * LONGEST — most specific — blocklisted suffix, NULL when the URL
+   * passes; unparseable URLs (host '') pass. Domains in the blocklist are
+   * expected lowercase, no port (UT1 file convention).
+   *
+   * Scale: hosts are DISTINCT'd first (a map-side-combined shuffle of
+   * host strings — distinct hosts, not URLs, drive the match cost), THEN
+   * each host's suffix chain (one entry per DNS label, ~3–6) is exploded
+   * — partitioning is preserved, so the explode, the blocklist join and
+   * the longest-match fold-back all run without another Exchange — and
+   * equi-joined against the blocklist, a broadcast hash join by
+   * construction (UT1-class lists are millions of rows — tiny next to a
+   * crawl frontier; `broadcast()` pins the build side).
+   */
+  def hostBlocklist(frontier: DataFrame, urlCol: String,
+                    blocklist: DataFrame, domainCol: String): DataFrame = {
+    val dom = blocklist.select(lower(col(domainCol)).as("__dom")).distinct()
+    val withHost = frontier.withColumn("host", hostOf(col(urlCol)))
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(
+      sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    val matched = withHost
+      .where(col("host") =!= "")
+      .select("host").distinct()
+      .select(col("host"), explode(suffixes).as("__sfx"))
+      .join(broadcast(dom), col("__sfx") === col("__dom"))
+      .groupBy(col("host"))
+      // suffixes of one host with equal length are identical -> max by
+      // (length, value) is deterministic without a tiebreak column
+      .agg(max(struct(length(col("__sfx")).as("l"), col("__sfx").as("s")))
+        .as("m"))
+      .select(col("host").as("__bhost"), col("m.s").as("matched_domain"))
+    withHost.join(matched, col("host") === col("__bhost"), "left")
+      .drop("__bhost")
+      .withColumn("blocked", col("matched_domain").isNotNull)
+  }
+
+  /**
    * Weakly-connected components over a directed edge list — the host-graph
    * clustering surface (mirror/link-farm constellations, isolated
    * sub-webs): (node, comp) with comp = MIN node of the component (string

@@ -77,6 +77,17 @@ object DriveWebGraph {
         pmod(col("id") * 13L, lit(400L))).as("text"))
     audit("containmentPairs", graft.operators.Dedup.containmentPairs(
       cdocs, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 200L))
+
+    // session-7 operators: packSequences — the corpus window must be
+    // PARTITIONED (by bucket), never a global orderBy window, and the
+    // bucket-base join a BroadcastHashJoin; hostBlocklist — blocklist side
+    // broadcast, no BNL
+    audit("packSequences", graft.operators.TextAnalysis.packSequences(
+      docs, "doc_id", "text", seqLen = 512, bucketSize = 1000L))
+    val bl = spark.range(200).select(
+      concat(lit("spam"), col("id"), lit(".com")).as("domain"))
+    audit("hostBlocklist", WebGraph.hostBlocklist(
+      crawl, "url", bl, "domain"))
     spark.stop()
   }
 }

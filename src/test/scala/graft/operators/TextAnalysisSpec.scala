@@ -101,4 +101,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(got == Map("w" -> "1,2"))
   }
+
+  test("packSequences == driver brute force; bucketSize-invariant; zero-token doc") {
+    // non-contiguous ids (gaps must not matter), double space (no empty-token
+    // words), a zero-token doc, counts straddling sequence boundaries
+    val docs = Seq(
+      (2L, "a b c"),            // toks 3: start 0, seqs 0..0
+      (5L, "d  e f g"),         // toks 4: start 3, 3..6 -> seqs 0..1 (seqLen 5)
+      (7L, ""),                 // toks 0: start 7, no sequence
+      (11L, "h i j k l m n o"), // toks 8: start 7, 7..14 -> seqs 1..2
+      (12L, "p"))               // toks 1: start 15 -> seq 3
+      .toDF("doc_id", "text")
+    def run(b: Long) = TextAnalysis.packSequences(docs, "doc_id", "text",
+      seqLen = 5, bucketSize = b)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val got = run(3L) // ids straddle buckets {0,1}, {1}, {2}, {3}, {4}
+    assert(got == run(1000L)) // one bucket: degenerate single-window form
+    assert(got(2L) == ((3L, 0L, 0L, 0L, 1L)))
+    assert(got(5L) == ((4L, 3L, 0L, 1L, 2L)))
+    assert(got(7L) == ((0L, 7L, 1L, 1L, 0L)))
+    assert(got(11L) == ((8L, 7L, 1L, 2L, 2L)))
+    assert(got(12L) == ((1L, 15L, 3L, 3L, 1L)))
+  }
 }

@@ -252,4 +252,30 @@ class WebGraphSpec extends AnyFunSuite {
       "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
       "x" -> "x", "y" -> "x", "z" -> "z"))
   }
+
+  test("hostBlocklist: suffix semantics, longest match, case fold, unparseable passes") {
+    val blocklist = Seq("spam.com", "www.spam.com", "Ads.Example.ORG")
+      .toDF("domain")
+    val frontier = Seq(
+      (1L, "http://spam.com/a"),          // exact
+      (2L, "http://www.spam.com/b"),      // two matches -> longest wins
+      (3L, "http://deep.www.spam.com/c"), // subdomain of both -> longest
+      (4L, "http://spam.com.evil.net/d"), // contains but NOT suffix -> pass
+      (5L, "http://notspam.com/e"),       // label boundary: no match
+      (6L, "https://ADS.example.org:8080/f"), // case + port fold
+      (7L, "not a url"),                  // unparseable -> pass
+      (8L, "http://ok.net/g"))
+      .toDF("doc_id", "url")
+    val got = WebGraph.hostBlocklist(frontier, "url", blocklist, "domain")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getBoolean(4), Option(r.getString(3))))).toMap
+    assert(got(1L) == (("spam.com", true, Some("spam.com"))))
+    assert(got(2L) == (("www.spam.com", true, Some("www.spam.com"))))
+    assert(got(3L) == (("deep.www.spam.com", true, Some("www.spam.com"))))
+    assert(got(4L) == (("spam.com.evil.net", false, None)))
+    assert(got(5L) == (("notspam.com", false, None)))
+    assert(got(6L) == (("ads.example.org", true, Some("ads.example.org"))))
+    assert(got(7L) == (("", false, None)))
+    assert(got(8L) == (("ok.net", false, None)))
+  }
 }
