@@ -123,6 +123,33 @@ object WebGraphProbe {
           .agg(sum("n_chars")).collect()
         n
       }
+      // session-7 stages share a synthesized text corpus (hash-mixed word
+      // ids; ~14 words/doc with line structure for the c4 filter)
+      lazy val tdocs = s.range(n).select(col("id").as("doc_id"), concat(
+        lit("A kept opening sentence with word w"),
+        pmod(xxhash64(col("id")), lit(5000L)).cast("string"), lit(".\n"),
+        lit("w"), pmod(xxhash64(col("id"), lit(1)), lit(5000L)).cast("string"),
+        lit(" w"), pmod(xxhash64(col("id"), lit(2)), lit(5000L)).cast("string"),
+        lit(" body line without punctuation\n"),
+        lit("Please enable JavaScript to continue reading this page today.")
+      ).as("text"))
+      if (want("c4filter")) timed("c4filter", cores, n, trials) {
+        WebText.c4LineFilter(tdocs, "doc_id", "text").agg(sum("n_kept")).collect()
+        n
+      }
+      if (want("pack")) timed("pack", cores, n, trials) {
+        graft.operators.TextAnalysis.packSequences(tdocs, "doc_id", "text",
+          seqLen = 2048, bucketSize = 65536L).agg(max("last_seq")).collect()
+        n
+      }
+      if (want("blocklist")) timed("blocklist", cores, n, trials) {
+        val bl = s.range(5000L).select(
+          concat(lit("site"), col("id").cast("string"), lit(".example"))
+            .as("domain"))
+        WebGraph.hostBlocklist(p, "url", bl, "domain")
+          .agg(sum(when(col("blocked"), 1L).otherwise(0L))).collect()
+        n
+      }
       s.stop()
     }
   }
