@@ -149,6 +149,7 @@ object SparkEntry {
       QueriesRaster.queries ++ QueriesStore.queries ++
       QueriesTemporal.queries ++ QueriesSampling.queries ++
       QueriesPipelineOracle.queries ++ QueriesWebGraph.queries ++
+      QueriesBpe.queries ++
       pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,5 +163,5 @@ object SparkEntry {
       QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
       QueriesRaster.oracle ++ QueriesStore.oracle ++ QueriesTemporal.oracle ++
       QueriesSampling.oracle ++ QueriesPipelineOracle.oracle ++
-      QueriesWebGraph.oracle
+      QueriesWebGraph.oracle ++ QueriesBpe.oracle
 }

@@ -272,4 +272,81 @@ object TextAnalysis {
             expr(s"(__base + __intra) div ${seqLen}L") + lit(1L))
           .otherwise(lit(0L)).as("n_seqs"))
   }
+
+  /**
+   * BPE vocabulary induction (Sennrich et al. 2016, ACL — the word-frequency
+   * formulation): learn `numMerges` byte-pair merges from the corpus and
+   * return `(merges, vocab)` — the merge table
+   * `(merge_rank, pair_left, pair_right, merged, pair_count)` and the final
+   * segmented vocabulary `(word, cnt, sym)` where `sym` is the
+   * space-separated symbol sequence after all merges (each word ends in the
+   * `</w>` end-of-word marker).
+   *
+   * Word domain: whitespace-split, lowercased, `[a-z]+` only (keeps the
+   * space-separated symbol encoding and the DuckDB oracle free of any
+   * unicode-segmentation portability question; non-ASCII tokens are a
+   * pre-tokenizer concern, not a merge-loop one).
+   *
+   * Merge step semantics (shared VERBATIM with the oracle): the winning pair
+   * `(l, r)` — max summed count, then (l, r) ascending bytewise — is applied
+   * as TWO passes of space-bounded non-overlapping string replacement
+   * `' l r ' -> ' lr '` over the padded symbol string. One pass misses every
+   * second occurrence in a run (`a b a b` shares the middle space); after the
+   * first pass such leftovers are isolated, so the second catches them all.
+   * For runs of a self-adjacent pair (`l == r`) the leftover single symbol
+   * may sit mid-run rather than at the end (`aa a aa` where list-greedy
+   * gives `aa aa a`) — deterministic and identical across engines, asserted
+   * pair-free in the spec.
+   *
+   * Scale shape: the corpus is touched ONCE (word-count hash aggregation,
+   * map-side combined); all `numMerges` iterations run over the collapsed
+   * vocabulary (Heaps'-law bounded — orders of magnitude below corpus rows;
+   * `minCount` prunes the long tail first, standard practice at web scale).
+   * Each iteration is one vocabulary-sized partial-agg shuffle plus a
+   * SINGLE-ROW collect; the vocab is eagerly localCheckpoint'ed per merge so
+   * the plan stays O(1) per round (the hitsFixedPoint lesson).
+   */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               minCount: Long = 1L): (DataFrame, DataFrame) = {
+    require(numMerges >= 0 && minCount >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("sym",
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("</w>")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var go = numMerges > 0
+    while (go) {
+      val best = vocab
+        .select(col("cnt"), split(col("sym"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) go = false
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l$r ")
+        vocab = vocab.withColumn("sym",
+          trim(replace(replace(concat(lit(" "), col("sym"), lit(" ")), pat, rep), pat, rep)))
+          .localCheckpoint(true)
+        merges += ((rank, l, r, l + r, c))
+        rank += 1
+        if (rank > numMerges) go = false
+      }
+    }
+    val mergesDf = merges.toSeq
+      .toDF("merge_rank", "pair_left", "pair_right", "merged", "pair_count")
+    (mergesDf, vocab.select(col("word"), col("cnt"), col("sym")))
+  }
 }
