@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, TextAnalysis, WebText}
 import graft.operators.Dedup.PortableHash
 
 /**
@@ -50,6 +50,15 @@ object QueriesDedupOracle {
 
     "q_txt_fingerprint_oracle" -> ((s, dir) =>
       TextAnalysis.portableFingerprints(docsParallel(s, dir), "doc_id", "text")),
+
+    // Bloom-bitset decontamination: same corpus/benchmark split as
+    // q_dedup_contam (bench = docs %17), positions from the portable affine
+    // family mod 2^16 — saturated enough for real false positives, which
+    // surface as n_bloom > 0, n_exact = 0, contaminated = false rows
+    "q_dedup_bloom_oracle" -> ((s, dir) =>
+      WebText.bloomContamination(dupCorpus(s, dir),
+        docsParallel(s, dir).filter(pmod(col("doc_id"), lit(17L)) === 0),
+        "doc_id", "text", n = 8, numBits = 65536, numHashes = 3)),
 
     // incremental near-dup: new crawl batch vs the persisted corpus
     // signature table — %3 variant classes: exact dup / appended tail
@@ -165,6 +174,42 @@ object QueriesDedupOracle {
   }
 
   val oracle: Map[String, String] = Map(
+    // re-derives every bloom decision: shingle digests -> 3 affine positions
+    // mod 65536, benchmark bit set = distinct positions, a corpus shingle is
+    // bloom-positive iff ALL its positions are set (COUNT of matched j-rows
+    // = 3), exact verify joins the positive sliver on the raw shingle
+    "q_dedup_bloom_oracle" -> {
+      val posExpr = s"((37 + 2*j)*dv + (1000003*j + 17)) % $P1 % 65536"
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+         |cw AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM corpus
+         |       WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+         |csh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+         |        ||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+         |        FROM cw, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-7)) AS i) t),
+         |bw AS (SELECT STRING_SPLIT(text, ' ') AS ws FROM bench
+         |       WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+         |bsh AS (SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+         |        ||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+         |        FROM bw, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws)-7)) AS i) t),
+         |bdg AS (SELECT s, ${digestSql("s", 131L, P1)} AS dv FROM bsh),
+         |bpos AS (SELECT DISTINCT $posExpr AS pos
+         |         FROM bdg, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS j) g),
+         |cdg AS (SELECT doc_id, s, ${digestSql("s", 131L, P1)} AS dv FROM csh),
+         |cpos AS (SELECT doc_id, s, $posExpr AS pos
+         |         FROM cdg, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS j) g),
+         |hit AS (SELECT doc_id, s FROM cpos LEFT JOIN bpos ON cpos.pos = bpos.pos
+         |        GROUP BY doc_id, s HAVING COUNT(bpos.pos) = 3),
+         |ex AS (SELECT doc_id, COUNT(*) AS n_exact
+         |       FROM hit JOIN bsh USING (s) GROUP BY doc_id),
+         |nb AS (SELECT doc_id, COUNT(*) AS n_bloom FROM hit GROUP BY doc_id)
+         |SELECT nb.doc_id, CAST(nb.n_bloom AS BIGINT) AS n_bloom,
+         |  CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
+         |  COALESCE(ex.n_exact, 0) >= 1 AS contaminated
+         |FROM nb LEFT JOIN ex USING (doc_id)""".stripMargin
+    },
     "q_dedup_incr_oracle" -> {
       val agree = (0 until 16)
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")

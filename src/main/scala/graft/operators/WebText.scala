@@ -134,6 +134,75 @@ object WebText {
       .select(col("doc_id"), col("n_overlap"))
   }
 
+  /**
+   * Bloom-filter decontamination — the constant-memory scale path of
+   * [[contamination]]. When the eval/benchmark shingle set is too large to
+   * broadcast as raw strings (10^8 shingles is many GB), broadcast a Bloom
+   * bitset instead (`numBits / 8` bytes regardless of benchmark size): the
+   * corpus scan tests each shingle's `numHashes` bit positions locally —
+   * ZERO corpus shuffle — and only the bloom-positive sliver proceeds to the
+   * exact verification join that removes the false positives. Output is
+   * sliver-only: `(doc_id, n_bloom, n_exact, contaminated)` for docs with at
+   * least one bloom-positive shingle; `n_bloom > 0 && n_exact == 0` rows are
+   * the surviving-FP audit trail. Position family (shared VERBATIM with the
+   * oracle): `pos_j(s) = shingleHash(j, s) mod numBits` over
+   * [[Dedup.PortableHash]]'s affine-of-charPoly family — all `numHashes`
+   * functions set bits in the ONE shared array, textbook Bloom. The bitset
+   * membership test is a deterministic UDF over a broadcast
+   * `java.util.BitSet` (a broadcast structure is reachable only from a
+   * closure; the per-shingle polynomial is O(len) Long arithmetic). At
+   * 10^12 rows the position hash could switch to xxhash64 for speed — the
+   * structure is identical; the polynomial keeps the decisions
+   * DuckDB-derivable.
+   */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8, numBits: Int = 1 << 16, numHashes: Int = 3,
+                         minOverlap: Long = 1L): DataFrame = {
+    require(n >= 1 && numBits >= 2 && numHashes >= 1 && minOverlap >= 1)
+    val spark = corpus.sparkSession
+    val P1 = Dedup.PortableHash.P1
+    val benchShingles = Dedup.shingles(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    val posCols = (0 until numHashes).map(j =>
+      pmod(Dedup.PortableHash.shingleHash(j, col("shingle")), lit(numBits.toLong)))
+    val positions = benchShingles
+      .select(explode(array(posCols: _*)).as("pos")).distinct()
+      .collect().map(_.getLong(0))
+    val bits = new java.util.BitSet(numBits)
+    positions.foreach(p => bits.set(p.toInt))
+    val bitsBc = spark.sparkContext.broadcast(bits)
+    val nb = numBits.toLong
+    val k = numHashes
+    val mightContain = udf { (s: String) =>
+      // charPoly(s, 131, P1) over code points == ascii() fold semantics
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        acc = (acc * 131L + s.codePointAt(i)) % P1
+        i = s.offsetByCodePoints(i, 1)
+      }
+      val b = bitsBc.value
+      var j = 0
+      var all = true
+      while (all && j < k) {
+        val pos = ((37L + 2L * j) * acc + (1000003L * j + 17L)) % P1 % nb
+        all = b.get(pos.toInt)
+        j += 1
+      }
+      all
+    }
+    val sliver = Dedup.shingles(corpus, idCol, textCol, n)
+      .filter(mightContain(col("shingle")))
+    val exact = sliver.join(benchShingles, "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_exact"))
+    sliver.groupBy("id").agg(count(lit(1)).as("n_bloom"))
+      .join(exact, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_exact"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** C4-style canonical text for normalization-insensitive dedup: lowercase,
     * punctuation → space, whitespace runs collapsed, trimmed. Every step is
     * an engine-portable string op (no unicode normalization tables — NFC

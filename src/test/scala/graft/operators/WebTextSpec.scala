@@ -487,4 +487,54 @@ class WebTextSpec extends AnyFunSuite {
     assert(r.getString(1) == "before <span after")
     assert(r.getLong(2) == "before <span after".length.toLong)
   }
+
+  /** brute-force bloom decision with the same polynomial family. */
+  private def bruteBloom(corpus: Seq[(Long, String)], bench: Seq[String],
+                         n: Int, numBits: Long, k: Int): Map[Long, (Long, Long)] = {
+    val P1 = Dedup.PortableHash.P1
+    def digest(s: String): Long = s.foldLeft(0L)((a, c) => (a * 131L + c.toInt) % P1)
+    def positions(s: String): Seq[Long] =
+      (0 until k).map(j => ((37L + 2L * j) * digest(s) + (1000003L * j + 17L)) % P1 % numBits)
+    def sh(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < n) Set.empty else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val benchSh = bench.flatMap(sh).toSet
+    val bits = benchSh.flatMap(positions)
+    corpus.flatMap { case (id, t) =>
+      val pos = sh(t).filter(s => positions(s).forall(bits.contains))
+      if (pos.isEmpty) None
+      else Some(id -> ((pos.size.toLong, pos.count(benchSh.contains).toLong)))
+    }.toMap
+  }
+
+  test("bloomContamination == brute force; no false negatives; FPs flagged uncontaminated") {
+    val r = new scala.util.Random(23)
+    val vocab = (0 until 60).map(i => s"v$i")
+    val corpus = (0L until 80L).map { i =>
+      (i, (0 until (6 + r.nextInt(30))).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+    // benchmark copies 10 corpus docs verbatim plus fresh text
+    val bench = corpus.filter(_._1 % 8 == 0).map(_._2) :+
+      (0 until 40).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+    // tiny filter saturates -> false positives are certain; exact leg must clear them
+    val got = WebText.bloomContamination(
+      corpus.toDF("doc_id", "text"), bench.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text",
+      n = 4, numBits = 512, numHashes = 3)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getBoolean(3)))).toMap
+    val want = bruteBloom(corpus, bench, n = 4, numBits = 512L, k = 3)
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap === want)
+    // copied docs must be contaminated (bloom has no false negatives)
+    corpus.filter(_._1 % 8 == 0).foreach { case (id, _) =>
+      assert(got(id)._3, s"copied doc $id not flagged")
+    }
+    got.foreach { case (id, (nb, ne, c)) =>
+      assert(nb >= ne); assert(c === (ne >= 1L))
+    }
+    // saturation check: at 512 bits some bloom-positive-but-clean rows exist
+    assert(got.values.exists(v => v._2 == 0L && !v._3),
+      "fixture produced no false positives - shrink numBits")
+  }
 }
