@@ -192,7 +192,48 @@ object QueriesText {
           .otherwise(""),
         lit("</div></body></html>")).cast("binary").as("html"))
 
+  /** block-scoring corpus: every page carries a pure-link nav div (dropped:
+    * density), one long prose paragraph (kept), and a link-pipe footer div
+    * (dropped: density); %3 adds a too-short paragraph (dropped: length),
+    * %4 a long paragraph with ONE inline link (kept: density below the bar),
+    * %5 a related-links box (dropped: density with interstitial prose),
+    * %7 an entity/inline-markup paragraph (kept — decode inside the block),
+    * %11 a long anchor-only block (passes length, 100% density — dropped).
+    * Reproduced verbatim in the q_txt_blocks / q_txt_maincontent oracles. */
+  private def blockCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("http://b.example/p/"), col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><body>"),
+        lit("<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">News</a> <a href=\"/b\">Contact</a></div>"),
+        lit("<p>This is the main paragraph of document "), col("doc_id").cast("string"),
+        lit(" with plenty of plain prose that a curation pipeline keeps.</p>"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, "<p>Short.</p>").otherwise(""),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("<p>A middle paragraph mentioning <a href=\"/x\">one inline link</a>"),
+            lit(" inside longer prose text that stays below the density bar for document "),
+            col("doc_id").cast("string"), lit(".</p>"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          lit("<div>Related: <a href=\"/r1\">first related article</a> <a href=\"/r2\">second related article</a></div>"))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit("<p>Entities &amp; tags: <b>bold</b> text &quot;quoted&quot; for document "),
+            col("doc_id").cast("string"), lit(".</p>"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          lit("<p><a href=\"/only\">Anchor-only block that is long enough to pass the length bar</a></p>"))
+          .otherwise(""),
+        lit("<div class=\"footer\"><a href=\"/imprint\">Imprint</a> | <a href=\"/privacy\">Privacy</a></div>"),
+        lit("</body></html>")).cast("binary").as("html"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_blocks" -> ((s, dir) =>
+      WebText.contentBlocks(blockCorpus(s, dir), "url", "html",
+        minBlockChars = 25, maxLinkDensityPct = 30)),
+
+    "q_txt_maincontent" -> ((s, dir) =>
+      WebText.mainContent(blockCorpus(s, dir), "url", "html",
+        minBlockChars = 25, maxLinkDensityPct = 30)),
+
     "q_txt_extract" -> ((s, dir) =>
       WebText.extractText(extractCorpus(s, dir), "url", "html")),
 
@@ -458,7 +499,80 @@ object QueriesText {
         "doc_id", "embedding", threshold = 0.99)
     }))
 
+  /** DuckDB recomputation of WebText.cleanBlockText(x): inline tags out,
+    * the EntityTable REPLACEs in order (&amp; last), whitespace runs to one
+    * space, trim. Plain-string concat — the regexes carry backslashes. */
+  private def cleanSql(x: String): String =
+    "TRIM(REGEXP_REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(" +
+      "REGEXP_REPLACE(" + x + ", '<[^>]*>', '', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&nbsp;', ' '), '&amp;', '&'), " +
+      """'[ \t\r\n]+', ' ', 'g'))"""
+
+  /** shared CTE chain for the block-scoring oracles: blockCorpus re-derived,
+    * script/style/comment strip, block split with zipped-unnest ordinality,
+    * per-block clean + anchor-body link chars. Margin-bearing fragment —
+    * strip ONCE at the consumer. */
+  private val blockCtes: String =
+    """WITH p AS (SELECT doc_id,
+      |    'http://b.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |    '<html><body>'
+      |    || '<div id="nav"><a href="/">Home</a> <a href="/a">News</a> <a href="/b">Contact</a></div>'
+      |    || '<p>This is the main paragraph of document ' || CAST(doc_id AS VARCHAR)
+      |    || ' with plenty of plain prose that a curation pipeline keeps.</p>'
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '<p>Short.</p>' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0
+      |         THEN '<p>A middle paragraph mentioning <a href="/x">one inline link</a>'
+      |              || ' inside longer prose text that stays below the density bar for document '
+      |              || CAST(doc_id AS VARCHAR) || '.</p>' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0
+      |         THEN '<div>Related: <a href="/r1">first related article</a> <a href="/r2">second related article</a></div>'
+      |         ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0
+      |         THEN '<p>Entities &amp; tags: <b>bold</b> text &quot;quoted&quot; for document '
+      |              || CAST(doc_id AS VARCHAR) || '.</p>' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0
+      |         THEN '<p><a href="/only">Anchor-only block that is long enough to pass the length bar</a></p>'
+      |         ELSE '' END)
+      |    || '<div class="footer"><a href="/imprint">Imprint</a> | <a href="/privacy">Privacy</a></div>'
+      |    || '</body></html>' AS html
+      |  FROM documents),
+      |c0 AS (SELECT url, REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+      |  '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+      |  '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+      |  '(?s)<!--.*?-->', '', 'g') AS t FROM p),
+      |bl AS (SELECT url, regexp_split_to_array(t,
+      |  '(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|table|br|title|blockquote|section|article|header|footer)\b[^>]*>') AS a
+      |  FROM c0),
+      |rawb AS (SELECT url, unnest(a) AS raw,
+      |  unnest(generate_series(0, len(a) - 1)) AS idx FROM bl),
+      |cb AS (SELECT url, idx,
+      |  """.stripMargin + cleanSql("raw") + """ AS text,
+      |  CAST(COALESCE(list_sum(list_transform(
+      |    regexp_extract_all(raw, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+      |    b -> LENGTH(""".stripMargin + cleanSql("b") + """))), 0) AS BIGINT) AS link_chars
+      |  FROM rawb),
+      |blk AS (SELECT url, CAST(idx AS BIGINT) AS block_idx, text,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars, link_chars
+      |  FROM cb WHERE LENGTH(text) > 0),
+      |scored AS (SELECT url, block_idx, text, n_chars, link_chars,
+      |  (n_chars >= 25 AND link_chars * 100 <= 30 * n_chars) AS keep FROM blk)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_txt_blocks" ->
+      (blockCtes +
+        "\nSELECT url, block_idx, text, n_chars, link_chars, keep FROM scored"),
+
+    "q_txt_maincontent" ->
+      (blockCtes + """
+        |SELECT url,
+        |  COALESCE(STRING_AGG(CASE WHEN keep THEN text END, chr(10) ORDER BY block_idx)
+        |    FILTER (WHERE keep), '') AS content,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+        |FROM scored GROUP BY url""".stripMargin),
+
     // re-derives extractCorpus, then applies WebText.extractText's chain
     // step for step — every pattern is the Scala constant VERBATIM (RE2
     // subset; 'g' = Spark's always-global regexp_replace), entity REPLACEs

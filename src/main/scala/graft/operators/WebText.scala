@@ -750,4 +750,81 @@ object WebText {
   val EntityTable: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
     "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** anchor element bodies (group 1) — link text for the density score. */
+  val AnchorBodyPattern: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** block-local text clean: inline tags out, entities decoded (&amp; last),
+    * whitespace runs to one space, trimmed — [[extractText]] steps 3-4
+    * applied inside one block (no newlines survive a block split). */
+  private def cleanBlockText(b: Column): Column = {
+    var t = regexp_replace(b, InlineTagPattern, "")
+    for ((from, to) <- EntityTable) t = replace(t, lit(from), lit(to))
+    trim(regexp_replace(t, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** per-page array of block structs (idx, text, n_chars, link_chars, keep)
+    * — empty-text blocks dropped, idx preserved from the raw split. */
+  private def blockStructs(html: Column, minBlockChars: Int,
+                           maxLinkDensityPct: Int): Column = {
+    val c0 = regexp_replace(regexp_replace(regexp_replace(html.cast("string"),
+      ScriptPattern, ""), StylePattern, ""), CommentPattern, "")
+    val blocks = split(c0, BlockTagPattern)
+    val idxed = zip_with(blocks, sequence(lit(0L), size(blocks).cast("long") - 1),
+      (b, i) => struct(b.as("raw"), i.as("idx")))
+    val scored = transform(idxed, s => {
+      val text = cleanBlockText(s.getField("raw"))
+      val linkChars = aggregate(
+        regexp_extract_all(s.getField("raw"), lit(AnchorBodyPattern), lit(1)),
+        lit(0L), (acc, body) => acc + length(cleanBlockText(body)).cast("long"))
+      struct(s.getField("idx").as("idx"), text.as("text"),
+        length(text).cast("long").as("n_chars"), linkChars.as("link_chars"))
+    })
+    transform(filter(scored, s => length(s.getField("text")) > 0), s =>
+      struct(s.getField("idx").as("idx"), s.getField("text").as("text"),
+        s.getField("n_chars").as("n_chars"), s.getField("link_chars").as("link_chars"),
+        (s.getField("n_chars") >= minBlockChars.toLong &&
+          s.getField("link_chars") * 100L <= s.getField("n_chars") * maxLinkDensityPct.toLong)
+          .as("keep")))
+  }
+
+  /**
+   * Block-level boilerplate scoring (jusText / trafilatura class): split the
+   * page into block-element segments, score each by length and LINK DENSITY
+   * (chars of cleaned anchor-body text over chars of cleaned block text —
+   * nav bars, footers and related-link boxes are mostly anchor text), and
+   * flag content blocks: `n_chars >= minBlockChars` and
+   * `link_chars * 100 <= maxLinkDensityPct * n_chars` (integer cross-multiply
+   * — no float in the decision). Output one row per non-empty block:
+   * `(url, block_idx, text, n_chars, link_chars, keep)`.
+   *
+   * Scale shape: the whole score is per-row array expressions (the only
+   * explode is the output pivot) — zero shuffles on the 10^12-page scan; all
+   * regex work is O(page bytes) per page (per-element lambdas see only their
+   * own block — no per-position recurrence, the charPoly-lesson shape is
+   * avoided).
+   */
+  def contentBlocks(pages: DataFrame, urlCol: String, htmlCol: String,
+                    minBlockChars: Int = 25, maxLinkDensityPct: Int = 30): DataFrame =
+    pages
+      .select(col(urlCol).as("url"),
+        explode(blockStructs(col(htmlCol), minBlockChars, maxLinkDensityPct)).as("b"))
+      .select(col("url"), col("b.idx").as("block_idx"), col("b.text").as("text"),
+        col("b.n_chars").as("n_chars"), col("b.link_chars").as("link_chars"),
+        col("b.keep").as("keep"))
+
+  /** page-level companion of [[contentBlocks]]: kept blocks re-joined in
+    * document order — the main-content extraction a curation pipeline feeds
+    * to the tokenizer. Pure projection (no explode, no shuffle):
+    * `(url, content, n_blocks, n_kept)`. */
+  def mainContent(pages: DataFrame, urlCol: String, htmlCol: String,
+                  minBlockChars: Int = 25, maxLinkDensityPct: Int = 30): DataFrame = {
+    val arr = blockStructs(col(htmlCol), minBlockChars, maxLinkDensityPct)
+    pages.select(col(urlCol).as("url"), arr.as("__b"))
+      .select(col("url"),
+        array_join(transform(filter(col("__b"), s => s.getField("keep")),
+          s => s.getField("text")), "\n").as("content"),
+        size(col("__b")).cast("long").as("n_blocks"),
+        size(filter(col("__b"), s => s.getField("keep"))).cast("long").as("n_kept"))
+  }
 }

@@ -488,6 +488,43 @@ class WebTextSpec extends AnyFunSuite {
     assert(r.getLong(2) == "before <span after".length.toLong)
   }
 
+  test("contentBlocks: density drops nav/footer, keeps prose; boundary cross-multiply exact") {
+    val html = "<div><a href=\"/\">Home</a> <a href=\"/x\">News now</a></div>" + // 13 text, 13 link
+      "<p>plain prose paragraph long enough to pass the length bar</p>" +
+      "<p><b>bo</b>ld <a href=\"/y\">li<i>n</i>k text</a> and more words here padd</p>" +
+      "<p></p><p>   </p>"
+    val p = Seq(("u", html)).toDF("url", "html").withColumn("html", col("html").cast("binary"))
+    val rows = WebText.contentBlocks(p, "url", "html", minBlockChars = 13, maxLinkDensityPct = 30)
+      .orderBy("block_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length === 3) // empty/whitespace-only blocks dropped
+    // block 1: "Home News now" 13 chars, link 4+8=12 -> 1200 > 390 dropped
+    assert(rows(0) === ((1L, "Home News now", 13L, 12L, false)))
+    assert(rows(1)._2 === "plain prose paragraph long enough to pass the length bar")
+    assert(rows(1)._4 === 0L); assert(rows(1)._5)
+    // inner markup inside the anchor body is stripped before counting
+    assert(rows(2)._2 === "bold link text and more words here padd")
+    assert(rows(2)._4 === "link text".length.toLong)
+    // 9*100 = 900 <= 39*30 = 1170 -> kept; at pct 22 it would flip (858 < 900)
+    assert(rows(2)._5)
+    val tight = WebText.contentBlocks(p, "url", "html", 13, 22).orderBy("block_idx").collect()
+    assert(!tight(2).getBoolean(5))
+  }
+
+  test("mainContent: kept blocks joined in order; all-boilerplate page yields empty content") {
+    val boiler = "<div><a href=\"/a\">only links in this page body</a></div>"
+    val mixed = "<p>first kept paragraph with enough characters</p>" +
+      "<div><a href=\"/\">Nav Nav Nav Nav Nav Nav Nav</a></div>" +
+      "<p>second kept paragraph also long enough yes</p>"
+    val p = Seq(("b", boiler), ("m", mixed)).toDF("url", "html")
+      .withColumn("html", col("html").cast("binary"))
+    val got = WebText.mainContent(p, "url", "html", 20, 30).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("b") === (("", 1L, 0L)))
+    assert(got("m") === (("first kept paragraph with enough characters\n" +
+      "second kept paragraph also long enough yes", 3L, 2L)))
+  }
+
   /** brute-force bloom decision with the same polynomial family. */
   private def bruteBloom(corpus: Seq[(Long, String)], bench: Seq[String],
                          n: Int, numBits: Long, k: Int): Map[Long, (Long, Long)] = {
