@@ -238,4 +238,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(1500))
   }
+
+  test("block scoring and main-content reassembly are shuffle-free single passes") {
+    val p1 = plan("q_txt_blocks")
+    assert(!p1.contains("Exchange"), "contentBlocks must not shuffle the page scan")
+    val p2 = plan("q_txt_maincontent")
+    assert(!p2.contains("Exchange"), "mainContent must not shuffle the page scan")
+    // the fixture synthesizes html from doc_id only — the scan must prune
+    val rs = "ReadSchema: \\S+".r.findFirstIn(p2).getOrElse("")
+    assert(rs.contains("doc_id") && !rs.contains("text"), s"scan over-reads: $rs")
+  }
+
+  test("bloom decontamination filters the corpus BEFORE any shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps stages in AdaptiveSparkPlanExec whose tree traversal stops
+    // at stage boundaries — audit the static plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_dedup_bloom_oracle")(spark, dir)
+        .queryExecution.executedPlan
+      val udfFilters = exec.collectWithSubqueries {
+        case f: FilterExec if f.condition.toString.toLowerCase.contains("udf") => f
+      }
+      assert(udfFilters.nonEmpty,
+        s"bloom membership filter missing from the plan\n$exec")
+      udfFilters.foreach { f =>
+        // the fixture's explicit input repartition (REPARTITION_BY_NUM) is
+        // allowed below the filter; no PLANNED shuffle may be
+        val planned = f.collect {
+          case s: ShuffleExchangeExec
+            if s.shuffleOrigin.toString == "ENSURE_REQUIREMENTS" => s
+        }
+        assert(planned.isEmpty,
+          s"bloom filter must run on the scan side, upstream of every planned shuffle: $planned")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("bpe merge loop keeps the vocab plan O(1) per round (checkpoint truncation)") {
+    val (merges, vocab) = graft.operators.TextAnalysis.bpeTrain(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", numMerges = 4)
+    // merges are driver-built rows; vocab reads the checkpointed RDD, not a
+    // 4-merge-deep lineage over the corpus scan
+    val vp = vocab.queryExecution.executedPlan.toString
+    assert(vp.contains("ExistingRDD"), vp.take(1500))
+    assert(!vp.toLowerCase.contains("parquet"),
+      "vocab lineage still reaches the corpus scan — checkpoint truncation lost")
+    assert(merges.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
 }
