@@ -44,7 +44,20 @@ object QueriesSampling {
       graft.operators.Sampling
         .stratifiedTopK(t(s, dir, "events"), Seq("event_type"), "event_id", k = 50, salt = 7L)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))),
+
+    // sqrt-temperature domain rebalancing over a skewed synthetic domain
+    // column (geometric class sizes 1/2, 1/4, 1/8, 1/16, 1/16 — real
+    // down-sampling at every rate tier incl. the kept-whole smallest)
+    "q_sample_temp" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureRebalance(
+        t(s, dir, "documents").withColumn("domain",
+          when(pmod(col("doc_id"), lit(2L)) === 0, "mega")
+            .when(pmod(col("doc_id"), lit(4L)) === 1, "mid")
+            .when(pmod(col("doc_id"), lit(8L)) === 3, "small")
+            .when(pmod(col("doc_id"), lit(16L)) === 7, "tiny")
+            .otherwise("micro")),
+        "doc_id", "domain", salt = 11L)))
 
   private def hsql(idExpr: String, salt: Long): String = {
     val m = graft.operators.Sampling.mixedMultiplier(salt)
@@ -71,5 +84,22 @@ object QueriesSampling {
          |      ORDER BY ${hsql("event_id", 7L)}, event_id) AS rn
          |  FROM events)
          |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
-         |FROM r WHERE rn <= 50 GROUP BY event_type""".stripMargin)
+         |FROM r WHERE rn <= 50 GROUP BY event_type""".stripMargin,
+    // SQRT is IEEE-correctly-rounded, so keep_rate and the keep decision
+    // (exact-int hash compared to rate * P as doubles) are bit-portable
+    "q_sample_temp" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'mega'
+         |         WHEN doc_id % 4 = 1 THEN 'mid'
+         |         WHEN doc_id % 8 = 3 THEN 'small'
+         |         WHEN doc_id % 16 = 7 THEN 'tiny'
+         |         ELSE 'micro' END AS domain
+         |  FROM documents),
+         |c AS (SELECT domain, COUNT(*) AS n_domain FROM d GROUP BY domain),
+         |m AS (SELECT MIN(n_domain) AS n_min FROM c),
+         |r AS (SELECT domain, n_domain,
+         |        SQRT(CAST(n_min AS DOUBLE) / n_domain) AS keep_rate FROM c, m)
+         |SELECT d.doc_id AS id, d.domain, r.n_domain, r.keep_rate,
+         |  (CAST(${hsql("d.doc_id", 11L)} AS DOUBLE) < r.keep_rate * ${P}.0) AS kept
+         |FROM d JOIN r USING (domain)""".stripMargin)
 }

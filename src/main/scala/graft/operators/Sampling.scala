@@ -96,4 +96,38 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /**
+   * Temperature-based domain rebalancing (the multilingual-BERT /
+   * data-mixing downsampling rule at temperature alpha = 0.5): per-domain
+   * keep probability `sqrt(n_min / n_domain)`, so post-sample domain mass
+   * scales with `sqrt(n_domain)` — mega-domains are damped, the smallest
+   * domain is kept whole (rate exactly 1.0). Alpha is FIXED at 0.5 because
+   * `SQRT` is the one power IEEE-754 requires correctly rounded — the
+   * keep decision (`uniformHash(id, salt) < keep_rate * P`, one multiply +
+   * one compare of exactly-representable values) is therefore bit-identical
+   * across engines; a general `POWER(x, a)` is not and would flip boundary
+   * docs between Spark and the oracle.
+   *
+   * Output: `(id, domain, n_domain, keep_rate, kept)` for every row —
+   * filter `kept` for the sample, keep the rest as the audit trail. Scale
+   * shape: ONE map-side-combined shuffle for the domain histogram; the
+   * histogram (domain-cardinality-sized) broadcasts back, so the corpus
+   * itself never shuffles.
+   */
+  def temperatureRebalance(df: DataFrame, idCol: String, domainCol: String,
+                           salt: Long = 0L): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_domain"))
+    val nmin = counts.agg(min(col("n_domain")).as("__n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("keep_rate",
+        sqrt(col("__n_min").cast("double") / col("n_domain")))
+      .select(col("domain"), col("n_domain"), col("keep_rate"))
+    df.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), Seq("domain"))
+      .select(col("id"), col("domain"), col("n_domain"), col("keep_rate"),
+        (uniformHash(col("id"), salt).cast("double") <
+          col("keep_rate") * lit(P.toDouble)).as("kept"))
+  }
 }

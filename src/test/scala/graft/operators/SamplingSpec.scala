@@ -58,6 +58,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == got.select("g", "id").as[(String, Long)].collect().toSet)
   }
 
+  test("temperatureRebalance == brute force; smallest domain kept whole; mass damped") {
+    // skewed domains: sizes 600 / 250 / 100 / 50
+    val rows = (0L until 1000L).map { i =>
+      val d = if (i < 600) "mega" else if (i < 850) "mid" else if (i < 950) "small" else "tiny"
+      (i, d)
+    }
+    val got = Sampling.temperatureRebalance(rows.toDF("doc_id", "domain"), "doc_id", "domain", salt = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nMin = sizes.values.min
+    val P = Sampling.P
+    val m = Sampling.mixedMultiplier(5L)
+    val b = Sampling.B + java.lang.Math.floorMod(5L, P)
+    rows.foreach { case (id, d) =>
+      val rate = math.sqrt(nMin.toDouble / sizes(d))
+      val u = ((id % P) * m + b) % P
+      assert(got(id) === ((d, sizes(d), rate, u.toDouble < rate * P.toDouble)), s"doc $id")
+    }
+    // the smallest domain's rate is exactly 1.0 -> every row kept
+    assert(rows.filter(_._2 == "tiny").forall(r => got(r._1)._4))
+    // kept mega mass ~ sqrt damping: expected 600*sqrt(50/600) = ~173
+    val keptMega = rows.count(r => r._2 == "mega" && got(r._1)._4)
+    assert(keptMega > 120 && keptMega < 230, s"mega kept $keptMega")
+  }
+
   test("guards: bad weights, rates, k") {
     val df = ids(10)
     intercept[IllegalArgumentException] {
