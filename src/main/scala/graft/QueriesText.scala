@@ -225,7 +225,53 @@ object QueriesText {
         lit("<div class=\"footer\"><a href=\"/imprint\">Imprint</a> | <a href=\"/privacy\">Privacy</a></div>"),
         lit("</body></html>")).cast("binary").as("html"))
 
+  /** curation-pipeline corpus: two kept sentences keyed on `slot` (%6 docs
+    * share slot = doc_id%40 → exact-dup groups AFTER extraction+cleaning;
+    * the rest use slot = doc_id → singletons); %5 adds a dropped-short
+    * line, %13 a dropped unpunctuated line (both invisible in clean_text,
+    * so they cannot break a dup group), %7 a lorem-ipsum doc drop, %11 a
+    * brace doc drop (%77 exercises the lorem-first precedence). Reproduced
+    * verbatim in the q_txt_curatepipe oracle. */
+  private def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val slot = when(pmod(col("doc_id"), lit(6L)) === 0,
+      pmod(col("doc_id"), lit(40L)).cast("string"))
+      .otherwise(col("doc_id").cast("string"))
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("<html><body><p>This is a kept opening sentence for slot "),
+      slot, lit(".</p>"),
+      lit("<p>Another good second sentence number two for slot "), slot, lit(".</p>"),
+      when(pmod(col("doc_id"), lit(5L)) === 0, "<p>short line.</p>").otherwise(""),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        "<p>lorem ipsum dolor sit amet paragraph here.</p>").otherwise(""),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        "<p>a sentence with braces { code } inside it.</p>").otherwise(""),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        "<p>this long line has no terminal punctuation at all</p>").otherwise(""),
+      lit("</body></html>")).cast("binary").as("html"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the doc-side COMPOSITION (crawl html -> tokenizer feed): extractText
+    // -> c4LineFilter -> exact dedup on the cleaned text (min-id
+    // representative) -> packSequences. The survivor table is collapsed
+    // (group-count-sized) and consumed twice (pack + the n_dups audit
+    // join) -> eager localCheckpoint, the anchorStats multi-consumer
+    // lesson. The whole chain is hash-checked by one DuckDB oracle.
+    "q_txt_curatepipe" -> ((s, dir) => {
+      val ext = WebText.extractText(curateCorpus(s, dir), "doc_id", "html")
+      val c4 = WebText.c4LineFilter(
+        ext.select(col("url").as("doc_id"), col("text")), "doc_id", "text",
+        minLineWords = 5, minKeptLines = 2)
+      val rep = c4.filter(col("keep"))
+        .groupBy(col("clean_text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .localCheckpoint(true)
+      TextAnalysis.packSequences(
+        rep.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text", seqLen = 64, bucketSize = 100L)
+        .join(rep.select("doc_id", "n_dups"), Seq("doc_id"))
+    }),
+
     "q_txt_blocks" -> ((s, dir) =>
       WebText.contentBlocks(blockCorpus(s, dir), "url", "html",
         minBlockChars = 25, maxLinkDensityPct = 30)),
@@ -560,6 +606,72 @@ object QueriesText {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the full composition re-derived: corpus synthesis, the 9-stage
+    // extraction chain (constants VERBATIM from extractText), the c4 line
+    // rules + doc-reason CASE, exact dedup keyed on clean_text with the
+    // min-id representative, and the naive-window pack layout
+    "q_txt_curatepipe" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN CAST(doc_id % 40 AS VARCHAR)
+        |         ELSE CAST(doc_id AS VARCHAR) END AS slot
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    '<html><body><p>This is a kept opening sentence for slot ' || slot || '.</p>'
+        |    || '<p>Another good second sentence number two for slot ' || slot || '.</p>'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '<p>short line.</p>' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0
+        |         THEN '<p>lorem ipsum dolor sit amet paragraph here.</p>' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |         THEN '<p>a sentence with braces { code } inside it.</p>' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0
+        |         THEN '<p>this long line has no terminal punctuation at all</p>' ELSE '' END)
+        |    || '</body></html>' AS html
+        |  FROM base),
+        |s1 AS (SELECT doc_id, REGEXP_REPLACE(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS t FROM p),
+        |s2 AS (SELECT doc_id, REGEXP_REPLACE(t, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, REGEXP_REPLACE(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, REGEXP_REPLACE(t,
+        |  '(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|table|br|title|blockquote|section|article|header|footer)\b[^>]*>',
+        |  chr(10), 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, REGEXP_REPLACE(t, '<[^>]*>', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
+        |s7 AS (SELECT doc_id, REGEXP_REPLACE(t, '[ \t\r]+', ' ', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, REGEXP_REPLACE(t, ' ?\n ?', chr(10), 'g') AS t FROM s7),
+        |s9 AS (SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS text FROM s8),
+        |k AS (SELECT doc_id, text,
+        |  LIST_FILTER(STRING_SPLIT(text, chr(10)), x -> REGEXP_MATCHES(TRIM(x), '[.!?"]$')
+        |    AND LEN(LIST_FILTER(STRING_SPLIT(TRIM(x), ' '), y -> y <> '')) >= 5
+        |    AND NOT CONTAINS(LOWER(TRIM(x)), 'javascript')) AS kept
+        |  FROM s9),
+        |surv AS (SELECT doc_id,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(kept, x -> TRIM(x)), chr(10)) AS clean_text
+        |  FROM k
+        |  WHERE (CASE WHEN CONTAINS(LOWER(text), 'lorem ipsum') THEN 'lorem_ipsum'
+        |              WHEN CONTAINS(text, '{') THEN 'brace'
+        |              WHEN LEN(kept) < 2 THEN 'too_few_sentences' END) IS NULL),
+        |rep AS (SELECT clean_text, MIN(doc_id) AS doc_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_dups FROM surv GROUP BY clean_text),
+        |t AS (SELECT doc_id, n_dups,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(clean_text, ' '), y -> y <> '')) AS BIGINT) AS n_toks
+        |  FROM rep),
+        |c AS (SELECT doc_id, n_dups, n_toks,
+        |  CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_toks, start_tok,
+        |  CAST(start_tok // 64 AS BIGINT) AS first_seq,
+        |  CAST(CASE WHEN n_toks > 0 THEN (start_tok + n_toks - 1) // 64
+        |       ELSE start_tok // 64 END AS BIGINT) AS last_seq,
+        |  CAST(CASE WHEN n_toks > 0
+        |       THEN (start_tok + n_toks - 1) // 64 - start_tok // 64 + 1
+        |       ELSE 0 END AS BIGINT) AS n_seqs,
+        |  n_dups
+        |FROM c""".stripMargin,
+
     "q_txt_blocks" ->
       (blockCtes +
         "\nSELECT url, block_idx, text, n_chars, link_chars, keep FROM scored"),

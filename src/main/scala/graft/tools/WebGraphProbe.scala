@@ -150,6 +150,44 @@ object WebGraphProbe {
           .agg(sum(when(col("blocked"), 1L).otherwise(0L))).collect()
         n
       }
+      if (want("blocks")) timed("blocks", cores, n, trials) {
+        WebText.mainContent(p, "url", "html", minBlockChars = 10,
+          maxLinkDensityPct = 30).agg(sum("n_kept")).collect()
+        n
+      }
+      if (want("bloom")) timed("bloom", cores, n, trials) {
+        // benchmark = 1/1000 of the corpus text shapes; 2^24-bit filter
+        WebText.bloomContamination(tdocs,
+          tdocs.filter(pmod(col("doc_id"), lit(1000L)) === 0),
+          "doc_id", "text", n = 8, numBits = 1 << 24, numHashes = 3).count()
+        n
+      }
+      if (want("bpe")) {
+        // letter-only hash-mixed words (digits translate to letters — the
+        // [a-z]+ word domain would drop "w123"-style tokens); ~4k vocab
+        val bdocs = s.range(n).select(col("id").as("doc_id"), concat(
+          lit("walk"), translate(pmod(xxhash64(col("id")), lit(2000L))
+            .cast("string"), "0123456789", "abcdefghij"),
+          lit(" common the of and talk"),
+          translate(pmod(xxhash64(col("id"), lit(1)), lit(2000L))
+            .cast("string"), "0123456789", "abcdefghij")).as("text"))
+        // merges iterate over the collapsed vocab — time the whole loop
+        // (1 corpus count-shuffle + 6 vocabulary-sized rounds)
+        timed("bpe6", cores, n, trials) {
+          val (m, v) = graft.operators.TextAnalysis.bpeTrain(bdocs, "text", 6)
+          v.count() + m.count()
+        }
+      }
+      if (want("tempsample")) timed("tempsample", cores, n, trials) {
+        // numeric id — uniformHash's contract (a string url would ANSI-fail
+        // the BIGINT cast); hash-mixed domains, zipf-free but 3000-ary
+        graft.operators.Sampling.temperatureRebalance(
+          s.range(n).select(col("id"),
+            pmod(xxhash64(col("id")), lit(3000L)).as("domain")),
+          "id", "domain", salt = 9L)
+          .agg(sum(when(col("kept"), 1L).otherwise(0L))).collect()
+        n
+      }
       s.stop()
     }
   }
