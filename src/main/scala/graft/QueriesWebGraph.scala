@@ -134,7 +134,69 @@ object QueriesWebGraph {
         .otherwise(concat(lit("http://ok"), pmod(col("doc_id"), lit(20L)).cast("string"),
           lit(".net/p/"), col("doc_id").cast("string"))).as("url"))
 
+  /** sitemap-xml corpus: two url entries per page (whitespace-padded loc on
+    * %2 — the trim class; lastmod on %3), a sitemapindex child on %4, a
+    * loc-less structural entry on %5 (dropped), a comment-wrapped FAKE
+    * entry on %7 (must vanish with the comment). Reproduced verbatim in
+    * the q_web_sitemap oracle. */
+  private def sitemapCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("http://s"), pmod(col("doc_id"), lit(100L)).cast("string"),
+        lit(".example/sitemap"), col("doc_id").cast("string"), lit(".xml")).as("url"),
+      concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          "<!--<url><loc>http://fake.example/x</loc></url>-->").otherwise(""),
+        lit("<url><loc>"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, " ").otherwise(""),
+        lit("http://s"), pmod(col("doc_id"), lit(100L)).cast("string"),
+        lit(".example/page/"), pmod(col("doc_id"), lit(10L)).cast("string"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, " ").otherwise(""),
+        lit("</loc>"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit("<lastmod>2026-01-0"),
+            (pmod(col("doc_id"), lit(9L)) + 1).cast("string"),
+            lit("</lastmod>"))).otherwise(""),
+        lit("</url>"),
+        lit("<url><loc>http://s"), pmod(col("doc_id"), lit(100L)).cast("string"),
+        lit(".example/page/"), (pmod(col("doc_id"), lit(10L)) + 1).cast("string"),
+        lit("</loc></url>"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          "<url><priority>0.5</priority></url>").otherwise(""),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("<sitemap><loc>http://s"),
+            pmod(col("doc_id"), lit(100L)).cast("string"),
+            lit(".example/sitemap-child.xml</loc></sitemap>"))).otherwise(""),
+        lit("</urlset>")).cast("binary").as("xml"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_web_sitemap" -> ((s, dir) =>
+      WebGraph.parseSitemaps(sitemapCorpus(s, dir), "url", "xml")),
+
+    // THE DISCOVERY LEG of the crawl loop (complements q_web_crawlpipe's
+    // recrawl leg): links extracted from the current crawl, canonicalized,
+    // minus already-crawled canonical urls (anti join), minus blocklisted
+    // hosts, scheduled into politeness waves. Priority is the portable
+    // LENGTH*7 % 100 function of the url.
+    "q_web_discover" -> ((s, dir) => {
+      import s.implicits._
+      val pages = webCorpus(s, dir)
+      val cand = WebGraph.extractLinks(pages, "url", "html")
+        .select(graft.operators.WebText.canonicalUrl(col("dst_url")).as("url"))
+        .distinct()
+      val seen = pages
+        .select(graft.operators.WebText.canonicalUrl(col("url")).as("url"))
+        .distinct()
+      val fresh = cand.join(seen, Seq("url"), "left_anti")
+      val ok = WebGraph.hostBlocklist(fresh, "url",
+        Seq("hub1.example.org", "blank.example.org").toDF("domain"), "domain")
+        .filter(!col("blocked")).select("url")
+      WebGraph.frontierSchedule(
+        ok.withColumn("priority", pmod(length(col("url")) * 7, lit(100))),
+        "url", "priority", slotsPerWave = 3)
+        .select("url", "host", "host_rank", "wave")
+    }),
+
     "q_web_components" -> ((s, dir) =>
       WebGraph.weakComponents(componentEdges(s, dir), "src_host", "dst_host")),
 
@@ -347,7 +409,107 @@ object QueriesWebGraph {
       |  WHERE LOWER(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):.*$', 1)) <> ''
       |    AND TRIM(REGEXP_EXTRACT(t.line, '(?i)^(allow|disallow):(.*)$', 2)) <> '')"""
 
+  /** canonicalization CTEs for a one-column relation `$in(url)` →
+    * `$out(url)` (DISTINCT canonical forms) — the crawlpipe transcription
+    * of WebText.canonicalUrl, parameterized. Margin-bearing; every input
+    * here parses (extractLinks emits absolute urls only), so the
+    * unparseable-passthrough branch is not transcribed. The COALESCE on
+    * params is load-bearing: DuckDB's ARRAY_TO_STRING of an EMPTY list is
+    * NULL (Spark's array_join is ''), so a param-less url would NULL out
+    * the whole concat. */
+  private def oracleCanon(in: String, out: String): String =
+    s"""cx$out AS (SELECT url,
+      |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+      |  REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |  REGEXP_EXTRACT(url, '^[^?#]*\\?([^#]*)', 1) AS q FROM $in),
+      |cy$out AS (SELECT url, scheme,
+      |  LOWER(REGEXP_EXTRACT(hostport, '^([^:]*)', 1)) AS host,
+      |  REGEXP_EXTRACT(hostport, ':([0-9]+)$$', 1) AS port,
+      |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+      |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STRING_SPLIT(q, '&'),
+      |    x -> LEN(x) > 0 AND NOT REGEXP_MATCHES(x,
+      |      '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&'), '') AS params
+      |  FROM cx$out),
+      |$out AS (SELECT DISTINCT
+      |  scheme || '://' || host
+      |  || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |           AND NOT (scheme = 'https' AND port = '443')
+      |      THEN ':' || port ELSE '' END)
+      |  || path || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS url
+      |  FROM cy$out)"""
+
   val oracle: Map[String, String] = Map(
+    // the discovery-leg composition: links (oracleLinks' x/select as CTEs),
+    // canonical candidates LEFT-JOIN-NULL against canonical seen urls,
+    // two-literal label-boundary blocklist, LENGTH*7%100 priority waves
+    "q_web_discover" ->
+      (s"""WITH p AS ($oraclePages),
+        |x AS (SELECT url,
+        |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  UNNEST(REGEXP_EXTRACT_ALL(html, '(?i)href="([^"]*)"', 1)) AS href FROM p),
+        |links AS (SELECT dst_url AS url FROM (
+        |  SELECT CASE WHEN REGEXP_MATCHES(href, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN href
+        |              WHEN href LIKE '/%' AND scheme <> ''
+        |                THEN scheme || '://' || hostport || href
+        |         END AS dst_url
+        |  FROM x) WHERE dst_url IS NOT NULL),
+        |pu AS (SELECT DISTINCT url FROM p),
+        |""" + oracleCanon("links", "cand") + """,
+        |""" + oracleCanon("pu", "seen") + """,
+        |fresh AS (SELECT c.url FROM cand c LEFT JOIN seen se ON se.url = c.url
+        |          WHERE se.url IS NULL),
+        |fh AS (SELECT url,
+        |  LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host
+        |  FROM fresh),
+        |ok AS (SELECT url, host FROM fh WHERE NOT (
+        |    host = 'hub1.example.org' OR host LIKE '%.hub1.example.org'
+        |    OR host = 'blank.example.org' OR host LIKE '%.blank.example.org')),
+        |fr AS (SELECT url, host,
+        |    ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY (LENGTH(url) * 7) % 100 DESC, url ASC) AS rn
+        |  FROM ok)
+        |SELECT url, host, CAST(rn AS BIGINT) AS host_rank,
+        |  CAST((rn - 1) // 3 AS BIGINT) AS wave FROM fr""").stripMargin,
+
+    // re-derives sitemapCorpus; the comment strip, entry split, loc/lastmod
+    // patterns are WebGraph's constants verbatim
+    "q_web_sitemap" ->
+      """WITH p AS (SELECT
+        |    'http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/sitemap'
+        |      || CAST(doc_id AS VARCHAR) || '.xml' AS url,
+        |    '<?xml version="1.0"?><urlset>'
+        |    || (CASE WHEN doc_id % 7 = 0
+        |         THEN '<!--<url><loc>http://fake.example/x</loc></url>-->' ELSE '' END)
+        |    || '<url><loc>'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '' END)
+        |    || 'http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/page/'
+        |    || CAST(doc_id % 10 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '' END)
+        |    || '</loc>'
+        |    || (CASE WHEN doc_id % 3 = 0
+        |         THEN '<lastmod>2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</lastmod>'
+        |         ELSE '' END)
+        |    || '</url>'
+        |    || '<url><loc>http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/page/'
+        |    || CAST(doc_id % 10 + 1 AS VARCHAR) || '</loc></url>'
+        |    || (CASE WHEN doc_id % 5 = 0
+        |         THEN '<url><priority>0.5</priority></url>' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |         THEN '<sitemap><loc>http://s' || CAST(doc_id % 100 AS VARCHAR)
+        |              || '.example/sitemap-child.xml</loc></sitemap>' ELSE '' END)
+        |    || '</urlset>' AS xml
+        |  FROM documents),
+        |noc AS (SELECT url, REGEXP_REPLACE(xml, '(?s)<!--.*?-->', '', 'g') AS t FROM p),
+        |ent AS (SELECT url, unnest(regexp_split_to_array(t, '(?i)</(?:url|sitemap)>')) AS e FROM noc),
+        |f AS (SELECT url, e FROM ent WHERE CONTAINS(LOWER(e), '<loc>'))
+        |SELECT url AS sitemap_url,
+        |  REGEXP_EXTRACT(e, '(?is)<loc>\s*([^<]*?)\s*</loc>', 1) AS loc,
+        |  NULLIF(REGEXP_EXTRACT(e, '(?is)<lastmod>\s*([^<]*?)\s*</lastmod>', 1), '') AS lastmod,
+        |  CONTAINS(LOWER(e), '<sitemap>') AS is_index
+        |FROM f
+        |WHERE REGEXP_EXTRACT(e, '(?is)<loc>\s*([^<]*?)\s*</loc>', 1) <> ''""".stripMargin,
     // ground-truth weak components: undirected closure by recursive
     // reachability (the q_raster_regions_global precedent), comp = MIN
     // reachable node — ASCII string MIN is byte-identical in both engines

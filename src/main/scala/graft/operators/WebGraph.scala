@@ -437,4 +437,38 @@ object WebGraph {
                      maxIter: Int = 30): DataFrame =
     Dedup.connectedComponents(
       edges.select(col(srcCol).as("a_id"), col(dstCol).as("b_id")), maxIter)
+
+  /** one `<url>`/`<sitemap>` entry's `<loc>` body (group 1). */
+  val SitemapLocPattern: String = "(?is)<loc>\\s*([^<]*?)\\s*</loc>"
+  /** one entry's `<lastmod>` body (group 1). */
+  val SitemapLastmodPattern: String = "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>"
+
+  /**
+   * Sitemap parsing (sitemaps.org XML, both urlset and sitemapindex): the
+   * crawl-discovery input feeding the frontier alongside extracted links.
+   * Each `</url>` / `</sitemap>`-terminated entry yields its first `<loc>`
+   * (trimmed; entries without one are structural tails and dropped) plus
+   * the optional `<lastmod>` (kept as the raw W3C datetime STRING — date
+   * parsing is locale/engine-sensitive, downstream recrawl logic compares
+   * lexicographically which W3C datetimes support) and `is_index` (true
+   * for `<sitemap>` entries — they name further sitemaps to fetch, not
+   * documents). Zero shuffles: entry split + per-entry regex are per-row
+   * array expressions; the output explode is the only pivot.
+   */
+  def parseSitemaps(sitemaps: DataFrame, urlCol: String, xmlCol: String): DataFrame = {
+    val xml = col(xmlCol).cast("string")
+    val entries = filter(
+      split(regexp_replace(xml, "(?s)<!--.*?-->", ""), "(?i)</(?:url|sitemap)>"),
+      e => instr(lower(e), "<loc>") > 0)
+    val parsed = transform(entries, e => struct(
+      regexp_extract(e, SitemapLocPattern, 1).as("loc"),
+      when(regexp_extract(e, SitemapLastmodPattern, 1) =!= "",
+        regexp_extract(e, SitemapLastmodPattern, 1)).as("lastmod"),
+      (instr(lower(e), "<sitemap>") > 0).as("is_index")))
+    sitemaps
+      .select(col(urlCol).as("sitemap_url"), explode(parsed).as("e"))
+      .filter(col("e.loc") =!= "")
+      .select(col("sitemap_url"), col("e.loc").as("loc"),
+        col("e.lastmod").as("lastmod"), col("e.is_index").as("is_index"))
+  }
 }

@@ -278,4 +278,24 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(7L) == (("", false, None)))
     assert(got(8L) == (("ok.net", false, None)))
   }
+
+  test("parseSitemaps: entries, trim, lastmod, index flag, comment/loc-less dropped") {
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<!--<url><loc>http://fake/x</loc></url>-->" +
+      "<url><loc>  http://a.example/1 </loc><lastmod>2026-02-03</lastmod></url>" +
+      "<URL><LOC>http://a.example/2</LOC></URL>" +
+      "<url><priority>0.3</priority></url>" +
+      "<sitemap><loc>http://a.example/more.xml</loc></sitemap>" +
+      "<url><loc></loc></url>" +
+      "</urlset>"
+    val p = Seq(("http://a.example/sitemap.xml", xml)).toDF("url", "xml")
+      .withColumn("xml", col("xml").cast("binary"))
+    val got = WebGraph.parseSitemaps(p, "url", "xml").collect()
+      .map(r => (r.getString(1), Option(r.getString(2)), r.getBoolean(3)))
+    assert(got.toSet === Set(
+      ("http://a.example/1", Some("2026-02-03"), false),
+      ("http://a.example/2", None, false),
+      ("http://a.example/more.xml", None, true)))
+    assert(got.length === 3) // fake (comment), loc-less, empty-loc all dropped
+  }
 }
