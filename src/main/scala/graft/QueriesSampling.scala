@@ -21,6 +21,9 @@ object QueriesSampling {
   private val Seq(cut80, cut90, cut100) =
     graft.operators.Sampling.cutPoints(Seq(0.8, 0.1, 0.1))
   private val cut25 = math.floor(0.25 * P).toLong
+  // q_sample_dsir keep threshold — interpolated into the oracle so the
+  // gate entry and SQL can never drift (the q_txt_filter ADVICE lesson)
+  private val dsirMin = -50L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // train/val/test split over documents; exact integer observables
@@ -45,6 +48,17 @@ object QueriesSampling {
         .stratifiedTopK(t(s, dir, "events"), Seq("event_type"), "event_id", k = 50, salt = 7L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))),
+
+    // DSIR importance resampling: raw = all documents, target = the 'de'
+    // slice; integer bit-length log-ratio scores, threshold shared with
+    // the oracle via dsirMin
+    "q_sample_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.importanceResample(
+        docs, "doc_id", "text",
+        docs.filter(col("lang") === "de"), "text",
+        minMeanImp100 = dsirMin)
+    }),
 
     // sqrt-temperature domain rebalancing over a skewed synthetic domain
     // column (geometric class sizes 1/2, 1/4, 1/8, 1/16, 1/16 — real
@@ -85,6 +99,44 @@ object QueriesSampling {
          |  FROM events)
          |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
          |FROM r WHERE rn <= 50 GROUP BY event_type""".stripMargin,
+    // mirrors importanceResample exactly; the mean is TRUNCATED toward
+    // zero on both sides — Spark `div` truncates, DuckDB `//` FLOORS, so
+    // the negative branch is written as -((100·|imp|) // n) explicitly
+    "q_sample_dsir" ->
+      s"""WITH rw AS (SELECT doc_id,
+         |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+'),
+         |      x -> x <> '')) AS word FROM documents),
+         |inst AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+         |         FROM rw GROUP BY doc_id, word),
+         |rc AS (SELECT word, CAST(SUM(n) + 1 AS BIGINT) AS r_w
+         |       FROM inst GROUP BY word),
+         |tw AS (SELECT
+         |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+'),
+         |      x -> x <> '')) AS word FROM documents WHERE lang = 'de'),
+         |tc AS (SELECT word, CAST(COUNT(*) + 1 AS BIGINT) AS t_w
+         |       FROM tw GROUP BY word),
+         |tot AS (SELECT (SELECT CAST(SUM(r_w) AS BIGINT) FROM rc) AS rt,
+         |               (SELECT CAST(SUM(t_w) AS BIGINT) FROM tc) AS tt),
+         |sc AS (SELECT i.doc_id,
+         |    CAST(SUM(i.n * ((LENGTH(BIN(COALESCE(t.t_w, 1))) + LENGTH(BIN(tot.rt)))
+         |                  - (LENGTH(BIN(r.r_w)) + LENGTH(BIN(tot.tt))))) AS BIGINT) AS iss,
+         |    CAST(SUM(i.n) AS BIGINT) AS nw
+         |  FROM inst i
+         |  JOIN rc r ON r.word = i.word
+         |  LEFT JOIN tc t ON t.word = i.word
+         |  CROSS JOIN tot
+         |  GROUP BY i.doc_id),
+         |fin AS (SELECT d.doc_id, COALESCE(nw, 0) AS n_words,
+         |               COALESCE(iss, 0) AS imp_sum
+         |        FROM (SELECT doc_id FROM documents) d
+         |        LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |fm AS (SELECT doc_id, n_words, imp_sum,
+         |    CASE WHEN n_words > 0 THEN
+         |      CAST(CASE WHEN imp_sum >= 0 THEN (100 * imp_sum) // n_words
+         |                ELSE -((100 * (-imp_sum)) // n_words) END AS BIGINT)
+         |    ELSE 0 END AS mean_imp100 FROM fin)
+         |SELECT doc_id, n_words, imp_sum, mean_imp100,
+         |  (n_words > 0 AND mean_imp100 >= $dsirMin) AS kept FROM fm""".stripMargin,
     // SQRT is IEEE-correctly-rounded, so keep_rate and the keep decision
     // (exact-int hash compared to rate * P as doubles) are bit-portable
     "q_sample_temp" ->

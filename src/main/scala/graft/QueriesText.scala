@@ -419,6 +419,9 @@ object QueriesText {
       TextAnalysis.withTokenStats(docs(s, dir), "text")
         .select("doc_id", "n_tokens", "uniq_tokens", "ttr")),
 
+    "q_txt_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(docs(s, dir), "doc_id", "text")),
+
     "q_txt_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir).select("doc_id", "text"), "text")
         .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "mean_token_len")),
@@ -1122,6 +1125,38 @@ object QueriesText {
         |  ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rk
         |  FROM c)
         |SELECT fp, doc_id FROM r WHERE rk = 1""".stripMargin,
+    // bigram surprisal: zipped slice unnests (the q_txt_bpe precedent) give
+    // adjacent pairs; LENGTH(BIN(x)) = Spark length(bin(x)) exactly; every
+    // SUM is CAST to BIGINT (DuckDB sums to HUGEINT — the q_tm_sessions
+    // lesson) and the mean uses `//` = Spark `div` on non-negative Longs
+    "q_txt_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+        |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+'),
+        |    x -> x <> '') AS ws FROM documents),
+        |b AS (SELECT doc_id, UNNEST(ws[1:LEN(ws)-1]) AS w1,
+        |             UNNEST(ws[2:LEN(ws)]) AS w2
+        |      FROM w WHERE LEN(ws) >= 2),
+        |inst AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |         FROM b GROUP BY doc_id, w1, w2),
+        |pc AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c_pair
+        |       FROM inst GROUP BY w1, w2),
+        |lc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c_left
+        |       FROM inst GROUP BY w1),
+        |sc AS (SELECT i.doc_id,
+        |    CAST(SUM(i.n * (LENGTH(BIN(lc.c_left)) - LENGTH(BIN(pc.c_pair))))
+        |         AS BIGINT) AS ss,
+        |    CAST(SUM(i.n) AS BIGINT) AS nb
+        |  FROM inst i
+        |  JOIN pc ON pc.w1 = i.w1 AND pc.w2 = i.w2
+        |  JOIN lc ON lc.w1 = i.w1
+        |  GROUP BY i.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(nb, 0) AS n_bigrams,
+        |  COALESCE(ss, 0) AS sum_surprisal,
+        |  CASE WHEN COALESCE(nb, 0) > 0
+        |       THEN CAST((100 * ss) // nb AS BIGINT) ELSE 0 END AS mean_surp100
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
     "q_txt_tokens" ->
       """SELECT doc_id,
         | CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

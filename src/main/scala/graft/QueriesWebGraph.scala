@@ -169,7 +169,66 @@ object QueriesWebGraph {
             lit(".example/sitemap-child.xml</loc></sitemap>"))).otherwise(""),
         lit("</urlset>")).cast("binary").as("xml"))
 
+  /** WARC archive corpus: one blob per doc, [warcinfo on %5] + response +
+    * [request on %3], with the traps the Content-Length walk must survive:
+    *  %7  → `\r\nWARC/1.0\r\n\r\n` INSIDE the response payload (split-on-
+    *        magic parsers shear here);
+    *  %2  → lowercase `content-length:`/`warc-type:` header names;
+    *  %9  → request record without a WARC-Date header;
+    *  %11 → an extra WARC-Record-ID header (ignored);
+    *  %13 → single-CRLF record separator after the response (tolerated);
+    *  %17 → trailing truncated record (magic + partial header, no blank
+    *        line) — the walk stops, keeping everything before it.
+    * The oracle NEVER parses: it predicts the records in closed form from
+    * the same modular classes. */
+  private def warcCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def m(k: Long) = pmod(id, lit(k))
+    val uri = concat(lit("http://w"), m(50).cast("string"),
+      lit(".example/p/"), m(20).cast("string"))
+    val dt = concat(lit("2026-01-0"), (m(9) + 1).cast("string"), lit("T00:00:00Z"))
+    val respPayload = concat(lit("<html>"),
+      when(m(7) === 0, "\r\nWARC/1.0\r\n\r\n").otherwise(""),
+      lit("<a href=\"/p/"), m(10).cast("string"), lit("\">x</a>"))
+    val reqPayload = concat(lit("GET /p/"), m(10).cast("string"), lit(" HTTP/1.1"))
+    val infoPayload = concat(lit("software: graftbot "), m(9).cast("string"))
+    val clenName = when(m(2) === 0, "content-length: ").otherwise("Content-Length: ")
+    val typeName = when(m(2) === 0, "warc-type: ").otherwise("WARC-Type: ")
+    val infoRec = concat(lit("WARC/1.0\r\n"), typeName, lit("warcinfo\r\n"),
+      lit("WARC-Date: "), dt, lit("\r\n"),
+      clenName, length(infoPayload).cast("string"), lit("\r\n\r\n"),
+      infoPayload, lit("\r\n\r\n"))
+    val respRec = concat(lit("WARC/1.0\r\n"), typeName, lit("response\r\n"),
+      lit("WARC-Target-URI: "), uri, lit("\r\n"),
+      lit("WARC-Date: "), dt, lit("\r\n"),
+      when(m(11) === 0, concat(lit("WARC-Record-ID: <urn:uuid:"),
+        id.cast("string"), lit(">\r\n"))).otherwise(""),
+      clenName, length(respPayload).cast("string"), lit("\r\n\r\n"),
+      respPayload,
+      when(m(13) === 0, "\r\n").otherwise("\r\n\r\n"))
+    val reqRec = concat(lit("WARC/1.0\r\n"), typeName, lit("request\r\n"),
+      lit("WARC-Target-URI: "), uri, lit("\r\n"),
+      when(m(9) === 0, "").otherwise(concat(lit("WARC-Date: "), dt, lit("\r\n"))),
+      clenName, length(reqPayload).cast("string"), lit("\r\n\r\n"),
+      reqPayload, lit("\r\n\r\n"))
+    docs(s, dir).select(
+      concat(lit("http://w"), m(50).cast("string"), lit(".example/archive/"),
+        id.cast("string"), lit(".warc")).as("url"),
+      concat(
+        when(m(5) === 0, infoRec).otherwise(""),
+        respRec,
+        when(m(3) === 0, reqRec).otherwise(""),
+        when(m(17) === 0, "WARC/1.0\r\nWARC-Type: resp").otherwise(""))
+        .cast("binary").as("blob"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_web_warc" -> ((s, dir) =>
+      graft.sources.Warc.parseWarc(warcCorpus(s, dir), "url", "blob")
+        .select(col("warc_file"), col("rec_ord"), col("record_type"),
+          col("target_uri"), col("warc_date"), col("payload_len"),
+          col("payload").cast("string").as("payload_str"))),
+
     "q_web_sitemap" -> ((s, dir) =>
       WebGraph.parseSitemaps(sitemapCorpus(s, dir), "url", "xml")),
 
@@ -277,6 +336,15 @@ object QueriesWebGraph {
       WebGraph.pageRankFixedPoint(edgeCorpus(s, dir), "src_host", "dst_host",
         iters = 3)
         .select(col("host"), col("rank").as("pr"))),
+
+    // seeds = every 10th host id; h100 is dangling-dst-only, h10.. are mid
+    // graph, so trust 0 / seed-only / propagated cases all occur
+    "q_web_trustrank" -> ((s, dir) => {
+      import s.implicits._
+      WebGraph.trustRank(edgeCorpus(s, dir), "src_host", "dst_host",
+        Seq.range(0, 101, 10).map(k => s"h$k").toDF("host"), "host",
+        iters = 3)
+    }),
 
     "q_web_anchors" -> ((s, dir) =>
       WebGraph.extractAnchors(webCorpus(s, dir), "url", "html")),
@@ -440,6 +508,36 @@ object QueriesWebGraph {
       |  FROM cy$out)"""
 
   val oracle: Map[String, String] = Map(
+    // closed-form record prediction from warcCorpus's modular classes —
+    // deliberately NO parsing here: the engine must recover these rows by
+    // walking real bytes under Content-Length
+    "q_web_warc" ->
+      """WITH base AS (SELECT doc_id,
+        |  'http://w' || CAST(doc_id % 50 AS VARCHAR) || '.example/archive/'
+        |    || CAST(doc_id AS VARCHAR) || '.warc' AS wf,
+        |  'http://w' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+        |    || CAST(doc_id % 20 AS VARCHAR) AS uri,
+        |  '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T00:00:00Z' AS dt,
+        |  '<html>' || (CASE WHEN doc_id % 7 = 0
+        |      THEN chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10)||chr(13)||chr(10)
+        |      ELSE '' END)
+        |    || '<a href="/p/' || CAST(doc_id % 10 AS VARCHAR) || '">x</a>' AS rp,
+        |  'GET /p/' || CAST(doc_id % 10 AS VARCHAR) || ' HTTP/1.1' AS qp,
+        |  'software: graftbot ' || CAST(doc_id % 9 AS VARCHAR) AS ip
+        |  FROM documents)
+        |SELECT wf AS warc_file, CAST(0 AS INT) AS rec_ord,
+        |  'warcinfo' AS record_type, CAST(NULL AS VARCHAR) AS target_uri,
+        |  dt AS warc_date, CAST(LENGTH(ip) AS BIGINT) AS payload_len,
+        |  ip AS payload_str
+        |FROM base WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT wf, CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT),
+        |  'response', uri, dt, CAST(LENGTH(rp) AS BIGINT), rp FROM base
+        |UNION ALL
+        |SELECT wf, CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT),
+        |  'request', uri, CASE WHEN doc_id % 9 = 0 THEN NULL ELSE dt END,
+        |  CAST(LENGTH(qp) AS BIGINT), qp FROM base WHERE doc_id % 3 = 0""".stripMargin,
+
     // the discovery-leg composition: links (oracleLinks' x/select as CTEs),
     // canonical candidates LEFT-JOIN-NULL against canonical seen urls,
     // two-literal label-boundary blocklist, LENGTH*7%100 priority waves
@@ -736,6 +834,44 @@ object QueriesWebGraph {
     // 3 unrolled synchronous iterations; `//` is DuckDB BIGINT floor division
     // = Spark `div` on the same non-negative Longs → bit-identical ranks.
     // base = ((100-85)*1000000)//100 = 150000.
+    // pagerank's unrolled-CTE shape with seed-restricted teleport:
+    // base lands only on seed rows, trust[0] = scale only on seeds
+    "q_web_trustrank" ->
+      """WITH e AS (SELECT DISTINCT
+        |    'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+        |    'h' || CAST((doc_id * 5 + 3) % 101 AS VARCHAR) AS dst FROM documents),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |seeds(host) AS (VALUES ('h0'),('h10'),('h20'),('h30'),('h40'),('h50'),
+        |  ('h60'),('h70'),('h80'),('h90'),('h100')),
+        |sn AS (SELECT n.host, (s.host IS NOT NULL) AS is_seed
+        |       FROM nodes n LEFT JOIN seeds s ON s.host = n.host),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+        |r0 AS (SELECT host, is_seed,
+        |       CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS trust
+        |       FROM sn),
+        |i1 AS (SELECT e.dst AS host, SUM(r0.trust // o.odeg) AS inc
+        |       FROM e JOIN r0 ON r0.host = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.host, n.is_seed,
+        |       CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+        |            + (85 * COALESCE(i1.inc, 0)) // 100 AS BIGINT) AS trust
+        |       FROM sn n LEFT JOIN i1 USING (host)),
+        |i2 AS (SELECT e.dst AS host, SUM(r1.trust // o.odeg) AS inc
+        |       FROM e JOIN r1 ON r1.host = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.host, n.is_seed,
+        |       CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+        |            + (85 * COALESCE(i2.inc, 0)) // 100 AS BIGINT) AS trust
+        |       FROM sn n LEFT JOIN i2 USING (host)),
+        |i3 AS (SELECT e.dst AS host, SUM(r2.trust // o.odeg) AS inc
+        |       FROM e JOIN r2 ON r2.host = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.host, n.is_seed,
+        |       CAST((CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+        |            + (85 * COALESCE(i3.inc, 0)) // 100 AS BIGINT) AS trust
+        |       FROM sn n LEFT JOIN i3 USING (host))
+        |SELECT host, is_seed, trust FROM r3""".stripMargin,
+
     "q_web_pagerank" ->
       """WITH e AS (SELECT DISTINCT
         |    'h' || CAST(doc_id % 97 AS VARCHAR) AS src,

@@ -115,6 +115,76 @@ object Sampling {
    * histogram (domain-cardinality-sized) broadcasts back, so the corpus
    * itself never shuffles.
    */
+  /**
+   * DSIR-style data selection via importance resampling (Xie et al.,
+   * NeurIPS'23): score every raw-corpus document by how much more likely
+   * its words are under a small TARGET corpus (the domain you want the
+   * training mix to look like) than under the raw corpus itself, then keep
+   * the high-importance slice. The published method samples with
+   * probability ∝ exp(log-importance) over hashed n-gram features; this
+   * engine keeps the log-importance formulation but measures it in INTEGER
+   * bit-length units (the [[graft.operators.TextAnalysis.bigramSurprisal]]
+   * portability rule — no float log whose last ulp could flip a boundary
+   * doc between engines):
+   *
+   *   imp(w)  = (len(bin(t_w)) + len(bin(R))) - (len(bin(r_w)) + len(bin(T)))
+   *   score   = Σ_w n_w · imp(w)   over the doc's words
+   *
+   * with t_w/r_w the add-one-smoothed word counts in target/raw, T/R the
+   * corpora's total smoothed word masses — i.e. imp(w) ≈ log2 p_target(w)
+   * − log2 p_raw(w), positive for target-flavored words. `mean_imp100` is
+   * the fixed-point per-word mean; `kept` thresholds it at `minMeanImp100`
+   * (compose [[hashSample]] downstream for rate control inside the kept
+   * slice). Words the target never saw contribute the smoothed floor, so
+   * an all-unknown doc scores negative and drops — the designed behavior.
+   * Word domain is lowercased `[a-z]+` runs.
+   *
+   * Scale: the raw corpus is scanned ONCE into a checkpointed per-doc
+   * (word, n) table ([[graft.operators.TextAnalysis.invertedIndex]]
+   * lesson); the raw model re-aggregates it vocabulary-sized, the target
+   * model aggregates the (small) target corpus and is BROADCAST into the
+   * scoring join — the corpus-sized join keys on `word` alone, where the
+   * per-doc pre-collapse already compressed the stopword skew.
+   */
+  def importanceResample(raw: DataFrame, idCol: String, textCol: String,
+                         target: DataFrame, targetTextCol: String,
+                         minMeanImp100: Long = 0L): DataFrame = {
+    def words(c: Column) = filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
+    val inst = raw
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rawCounts = inst.groupBy("word").agg((sum("n") + 1L).as("r_w"))
+    val tgtCounts = target
+      .select(explode(words(col(targetTextCol))).as("word"))
+      .groupBy("word").agg((count(lit(1)) + 1L).as("t_w"))
+    // totals: every vocabulary word is +1-smoothed on both sides; words
+    // only in the target still score via r_w = 1 (left join below)
+    val rTotal = rawCounts.agg(sum("r_w")).collect()(0).getLong(0)
+    val tTotal = tgtCounts.agg(sum("t_w")).collect()(0).getLong(0)
+    val rTotBits = 64 - java.lang.Long.numberOfLeadingZeros(rTotal)
+    val tTotBits = 64 - java.lang.Long.numberOfLeadingZeros(tTotal)
+    val binlen = (c: Column) => length(bin(c))
+    val scored = inst
+      .join(rawCounts, Seq("word"))
+      .join(broadcast(tgtCounts), Seq("word"), "left")
+      .withColumn("__imp",
+        ((binlen(coalesce(col("t_w"), lit(1L))) + lit(rTotBits)) -
+          (binlen(col("r_w")) + lit(tTotBits))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("__imp")).as("imp_sum"), sum("n").as("n_words"))
+    raw.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("imp_sum"), lit(0L)).as("imp_sum"))
+      .withColumn("mean_imp100",
+        when(col("n_words") > 0, expr("(100 * imp_sum) div n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("kept",
+        col("n_words") > 0 && col("mean_imp100") >= minMeanImp100)
+  }
+
   def temperatureRebalance(df: DataFrame, idCol: String, domainCol: String,
                            salt: Long = 0L): DataFrame = {
     val counts = df.groupBy(col(domainCol).as("domain"))

@@ -225,6 +225,66 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-trained bigram surprisal scoring — the model-based quality
+   * filter (a KenLM-perplexity stand-in built from the corpus itself):
+   * train left-context/bigram counts over the whole corpus, then score
+   * every document by the mean information content of its own bigrams.
+   * Gibberish, keyword-stuffed, and boilerplate-free-association text
+   * scores HIGH (its bigrams are rare relative to their left contexts);
+   * natural prose scores low — threshold on `mean_surp100` next to the
+   * heuristic [[withQuality]] stats.
+   *
+   * Portability: surprisal is measured in INTEGER bit-length units —
+   * `surp(w1,w2) = len(bin(c_left(w1))) - len(bin(c_pair(w1,w2)))`, i.e.
+   * floor-log2 of the inverse conditional probability, rounded to whole
+   * bits. `LENGTH(BIN(x))` is exact integer arithmetic in both engines
+   * (no float log whose last ulp could flip a threshold), and c_left ≥
+   * c_pair makes every term non-negative. `mean_surp100` is the
+   * fixed-point mean `(100·Σ n·surp) div Σ n` (0 for docs with <2 words).
+   * Word domain is lowercased `[a-z]+` runs (the [[bpeTrain]] convention).
+   *
+   * Scale: the corpus text is scanned ONCE — the per-doc (w1, w2, n) table
+   * is eagerly localCheckpoint'ed and all three consumers (pair counts,
+   * left counts, the scoring join) read the materialized table (the
+   * [[invertedIndex]] lesson: Catalyst's partial-agg rewrite breaks
+   * ReuseExchange between them). Model tables are vocabulary²-bounded —
+   * orders of magnitude below corpus size — and the scoring joins key on
+   * (w1, w2)/(w1), where the heaviest keys are exactly the pairs the
+   * per-doc pre-collapse (`n`) has already compressed.
+   */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z]+"), w => length(w) > 0)
+    // zip_with pads the shorter side with null → the (last_word, null)
+    // tail pair is dropped after the explode
+    val pairs = zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val inst = docs
+      .select(col(idCol).as("doc_id"), explode(pairs).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pairCounts = inst.groupBy("w1", "w2").agg(sum("n").as("c_pair"))
+    val leftCounts = inst.groupBy("w1").agg(sum("n").as("c_left"))
+    val scored = inst
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(leftCounts, Seq("w1"))
+      .withColumn("__surp",
+        (length(bin(col("c_left"))) - length(bin(col("c_pair")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("__surp")).as("sum_surprisal"),
+        sum("n").as("n_bigrams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"))
+      .withColumn("mean_surp100",
+        when(col("n_bigrams") > 0,
+          expr("(100 * sum_surprisal) div n_bigrams")).otherwise(lit(0L)))
+  }
+
+  /**
    * GPT-style training-sequence packing (concat-and-chunk): documents are
    * laid out end to end in doc-id order and cut into fixed `seqLen`-token
    * training sequences; each doc gets its global token offset and the

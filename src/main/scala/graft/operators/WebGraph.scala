@@ -232,6 +232,57 @@ object WebGraph {
   }
 
   /**
+   * Deterministic fixed-point TrustRank (Gyöngyi/Garcia-Molina/Pedersen,
+   * VLDB'04): [[pageRankFixedPoint]] with the teleport mass restricted to a
+   * curated seed set of trusted hosts, so trust propagates outward from the
+   * seeds and link-spam neighborhoods (reachable only from themselves)
+   * stay near 0 — the domain-demotion signal a crawl/curation pipeline
+   * pairs with [[hostBlocklist]] (blocklist = known-bad, trustrank =
+   * not-vouched-for):
+   *
+   *   trust[0]   = scale for seed hosts, 0 otherwise
+   *   trust[k+1] = (seed ? ((100-dampingPct)*scale) div 100 : 0)
+   *              + (dampingPct * sum(trust div outdeg over in-edges)) div 100
+   *
+   * Same BIGINT floor-division portability argument as
+   * [[pageRankFixedPoint]]; same per-iteration plan shape (one edge join +
+   * one combinable sum). The seed table is small by definition (hand-vetted
+   * hosts) and broadcast. Seeds not present in the edge list are ignored;
+   * output is (host, is_seed, trust).
+   */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                iters: Int = 3, scale: Long = 1000000L,
+                dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 && scale > 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val sd = broadcast(seeds.select(col(seedCol).as("host")).distinct()
+      .withColumn("__seed", lit(true)))
+    val seeded = nodes.join(sd, Seq("host"), "left")
+      .select(col("host"), coalesce(col("__seed"), lit(false)).as("is_seed"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = ((100L - dampingPct) * scale) / 100L
+    var ranks = seeded.withColumn("trust",
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val incoming = e
+        .join(ranks.join(outdeg, col("host") === col("src"))
+          .select(col("host").as("__h"), expr("trust div outdeg").as("contrib")),
+          col("src") === col("__h"))
+        .groupBy(col("dst").as("host"))
+        .agg(sum("contrib").as("inc"))
+      ranks = seeded
+        .join(incoming, Seq("host"), "left")
+        .select(col("host"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * coalesce(inc, 0L)) div 100")).as("trust"))
+    }
+    ranks
+  }
+
+  /**
    * Deterministic fixed-point HITS (Kleinberg hubs/authorities), `iters`
    * synchronous iterations over a directed edge list:
    *

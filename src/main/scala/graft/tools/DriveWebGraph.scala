@@ -88,6 +88,29 @@ object DriveWebGraph {
       concat(lit("spam"), col("id"), lit(".com")).as("domain"))
     audit("hostBlocklist", WebGraph.hostBlocklist(
       crawl, "url", bl, "domain"))
+
+    // session-9 operators: parseWarc/parseSitemaps shuffle-free (UDF/array
+    // exprs + explode only); trustRank same per-iteration Exchange pair as
+    // pageRank with the seed table broadcast (no BNL); bigramSurprisal —
+    // corpus scanned ONCE into the checkpointed inst table, model apertures
+    // (pair/left counts) and the scoring join all read the materialization
+    val warcs = spark.range(n / 10).select(
+      concat(lit("f"), col("id")).as("url"),
+      concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h"),
+        pmod(col("id"), lit(997L)), lit(".example/p\r\nContent-Length: 6\r\n\r\nabcdef\r\n\r\n"))
+        .cast("binary").as("blob"))
+    audit("parseWarc", graft.sources.Warc.parseWarc(warcs, "url", "blob"))
+    val maps = spark.range(n / 10).select(
+      concat(lit("f"), col("id")).as("url"),
+      concat(lit("<urlset><url><loc>http://h"), pmod(col("id"), lit(997L)),
+        lit(".example/p</loc></url></urlset>")).cast("binary").as("xml"))
+    audit("parseSitemaps", WebGraph.parseSitemaps(maps, "url", "xml"))
+    val seeds = spark.range(40).select(concat(lit("hub"), col("id") * 25L,
+      lit(".example")).as("host"))
+    audit("trustRank(3)", WebGraph.trustRank(hg, "src_host", "dst_host",
+      seeds, "host", iters = 3))
+    audit("bigramSurprisal", graft.operators.TextAnalysis.bigramSurprisal(
+      docs, "doc_id", "text"))
     spark.stop()
   }
 }

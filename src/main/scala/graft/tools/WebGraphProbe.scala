@@ -178,6 +178,46 @@ object WebGraphProbe {
           v.count() + m.count()
         }
       }
+      if (want("warc")) timed("warc", cores, n, trials) {
+        // one 2-record archive per page row; payload carries the html
+        val w = p.select(col("url"), concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+          col("url"), lit("\r\nContent-Length: "),
+          length(col("html")).cast("string"), lit("\r\n\r\n"),
+          col("html").cast("string"),
+          lit("\r\n\r\nWARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "),
+          col("url"), lit("\r\nContent-Length: 14\r\n\r\nGET / HTTP/1.1\r\n\r\n"))
+          .cast("binary").as("blob"))
+        graft.sources.Warc.parseWarc(w, "url", "blob")
+          .agg(sum("payload_len")).collect()
+        n
+      }
+      if (want("trustrank3")) {
+        val edges = WebGraph.hostGraph(
+          WebGraph.extractLinks(p, "url", "html"), "src_url", "dst_url")
+          .localCheckpoint()
+        val nEdges = edges.count()
+        val seeds = s.range(200L).select(
+          concat(lit("hub"), col("id") * 10L, lit(".example")).as("host"))
+        timed("trustrank3", cores, nEdges, trials) {
+          WebGraph.trustRank(edges, "src_host", "dst_host", seeds, "host",
+            iters = 3).agg(sum("trust")).collect()
+          nEdges
+        }
+      }
+      if (want("surprisal")) timed("surprisal", cores, n, trials) {
+        // [a-z]+ word domain: translate digits to letters (the bpe lesson)
+        val sdocs = s.range(n).select(col("id").as("doc_id"), concat(
+          lit("the walk"), translate(pmod(xxhash64(col("id")), lit(2000L))
+            .cast("string"), "0123456789", "abcdefghij"),
+          lit(" of and a talk"),
+          translate(pmod(xxhash64(col("id"), lit(1)), lit(2000L))
+            .cast("string"), "0123456789", "abcdefghij"),
+          lit(" ends here")).as("text"))
+        graft.operators.TextAnalysis.bigramSurprisal(sdocs, "doc_id", "text")
+          .agg(sum("sum_surprisal")).collect()
+        n
+      }
       if (want("tempsample")) timed("tempsample", cores, n, trials) {
         // numeric id — uniformHash's contract (a string url would ANSI-fail
         // the BIGINT cast); hash-mixed domains, zipf-free but 3000-ary

@@ -84,6 +84,51 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptMega > 120 && keptMega < 230, s"mega kept $keptMega")
   }
 
+  private def bruteDsir(raw: Seq[(Long, String)], tgt: Seq[String],
+                        minMean: Long): Map[Long, (Long, Long, Long, Boolean)] = {
+    def words(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val instAll = raw.flatMap { case (id, t) => words(t).map(id -> _) }
+    val rW = instAll.groupBy(_._2).map { case (w, v) => w -> (v.size.toLong + 1L) }
+    val tW = tgt.flatMap(words).groupBy(identity).map { case (w, v) => w -> (v.size.toLong + 1L) }
+    val rt = rW.values.sum
+    val tt = tW.values.sum
+    raw.map { case (id, t) =>
+      val ws = words(t)
+      val ss = ws.map { w =>
+        (bitlen(tW.getOrElse(w, 1L)) + bitlen(rt) - bitlen(rW(w)) - bitlen(tt)).toLong
+      }.sum
+      val nw = ws.size.toLong
+      val mean = if (nw > 0) 100L * ss / nw else 0L   // Java / truncates like Spark div
+      id -> ((nw, ss, mean, nw > 0 && mean >= minMean))
+    }.toMap
+  }
+
+  test("importanceResample: brute force; target-flavored docs kept, negative mean truncation") {
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta epsilon zeta"),
+      (3L, "alpha alpha alpha beta"),
+      (4L, ""),
+      (5L, "unknownword otherunknown strange"),
+      (6L, "beta gamma"))
+    val tgt = Seq("alpha beta alpha beta gamma", "alpha beta")
+    val got = Sampling.importanceResample(raw.toDF("doc_id", "text"), "doc_id", "text",
+        tgt.toDF("text"), "text", minMeanImp100 = 50L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val exp = bruteDsir(raw, tgt, 50L)
+    assert(got == exp)
+    // doc 5 (words the target never saw) scores strictly below the
+    // target-flavored docs and is dropped at the threshold
+    assert(got(5L)._3 < got(3L)._3 && !got(5L)._4)
+    // zero-word doc: all zeros, not kept
+    assert(got(4L) == ((0L, 0L, 0L, false)))
+    // target-flavored doc 3 is kept
+    assert(got(3L)._4)
+  }
+
   test("guards: bad weights, rates, k") {
     val df = ids(10)
     intercept[IllegalArgumentException] {

@@ -125,4 +125,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(11L) == ((8L, 7L, 1L, 2L, 2L)))
     assert(got(12L) == ((1L, 15L, 3L, 3L, 1L)))
   }
+
+  private def bruteSurprisal(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    def words(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val perDoc = docs.map { case (id, t) =>
+      id -> words(t).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+    }
+    val all = perDoc.flatMap(_._2)
+    val cPair = all.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val cLeft = all.groupBy(_._1).map { case (k2, v) => k2 -> v.size.toLong }
+    perDoc.map { case (id, bs) =>
+      val ss = bs.map(p => bitlen(cLeft(p._1)) - bitlen(cPair(p))).map(_.toLong).sum
+      val nb = bs.size.toLong
+      id -> ((nb, ss, if (nb > 0) 100L * ss / nb else 0L))
+    }.toMap
+  }
+
+  test("bigramSurprisal: brute-force differential; rare-continuation docs score higher") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "The cat sat, the cat sat."),
+      (3L, "Zq!"),                        // 1 word -> no bigrams
+      (4L, ""),                           // empty
+      (5L, "the cat the cat the dog"),
+      (6L, "purple cat quantum mat"))     // rare continuations
+    val got = TextAnalysis.bigramSurprisal(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == bruteSurprisal(docs))
+    assert(got(3L) == ((0L, 0L, 0L)) && got(4L) == ((0L, 0L, 0L)))
+    // the gibberish doc's mean surprisal strictly exceeds the common-prose doc's
+    assert(got(6L)._3 > got(2L)._3)
+  }
 }

@@ -96,6 +96,39 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got == Map("a" -> 150000L, "b" -> 575000L, "c" -> 575000L))
   }
 
+  private def bruteTrust(edges: Seq[(String, String)], seeds: Set[String],
+                         iters: Int, scale: Long, dPct: Long): Map[String, (Boolean, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = (100L - dPct) * scale / 100L
+    var t = nodes.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inc = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => t(x._1) / outdeg(x._1)).sum
+      }
+      t = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + dPct * inc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    nodes.map(n => n -> ((seeds(n), t(n)))).toMap
+  }
+
+  test("trustRank == brute force; spam island unreachable from seeds stays 0") {
+    val r = new scala.util.Random(11)
+    val hosts = (0 until 20).map(i => s"h$i")
+    val edges = (0 until 120).map(_ => (hosts(r.nextInt(20)), hosts(r.nextInt(20))))
+      .filter { case (a, b) => a != b } ++
+      Seq(("spamA", "spamB"), ("spamB", "spamA")) // island: no seed path in
+    val seeds = Set("h0", "h1")
+    for (iters <- Seq(1, 3)) {
+      val got = WebGraph.trustRank(edges.toDF("s", "d"), "s", "d",
+        seeds.toSeq.toDF("host"), "host", iters = iters)
+        .collect().map(row => row.getString(0) -> ((row.getBoolean(1), row.getLong(2)))).toMap
+      assert(got == bruteTrust(edges, seeds, iters, 1000000L, 85L), s"iters=$iters")
+      assert(got("spamA")._2 == 0L && got("spamB")._2 == 0L)
+    }
+  }
+
   test("extractAnchors: anchor text trimmed, whitespace body -> '', multiplicity kept") {
     val p = pages(
       ("http://a.example/p",
