@@ -232,6 +232,21 @@ object QueriesWebGraph {
     "q_web_sitemap" -> ((s, dir) =>
       WebGraph.parseSitemaps(sitemapCorpus(s, dir), "url", "xml")),
 
+    // sitemap-driven recrawl triage: the REAL parser output joined against
+    // a crawl store whose coverage (j = doc%7 < the sitemap's j 0..10) and
+    // dates make all three statuses occur; the oracle is closed-form
+    "q_web_recrawl" -> ((s, dir) => {
+      val entries = WebGraph.parseSitemaps(sitemapCorpus(s, dir), "url", "xml")
+      val crawled = docs(s, dir).select(
+        concat(lit("http://s"), pmod(col("doc_id"), lit(100L)).cast("string"),
+          lit(".example/page/"), pmod(col("doc_id"), lit(7L)).cast("string"))
+          .as("url"),
+        concat(lit("2026-01-0"),
+          (pmod(pmod(col("doc_id"), lit(100L)) + pmod(col("doc_id"), lit(7L)),
+            lit(9L)) + 1).cast("string")).as("crawl_date"))
+      WebGraph.sitemapRecrawl(entries, crawled, "url", "crawl_date")
+    }),
+
     // THE DISCOVERY LEG of the crawl loop (complements q_web_crawlpipe's
     // recrawl leg): links extracted from the current crawl, canonicalized,
     // minus already-crawled canonical urls (anti join), minus blocklisted
@@ -570,6 +585,34 @@ object QueriesWebGraph {
         |  FROM ok)
         |SELECT url, host, CAST(rn AS BIGINT) AS host_rank,
         |  CAST((rn - 1) // 3 AS BIGINT) AS wave FROM fr""").stripMargin,
+
+    // closed-form: sitemapCorpus's two document locs per page (%3 lastmod
+    // on the first, never on the second; %4 child sitemap excluded as
+    // is_index; %5/%7 classes have no loc), MAX lastmod per collapsed loc,
+    // the crawl store re-derived, lexicographic date compare
+    "q_web_recrawl" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |l AS (
+        |  SELECT 'http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/page/'
+        |           || CAST(doc_id % 10 AS VARCHAR) AS loc,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) END AS lm
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/page/'
+        |           || CAST(doc_id % 10 + 1 AS VARCHAR), NULL FROM d),
+        |locs AS (SELECT loc, MAX(lm) AS lastmod FROM l GROUP BY loc),
+        |c AS (SELECT 'http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/page/'
+        |        || CAST(doc_id % 7 AS VARCHAR) AS url,
+        |      '2026-01-0' || CAST((doc_id % 100 + doc_id % 7) % 9 + 1 AS VARCHAR) AS cd
+        |      FROM d),
+        |seen AS (SELECT url, MAX(cd) AS last_crawl FROM c GROUP BY url)
+        |SELECT locs.loc, locs.lastmod, seen.last_crawl,
+        |  CASE WHEN seen.url IS NULL THEN 'new'
+        |       WHEN locs.lastmod IS NOT NULL AND locs.lastmod > seen.last_crawl
+        |         THEN 'stale'
+        |       ELSE 'fresh' END AS status
+        |FROM locs LEFT JOIN seen ON seen.url = locs.loc""".stripMargin,
 
     // re-derives sitemapCorpus; the comment strip, entry split, loc/lastmod
     // patterns are WebGraph's constants verbatim

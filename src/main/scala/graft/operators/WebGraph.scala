@@ -506,6 +506,39 @@ object WebGraph {
    * documents). Zero shuffles: entry split + per-entry regex are per-row
    * array expressions; the output explode is the only pivot.
    */
+  /**
+   * Recrawl triage from sitemap declarations: join the [[parseSitemaps]]
+   * document entries (index entries excluded) against the crawl store's
+   * last-fetch record per url and classify each declared url —
+   *
+   *  - `new`: never crawled;
+   *  - `stale`: the sitemap declares a `lastmod` lexicographically after
+   *    the last crawl (W3C datetimes order lexicographically — the
+   *    [[parseSitemaps]] string-date contract);
+   *  - `fresh`: crawled and not declared newer (including urls whose
+   *    sitemap carries no lastmod — no signal, no refetch).
+   *
+   * A url listed in several sitemaps keeps its MAX lastmod (null-ignoring
+   * on both engines); feed `new` + `stale` rows into
+   * [[frontierSchedule]]. Scale: two map-side-combined url-cardinality
+   * aggregates and one equi-join on url — groups are per-resource listing/
+   * re-crawl counts, so no salting (the [[graft.operators.WebText]]
+   * urlDedup argument).
+   */
+  def sitemapRecrawl(entries: DataFrame, crawled: DataFrame,
+                     crawledUrlCol: String, crawledTsCol: String): DataFrame = {
+    val locs = entries.filter(!col("is_index"))
+      .groupBy(col("loc")).agg(max(col("lastmod")).as("lastmod"))
+    val seen = crawled.groupBy(col(crawledUrlCol).as("loc"))
+      .agg(max(col(crawledTsCol)).as("last_crawl"))
+    locs.join(seen, Seq("loc"), "left")
+      .select(col("loc"), col("lastmod"), col("last_crawl"),
+        when(col("last_crawl").isNull, "new")
+          .when(col("lastmod").isNotNull && col("lastmod") > col("last_crawl"),
+            "stale")
+          .otherwise("fresh").as("status"))
+  }
+
   def parseSitemaps(sitemaps: DataFrame, urlCol: String, xmlCol: String): DataFrame = {
     val xml = col(xmlCol).cast("string")
     val entries = filter(

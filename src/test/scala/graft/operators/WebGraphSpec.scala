@@ -312,6 +312,29 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(8L) == (("ok.net", false, None)))
   }
 
+  test("sitemapRecrawl: new/stale/fresh, index excluded, max-lastmod pick") {
+    val entries = Seq(
+      ("http://a/1", Some("2026-02-01"), false),
+      ("http://a/1", Some("2026-03-01"), false),  // duplicate listing, later lastmod wins
+      ("http://a/2", None, false),
+      ("http://a/3", Some("2026-01-01"), false),
+      ("http://a/4", Some("2026-05-01"), false),
+      ("http://a/more.xml", Some("2026-06-01"), true)) // index: excluded
+      .toDF("loc", "lastmod", "is_index")
+    val crawled = Seq(
+      ("http://a/1", "2026-02-15"),  // stale: 2026-03-01 > 2026-02-15
+      ("http://a/2", "2026-02-15"),  // fresh: no lastmod signal
+      ("http://a/3", "2026-02-15"))  // fresh: lastmod older
+      .toDF("url", "crawl_date")     // http://a/4 never crawled -> new
+    val got = WebGraph.sitemapRecrawl(entries, crawled, "url", "crawl_date")
+      .collect().map(r => r.getString(0) -> ((Option(r.getString(1)), r.getString(3)))).toMap
+    assert(got == Map(
+      "http://a/1" -> ((Some("2026-03-01"), "stale")),
+      "http://a/2" -> ((None, "fresh")),
+      "http://a/3" -> ((Some("2026-01-01"), "fresh")),
+      "http://a/4" -> ((Some("2026-05-01"), "new"))))
+  }
+
   test("parseSitemaps: entries, trim, lastmod, index flag, comment/loc-less dropped") {
     val xml = "<?xml version=\"1.0\"?><urlset>" +
       "<!--<url><loc>http://fake/x</loc></url>-->" +
