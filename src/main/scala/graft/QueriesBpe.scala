@@ -44,7 +44,17 @@ object QueriesBpe {
     "q_txt_bpemerges" -> ((s, dir) =>
       TextAnalysis.bpeTrain(bpeCorpus(s, dir), "text", NumMerges)._1),
     "q_txt_bpevocab" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(bpeCorpus(s, dir), "text", NumMerges)._2))
+      TextAnalysis.bpeTrain(bpeCorpus(s, dir), "text", NumMerges)._2),
+
+    // train then ENCODE the same corpus; the corpus-wide token histogram
+    // weighs every merge application by word multiplicity
+    "q_txt_bpeencode" -> ((s, dir) => {
+      val corpus = bpeCorpus(s, dir)
+      val merges = TextAnalysis.bpeTrain(corpus, "text", NumMerges)._1
+      TextAnalysis.bpeEncode(corpus, "doc_id", "text", merges)
+        .select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }))
 
   /** corpus + v0 CTEs — regex/replace constants are the Scala ones VERBATIM
     * (plain string: `\s+` / `\1` must stay literal backslashes). */
@@ -96,5 +106,12 @@ object QueriesBpe {
         s"SELECT $i AS merge_rank, l AS pair_left, r AS pair_right, " +
           s"l || r AS merged, c AS pair_count FROM b$i")
         .mkString("\nUNION ALL ")),
-    "q_txt_bpevocab" -> (oracleChain + s"\nSELECT word, cnt, sym FROM v$NumMerges"))
+    "q_txt_bpevocab" -> (oracleChain + s"\nSELECT word, cnt, sym FROM v$NumMerges"),
+    // encoding the training corpus == the trained segmentation, so the
+    // token histogram is v6's syms weighted by word count
+    "q_txt_bpeencode" -> (oracleChain +
+      s"""
+         |SELECT t AS token, CAST(SUM(cnt) AS BIGINT) AS n
+         |FROM (SELECT cnt, UNNEST(STRING_SPLIT(sym, ' ')) AS t FROM v$NumMerges)
+         |GROUP BY t""".stripMargin))
 }

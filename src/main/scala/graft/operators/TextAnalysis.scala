@@ -366,6 +366,59 @@ object TextAnalysis {
    * SINGLE-ROW collect; the vocab is eagerly localCheckpoint'ed per merge so
    * the plan stays O(1) per round (the hitsFixedPoint lesson).
    */
+  /** the [[bpeTrain]] merge-application kernel as a pure function: pad,
+    * apply each merge in rank order as the same TWO passes of space-bounded
+    * non-overlapping replacement (Java `String.replace` and SQL `replace`
+    * are both leftmost non-overlapping — identical scan semantics), unpad,
+    * split. The `contains` check skips merges whose pair never occurs —
+    * at real merge-table sizes (tens of thousands) most merges skip for
+    * any given word. */
+  def applyBpeMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var s = " " + word.map(c => s"$c ").mkString + "</w> "
+    for ((l, r) <- merges) {
+      val pat = s" $l $r "
+      if (s.contains(pat)) {
+        val rep = s" $l$r "
+        s = s.replace(pat, rep).replace(pat, rep)
+      }
+    }
+    s.trim.split(" ").toSeq
+  }
+
+  /**
+   * Apply a learned [[bpeTrain]] merge table to a corpus — the encode half
+   * of the tokenizer loop (train once, encode every crawl increment).
+   * Output: one row per in-domain token occurrence,
+   * `(doc_id, pos, word, toks, n_toks)` with `toks` the BPE symbol
+   * sequence (each word ends in `</w>`). Word domain and merge semantics
+   * are [[bpeTrain]]'s exactly, so encoding the training corpus reproduces
+   * the trained vocabulary's segmentation verbatim (spec-asserted).
+   *
+   * Scale: the merge table is numMerges rows — collected and closed over
+   * by a deterministic per-WORD udf (sequential merge application is a
+   * per-word recurrence over the merge list; as a column expression the
+   * chain would be 2·numMerges nested replaces — unplannable at real
+   * vocabulary sizes). The udf runs over the DISTINCT word vocabulary
+   * (Heaps'-law bounded), never the corpus: cost O(vocab · merges), and
+   * the corpus itself pays one hash equi-join on `word`.
+   */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame): DataFrame = {
+    val ms = merges
+      .select(col("merge_rank"), col("pair_left"), col("pair_right"))
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = udf((word: String) => applyBpeMerges(word, ms))
+    val tokens = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "word")))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = tokens.select("word").distinct()
+      .withColumn("toks", enc(col("word")))
+    tokens.join(vocab, Seq("word"))
+      .select(col("doc_id"), col("pos"), col("word"), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"))
+  }
+
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
                minCount: Long = 1L): (DataFrame, DataFrame) = {
     require(numMerges >= 0 && minCount >= 1)

@@ -92,4 +92,33 @@ class BpeSpec extends AnyFunSuite {
       assert(row.getString(2).replace(" ", "").stripSuffix("</w>") === row.getString(0))
     }
   }
+
+  test("bpeEncode reproduces the trained segmentation and encodes unseen words") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest newest newest newest newest"),
+      (3L, "widest widest widest new Mixed x9"))
+      .toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeTrain(docs, "text", 6)
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    // every encoded word's toks == the trained vocabulary's segmentation
+    val trained = vocab.collect()
+      .map(r => r.getString(0) -> r.getString(2).split(" ").toSeq).toMap
+    enc.select("word", "toks").distinct().collect().foreach { r =>
+      assert(r.getSeq[String](1) == trained(r.getString(0)), r.getString(0))
+    }
+    // token positions/multiplicity survive: doc 1 has 5 occurrences of 'low'
+    assert(enc.filter(org.apache.spark.sql.functions.col("doc_id") === 1L).count() == 5)
+    // out-of-domain tokens (Mixed is lowercased to 'mixed'; x9 dropped) —
+    // 'mixed' is in-domain after lower(), x9 fails ^[a-z]+$
+    val d3 = enc.filter(org.apache.spark.sql.functions.col("doc_id") === 3L)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(d3 == Set("widest", "new", "mixed"))
+    // an UNSEEN word encodes with the learned merges: driver-side kernel
+    // equals a manual application of the merge list
+    val ms = merges.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val unseen = TextAnalysis.applyBpeMerges("lowest", ms)
+    assert(unseen.mkString("").stripSuffix("</w>") == "lowest")
+  }
 }
