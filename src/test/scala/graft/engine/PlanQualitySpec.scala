@@ -276,6 +276,24 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bigram surprisal scores off the checkpointed pair table — one text scan total") {
+    // the corpus text is consumed while BUILDING the checkpointed inst
+    // table; the FINAL plan must touch parquet only for the doc_id spine
+    val p = plan("q_txt_surprisal")
+    assert(p.contains("ExistingRDD"), "inst table not checkpoint-truncated")
+    val schemas = "ReadSchema: \\S+".r.findAllIn(p).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("text")),
+      s"final plan re-reads text: $schemas")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("DSIR scoring broadcasts the target model and never nested-loops") {
+    val p = plan("q_sample_dsir")
+    assert(p.contains("ExistingRDD"), "inst table not checkpoint-truncated")
+    assert(p.contains("BroadcastHashJoin"), "target model should broadcast")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("bpe merge loop keeps the vocab plan O(1) per round (checkpoint truncation)") {
     val (merges, vocab) = graft.operators.TextAnalysis.bpeTrain(
       spark.read.parquet(s"$dir/documents.parquet"), "text", numMerges = 4)
