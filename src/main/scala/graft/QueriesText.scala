@@ -422,6 +422,22 @@ object QueriesText {
     "q_txt_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(docs(s, dir), "doc_id", "text")),
 
+    // line-level churn between the two latest crawls per url: 50 url
+    // classes × ~10 crawls; the %7 line mostly differs, %3 extra line
+    // toggles, the '  ' blank line is structural, the %5 tail is stable
+    // (50 ≡ 0 mod 5 — a guaranteed common line)
+    "q_txt_churn" -> ((s, dir) => {
+      val crawls = docs(s, dir).select(
+        concat(lit("http://c"), pmod(col("doc_id"), lit(50L)).cast("string"),
+          lit(".example/p")).as("url"),
+        col("doc_id").as("ts"),
+        concat(lit("shared header\nL"),
+          pmod(col("doc_id"), lit(7L)).cast("string"), lit("\n"),
+          when(pmod(col("doc_id"), lit(3L)) === 0, "extra line\n").otherwise(""),
+          lit("  \ntail "), pmod(col("doc_id"), lit(5L)).cast("string")).as("text"))
+      WebText.crawlChurn(crawls, "url", "ts", "text")
+    }),
+
     "q_txt_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir).select("doc_id", "text"), "text")
         .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "mean_token_len")),
@@ -1125,6 +1141,42 @@ object QueriesText {
         |  ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rk
         |  FROM c)
         |SELECT fp, doc_id FROM r WHERE rk = 1""".stripMargin,
+    // crawlChurn: same rank-2 pivot + distinct-trimmed-line set algebra;
+    // counts non-negative so `//` == Spark div
+    "q_txt_churn" ->
+      """WITH p AS (SELECT doc_id,
+        |    'http://c' || CAST(doc_id % 50 AS VARCHAR) || '.example/p' AS url,
+        |    doc_id AS ts,
+        |    'shared header' || chr(10) || 'L' || CAST(doc_id % 7 AS VARCHAR)
+        |      || chr(10)
+        |      || (CASE WHEN doc_id % 3 = 0 THEN 'extra line' || chr(10) ELSE '' END)
+        |      || '  ' || chr(10) || 'tail ' || CAST(doc_id % 5 AS VARCHAR) AS text
+        |  FROM documents),
+        |r AS (SELECT url, text,
+        |    ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts DESC, text ASC) AS rn
+        |  FROM p),
+        |tw AS (SELECT url,
+        |         MAX(CASE WHEN rn = 1 THEN text END) AS t1,
+        |         MAX(CASE WHEN rn = 2 THEN text END) AS t2
+        |       FROM r WHERE rn <= 2 GROUP BY url HAVING COUNT(*) = 2),
+        |ls AS (SELECT url,
+        |  LIST_DISTINCT(LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(t1, chr(10)),
+        |    x -> TRIM(x)), x -> x <> '')) AS a,
+        |  LIST_DISTINCT(LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(t2, chr(10)),
+        |    x -> TRIM(x)), x -> x <> '')) AS b
+        |  FROM tw),
+        |c AS (SELECT url,
+        |  CAST(LEN(LIST_FILTER(a, x -> NOT LIST_CONTAINS(b, x))) AS BIGINT) AS n_added,
+        |  CAST(LEN(LIST_FILTER(b, x -> NOT LIST_CONTAINS(a, x))) AS BIGINT) AS n_removed,
+        |  CAST(LEN(LIST_FILTER(a, x -> LIST_CONTAINS(b, x))) AS BIGINT) AS n_common
+        |  FROM ls)
+        |SELECT url, n_added, n_removed, n_common,
+        |  CASE WHEN n_added + n_removed + n_common > 0
+        |       THEN CAST((100 * (n_added + n_removed))
+        |                 // (n_added + n_removed + n_common) AS BIGINT)
+        |       ELSE 0 END AS churn100
+        |FROM c""".stripMargin,
+
     // bigram surprisal: zipped slice unnests (the q_txt_bpe precedent) give
     // adjacent pairs; LENGTH(BIN(x)) = Spark length(bin(x)) exactly; every
     // SUM is CAST to BIGINT (DuckDB sums to HUGEINT — the q_tm_sessions

@@ -598,6 +598,51 @@ object WebText {
   }
 
   /**
+   * Line-level churn between the two latest crawls of each url — the
+   * quantitative sibling of [[crawlDelta]] (which only CLASSIFIES): for
+   * every url crawled at least twice, diff the latest snapshot's line SET
+   * against the previous one's and report added/removed/common line counts
+   * plus `churn100 = (100·(added+removed)) div union` — 0 for a byte-stable
+   * page, 100 for a full rewrite. Recrawl schedulers consume this to tune
+   * per-host revisit rates; 100-churn static pages waste crawl budget.
+   * Lines are trimmed and blank lines are structural (ignored) — the
+   * [[lineDedup]] convention; line sets are DISTINCT (a line repeated
+   * twice is presence, not mass).
+   *
+   * Scale: ONE shuffle on url — the rank window and the pivot groupBy key
+   * on the same column, so the aggregation reuses the window's hash
+   * partitioning (no second Exchange; DriveWebGraph-audited); the set
+   * algebra runs as per-row array expressions on the two text payloads.
+   * Groups are per-url crawl counts — the [[urlDedup]] no-salting
+   * argument.
+   */
+  def crawlChurn(crawls: DataFrame, urlCol: String, tsCol: String,
+                 textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(urlCol))
+      .orderBy(col(tsCol).desc, col(textCol).asc)
+    def lines(c: Column) = array_distinct(filter(
+      transform(split(c, "\n"), l => trim(l)), l => l =!= ""))
+    val two = crawls
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("__n"),
+        max(when(col("__rn") === 1, col(textCol))).as("__t1"),
+        max(when(col("__rn") === 2, col(textCol))).as("__t2"))
+      .filter(col("__n") === 2)
+    val (a, b) = (lines(col("__t1")), lines(col("__t2")))
+    two.select(col("url"),
+        size(array_except(a, b)).cast("long").as("n_added"),
+        size(array_except(b, a)).cast("long").as("n_removed"),
+        size(array_intersect(a, b)).cast("long").as("n_common"))
+      .withColumn("churn100",
+        when(col("n_added") + col("n_removed") + col("n_common") > 0,
+          expr("(100 * (n_added + n_removed)) div (n_added + n_removed + n_common)"))
+          .otherwise(lit(0L)))
+  }
+
+  /**
    * Cross-document line-level dedup (the RefinedWeb/Falcon boilerplate
    * pass): a line whose trimmed text appears in at least `minDocs` DISTINCT
    * documents is removed from every document that carries it — nav menus,

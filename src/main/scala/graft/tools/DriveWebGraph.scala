@@ -111,6 +111,14 @@ object DriveWebGraph {
       seeds, "host", iters = 3))
     audit("bigramSurprisal", graft.operators.TextAnalysis.bigramSurprisal(
       docs, "doc_id", "text"))
+    // crawlChurn: rank window and pivot groupBy share the url hash
+    // partitioning — expect ONE Exchange total
+    val churnCrawls = spark.range(n / 10).select(
+      concat(lit("http://s.example/p/"), pmod(col("id"), lit(20000L))).as("url"),
+      col("id").as("ts"),
+      concat(lit("head\nL"), pmod(col("id"), lit(7L)), lit("\ntail")).as("text"))
+    audit("crawlChurn", graft.operators.WebText.crawlChurn(
+      churnCrawls, "url", "ts", "text"))
     spark.stop()
   }
 }

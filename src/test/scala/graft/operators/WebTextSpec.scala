@@ -574,4 +574,27 @@ class WebTextSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._2 == 0L && !v._3),
       "fixture produced no false positives - shrink numBits")
   }
+
+  test("crawlChurn: latest-two diff, blank/dup lines structural, single-crawl excluded") {
+    val crawls = Seq(
+      // u1: 3 crawls — only the two LATEST (ts 30, 20) are diffed
+      ("u1", 10L, "old only\nx"),
+      ("u1", 20L, "a\nb\nc"),
+      ("u1", 30L, "a\nc\nd\ne"),          // added d,e; removed b; common a,c
+      // u2: identical modulo blank lines + duplicate lines + padding -> churn 0
+      ("u2", 1L, "k\n\nk\n  v  "),
+      ("u2", 2L, "v\nk"),
+      // u3: complete rewrite -> churn 100
+      ("u3", 1L, "one\ntwo"),
+      ("u3", 2L, "three"),
+      // u4: single crawl -> excluded
+      ("u4", 5L, "whatever")).toDF("url", "ts", "text")
+    val got = WebText.crawlChurn(crawls, "url", "ts", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "u1" -> ((2L, 1L, 2L, 60L)),   // (100*3) div 5
+      "u2" -> ((0L, 0L, 2L, 0L)),
+      "u3" -> ((1L, 2L, 0L, 100L))))
+  }
 }
