@@ -352,6 +352,19 @@ object QueriesWebGraph {
         iters = 3)
         .select(col("host"), col("rank").as("pr"))),
 
+    // incremental maintenance: the corpus split %2 into two crawl batches,
+    // each collapsed independently, merged — the oracle is the FULL-corpus
+    // host graph (q_web_hostgraph's SQL verbatim), so the entry hashes the
+    // convergence property itself
+    "q_web_hostmerge" -> ((s, dir) => {
+      val pages = webCorpus(s, dir)
+      def half(k: Long) = WebGraph.hostGraph(
+        WebGraph.extractLinks(
+          pages.filter(pmod(col("doc_id"), lit(2L)) === k), "url", "html"),
+        "src_url", "dst_url")
+      WebGraph.mergeHostGraphs(half(0L), half(1L))
+    }),
+
     // seeds = every 10th host id; h100 is dangling-dst-only, h10.. are mid
     // graph, so trust 0 / seed-only / propagated cases all occur
     "q_web_trustrank" -> ((s, dir) => {
@@ -521,6 +534,18 @@ object QueriesWebGraph {
       |      THEN ':' || port ELSE '' END)
       |  || path || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS url
       |  FROM cy$out)"""
+
+  /** full-corpus host graph — shared by q_web_hostgraph (direct) and
+    * q_web_hostmerge (the batch-split merge must converge to it). */
+  private def oracleHostGraph: String =
+    s"""WITH links AS ($oracleLinks)
+      |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+      |  SELECT
+      |    LOWER(REGEXP_EXTRACT(src_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS src_host,
+      |    LOWER(REGEXP_EXTRACT(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS dst_host
+      |  FROM links)
+      |WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+      |GROUP BY src_host, dst_host""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // closed-form record prediction from warcCorpus's modular classes —
@@ -864,15 +889,11 @@ object QueriesWebGraph {
         |SELECT url, host, CAST(rn AS BIGINT) AS host_rank,
         |  CAST((rn - 1) // 4 AS BIGINT) AS wave FROM r""".stripMargin,
 
-    "q_web_hostgraph" ->
-      s"""WITH links AS ($oracleLinks)
-        |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
-        |  SELECT
-        |    LOWER(REGEXP_EXTRACT(src_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS src_host,
-        |    LOWER(REGEXP_EXTRACT(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS dst_host
-        |  FROM links)
-        |WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
-        |GROUP BY src_host, dst_host""".stripMargin,
+    "q_web_hostgraph" -> oracleHostGraph,
+
+    // convergence IS the oracle: batch-split + merge must equal the
+    // full-corpus graph
+    "q_web_hostmerge" -> oracleHostGraph,
 
     // 3 unrolled synchronous iterations; `//` is DuckDB BIGINT floor division
     // = Spark `div` on the same non-negative Longs → bit-identical ranks.

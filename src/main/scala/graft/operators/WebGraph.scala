@@ -232,6 +232,25 @@ object WebGraph {
   }
 
   /**
+   * Merge a crawl increment's host graph into the stored one — the
+   * incremental-maintenance path for [[hostGraph]] (the
+   * [[graft.operators.Dedup]] incrementalMinhash idea on the graph axis):
+   * link counts are additive over disjoint page sets, so the merge is a
+   * full-outer equi-join on the edge key summing `n_links`, and
+   * maintaining the graph per crawl batch costs O(|stored edges| + |delta
+   * edges|) — the crawled pages are never re-read. Associativity and
+   * convergence (any batch split merges to the full-corpus graph) are
+   * exactly what the gate oracle checks.
+   */
+  def mergeHostGraphs(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.select(col("src_host"), col("dst_host"), col("n_links").as("__a"))
+      .join(delta.select(col("src_host"), col("dst_host"), col("n_links").as("__b")),
+        Seq("src_host", "dst_host"), "full_outer")
+      .select(col("src_host"), col("dst_host"),
+        (coalesce(col("__a"), lit(0L)) + coalesce(col("__b"), lit(0L)))
+          .as("n_links"))
+
+  /**
    * Deterministic fixed-point TrustRank (Gyöngyi/Garcia-Molina/Pedersen,
    * VLDB'04): [[pageRankFixedPoint]] with the teleport mass restricted to a
    * curated seed set of trusted hosts, so trust propagates outward from the

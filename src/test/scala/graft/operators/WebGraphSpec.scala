@@ -312,6 +312,29 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(8L) == (("ok.net", false, None)))
   }
 
+  test("mergeHostGraphs: any batch split converges to the full-corpus graph") {
+    val r = new scala.util.Random(23)
+    val all = (0 until 300).map { i =>
+      (s"http://s${r.nextInt(12)}.x/p/$i",
+       s"""<a href="http://s${r.nextInt(12)}.x/q">l</a><a href="http://hub${r.nextInt(4)}.x/h">m</a>""")
+    }
+    def hg(rows: Seq[(String, String)]) = WebGraph.hostGraph(
+      WebGraph.extractLinks(
+        rows.toDF("url", "html").withColumn("html", col("html").cast("binary")),
+        "url", "html"),
+      "src_url", "dst_url")
+    val full = hg(all).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    for (mod <- Seq(2, 3)) {
+      val parts = (0 until mod).map(k => hg(all.zipWithIndex.collect {
+        case (row, i) if i % mod == k => row
+      }))
+      val merged = parts.reduce(WebGraph.mergeHostGraphs).collect()
+        .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+      assert(merged == full, s"mod=$mod")
+    }
+  }
+
   test("sitemapRecrawl: new/stale/fresh, index excluded, max-lastmod pick") {
     val entries = Seq(
       ("http://a/1", Some("2026-02-01"), false),
