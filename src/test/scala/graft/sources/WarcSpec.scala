@@ -55,6 +55,29 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseRecords(("junk" + ok).getBytes("UTF-8")).isEmpty)
   }
 
+  test("parseRecords round-trip: random BINARY payloads incl. spliced magic survive byte-exactly") {
+    val r = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val recs = (0 until 1 + r.nextInt(5)).map { i =>
+        val raw = Array.fill(r.nextInt(200))(r.nextInt(256).toByte)
+        val p = if (i % 2 == 0)
+          "WARC/1.0\r\n\r\n".getBytes("ISO-8859-1") ++ raw else raw
+        (s"http://t/$trial/$i", p)
+      }
+      val blob = recs.flatMap { case (u, p) =>
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $u\r\n" +
+          s"Content-Length: ${p.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+          p ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }.toArray
+      val got = Warc.parseRecords(blob)
+      assert(got.size == recs.size, s"trial $trial")
+      got.zip(recs).foreach { case (g, (u, p)) =>
+        assert(g.target_uri.contains(u))
+        assert(java.util.Arrays.equals(g.payload, p), s"payload bytes differ for $u")
+      }
+    }
+  }
+
   test("parseWarc: explode shape, payload_len, null file") {
     val blob = rec("response", Some("http://a/1"), Some("2026-01-01T00:00:00Z"), "abcde") +
       rec("request", Some("http://a/1"), None, "GET")
