@@ -624,6 +624,30 @@ object QueriesText {
       |  (n_chars >= 25 AND link_chars * 100 <= 30 * n_chars) AS keep FROM blk)"""
       .stripMargin
 
+  /** The 9-stage extractText transcription as a reusable CTE fragment:
+    * consumes a CTE `in(url, html)`, defines s1..s9 with s9(url, text).
+    * Margin-bearing (strip ONCE at the final consumer) and a PLAIN string
+    * (the patterns carry `\b`/`\t` that s-interpolation would mis-escape) —
+    * the input name is spliced by literal replace. Shared by q_txt_extract
+    * and QueriesWebGraph's q_web_ingestpipe; the regex constants are
+    * WebText.extractText's VERBATIM. */
+  private[graft] def oracleExtractChain(in: String): String =
+    """s1 AS (SELECT url, REGEXP_REPLACE(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS t FROM IN_CTE),
+      |s2 AS (SELECT url, REGEXP_REPLACE(t, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS t FROM s1),
+      |s3 AS (SELECT url, REGEXP_REPLACE(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+      |s4 AS (SELECT url, REGEXP_REPLACE(t,
+      |  '(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|table|br|title|blockquote|section|article|header|footer)\b[^>]*>',
+      |  chr(10), 'g') AS t FROM s3),
+      |s5 AS (SELECT url, REGEXP_REPLACE(t, '<[^>]*>', '', 'g') AS t FROM s4),
+      |s6 AS (SELECT url,
+      |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
+      |s7 AS (SELECT url, REGEXP_REPLACE(t, '[ \t\r]+', ' ', 'g') AS t FROM s6),
+      |s8 AS (SELECT url, REGEXP_REPLACE(t, ' ?\n ?', chr(10), 'g') AS t FROM s7),
+      |s9 AS (SELECT url,
+      |  TRIM(REGEXP_REPLACE(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS text FROM s8)""".replace("IN_CTE", in)
+
   val oracle: Map[String, String] = Map(
     // the full composition re-derived: corpus synthesis, the 9-stage
     // extraction chain (constants VERBATIM from extractText), the c4 line
@@ -709,7 +733,7 @@ object QueriesText {
     // subset; 'g' = Spark's always-global regexp_replace), entity REPLACEs
     // in the same order (&amp; last), TRIM over ' '+newline like the engine
     "q_txt_extract" ->
-      """WITH p AS (SELECT doc_id,
+      ("""WITH p AS (SELECT doc_id,
         |    'http://t.example/d/' || CAST(doc_id AS VARCHAR) AS url,
         |    '<html><head>'
         |    || (CASE WHEN doc_id % 2 = 0
@@ -727,22 +751,8 @@ object QueriesText {
         |         ELSE '' END)
         |    || '</div></body></html>' AS html
         |  FROM documents),
-        |s1 AS (SELECT url, REGEXP_REPLACE(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS t FROM p),
-        |s2 AS (SELECT url, REGEXP_REPLACE(t, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS t FROM s1),
-        |s3 AS (SELECT url, REGEXP_REPLACE(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
-        |s4 AS (SELECT url, REGEXP_REPLACE(t,
-        |  '(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|table|br|title|blockquote|section|article|header|footer)\b[^>]*>',
-        |  chr(10), 'g') AS t FROM s3),
-        |s5 AS (SELECT url, REGEXP_REPLACE(t, '<[^>]*>', '', 'g') AS t FROM s4),
-        |s6 AS (SELECT url,
-        |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
-        |s7 AS (SELECT url, REGEXP_REPLACE(t, '[ \t\r]+', ' ', 'g') AS t FROM s6),
-        |s8 AS (SELECT url, REGEXP_REPLACE(t, ' ?\n ?', chr(10), 'g') AS t FROM s7),
-        |s9 AS (SELECT url,
-        |  TRIM(REGEXP_REPLACE(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS text FROM s8)
-        |SELECT url, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM s9""".stripMargin,
+        |""" + oracleExtractChain("p") + """
+        |SELECT url, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM s9""").stripMargin,
 
     // re-derives metaCorpus; matchers are WebText.htmlMeta's verbatim
     "q_txt_htmlmeta" ->

@@ -229,6 +229,17 @@ object QueriesWebGraph {
           col("target_uri"), col("warc_date"), col("payload_len"),
           col("payload").cast("string").as("payload_str"))),
 
+    // THE INGEST COMPOSITION — the north rule's "byte-identical extracted
+    // text per url" invariant evidenced FROM ARCHIVE BYTES: WARC walk →
+    // response payloads as pages → the production extractText. Oracle =
+    // closed-form response html fed through the shared 9-stage chain.
+    "q_web_ingestpipe" -> ((s, dir) => {
+      val pages = graft.sources.Warc.parseWarc(warcCorpus(s, dir), "url", "blob")
+        .filter(col("record_type") === "response")
+        .select(col("target_uri").as("url"), col("payload").as("html"))
+      graft.operators.WebText.extractText(pages, "url", "html")
+    }),
+
     "q_web_sitemap" -> ((s, dir) =>
       WebGraph.parseSitemaps(sitemapCorpus(s, dir), "url", "xml")),
 
@@ -577,6 +588,21 @@ object QueriesWebGraph {
         |SELECT wf, CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT),
         |  'request', uri, CASE WHEN doc_id % 9 = 0 THEN NULL ELSE dt END,
         |  CAST(LENGTH(qp) AS BIGINT), qp FROM base WHERE doc_id % 3 = 0""".stripMargin,
+
+    // closed-form response payloads (warcCorpus's %7 trap text SURVIVES as
+    // text content — it is content) through QueriesText's shared 9-stage
+    // chain; PLAIN-string concat (the chain carries `\b`/`\t`)
+    "q_web_ingestpipe" ->
+      ("""WITH p AS (SELECT
+        |    'http://w' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+        |      || CAST(doc_id % 20 AS VARCHAR) AS url,
+        |    '<html>' || (CASE WHEN doc_id % 7 = 0
+        |        THEN chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10)||chr(13)||chr(10)
+        |        ELSE '' END)
+        |      || '<a href="/p/' || CAST(doc_id % 10 AS VARCHAR) || '">x</a>' AS html
+        |  FROM documents),
+        |""" + QueriesText.oracleExtractChain("p") + """
+        |SELECT url, text, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM s9""").stripMargin,
 
     // the discovery-leg composition: links (oracleLinks' x/select as CTEs),
     // canonical candidates LEFT-JOIN-NULL against canonical seen urls,
