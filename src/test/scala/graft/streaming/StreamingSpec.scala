@@ -110,6 +110,46 @@ class StreamingSpec extends AnyFunSuite {
       "update-mode final state must equal the batch rasterization")
   }
 
+  test("streaming WARC ingest: parseWarc over micro-batched archives == batch parse") {
+    // the ingestion edge as Structured Streaming: archive blobs arrive as
+    // files, each micro-batch walks its records — parseWarc is a
+    // deterministic per-row projection, so stream==batch must be exact
+    val warcDir = java.nio.file.Files.createTempDirectory("warc_s").toString
+    val blobs = spark.range(200).select(
+      concat(lit("http://a"), pmod(col("id"), lit(10L)), lit(".x/arch/"),
+        col("id"), lit(".warc")).as("url"),
+      concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\nsw: g\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a.x/p/"),
+        pmod(col("id"), lit(7L)).cast("string"),
+        lit("\r\nContent-Length: "),
+        length(concat(lit("<html>b"), pmod(col("id"), lit(3L)).cast("string"))).cast("string"),
+        lit("\r\n\r\n<html>b"), pmod(col("id"), lit(3L)).cast("string"),
+        lit("\r\n\r\n")).cast("binary").as("blob"))
+    blobs.repartition(3).write.mode("overwrite").parquet(warcDir)
+    val schema = spark.read.parquet(warcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(warcDir)
+    val q = graft.sources.Warc.parseWarc(stream, "url", "blob")
+      .select(col("warc_file"), col("rec_ord"), col("record_type"),
+        col("target_uri"), col("payload_len"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("warc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 3,
+      "file split must produce multiple micro-batches")
+    val streamed = spark.sql("SELECT * FROM warc_stream")
+    val batch = graft.sources.Warc.parseWarc(
+        spark.read.parquet(warcDir), "url", "blob")
+      .select(col("warc_file"), col("rec_ord"), col("record_type"),
+        col("target_uri"), col("payload_len"))
+    assert(streamed.count() == 400)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming parse must equal the batch walk row-for-row")
+  }
+
   test("foreachBatch deviation sync is incremental (frontier-scoped) and replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("stream_pages").toString
     val storeDir = java.nio.file.Files.createTempDirectory("stream_store").toString
