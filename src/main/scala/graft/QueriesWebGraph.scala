@@ -363,6 +363,21 @@ object QueriesWebGraph {
         iters = 3)
         .select(col("host"), col("rank").as("pr"))),
 
+    // host degree distribution (out- and in-link mass quantiles — the
+    // power-law profile a crawl planner budgets against), composing
+    // hostGraph with the nearest-rank quantile operator
+    "q_web_degreedist" -> ((s, dir) => {
+      val hg = WebGraph.hostGraph(
+        WebGraph.extractLinks(webCorpus(s, dir), "url", "html"),
+        "src_url", "dst_url")
+      val out = hg.groupBy(col("src_host").as("host"))
+        .agg(sum("n_links").as("deg")).withColumn("dir", lit("out"))
+      val in = hg.groupBy(col("dst_host").as("host"))
+        .agg(sum("n_links").as("deg")).withColumn("dir", lit("in"))
+      graft.operators.WebText.valueQuantiles(
+        out.unionByName(in), "dir", "deg", Seq(10, 50, 90, 99))
+    }),
+
     // incremental maintenance: the corpus split %2 into two crawl batches,
     // each collapsed independently, merged — the oracle is the FULL-corpus
     // host graph (q_web_hostgraph's SQL verbatim), so the entry hashes the
@@ -546,17 +561,23 @@ object QueriesWebGraph {
       |  || path || (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS url
       |  FROM cy$out)"""
 
-  /** full-corpus host graph — shared by q_web_hostgraph (direct) and
-    * q_web_hostmerge (the batch-split merge must converge to it). */
-  private def oracleHostGraph: String =
-    s"""WITH links AS ($oracleLinks)
-      |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+  /** host-graph collapse over a `links(src_url, dst_url)` CTE —
+    * margin-bearing body shared by three oracles (strip once at the
+    * consumer). */
+  private def oracleHostGraphBody: String =
+    """SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
       |  SELECT
       |    LOWER(REGEXP_EXTRACT(src_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS src_host,
       |    LOWER(REGEXP_EXTRACT(dst_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS dst_host
       |  FROM links)
       |WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
-      |GROUP BY src_host, dst_host""".stripMargin
+      |GROUP BY src_host, dst_host"""
+
+  /** full-corpus host graph — shared by q_web_hostgraph (direct) and
+    * q_web_hostmerge (the batch-split merge must converge to it). */
+  private def oracleHostGraph: String =
+    (s"""WITH links AS ($oracleLinks)
+      |""" + oracleHostGraphBody).stripMargin
 
   val oracle: Map[String, String] = Map(
     // closed-form record prediction from warcCorpus's modular classes —
@@ -920,6 +941,27 @@ object QueriesWebGraph {
     // convergence IS the oracle: batch-split + merge must equal the
     // full-corpus graph
     "q_web_hostmerge" -> oracleHostGraph,
+
+    // hostgraph body as a CTE + the q_txt_quantiles nearest-rank shape
+    "q_web_degreedist" ->
+      (s"""WITH links AS ($oracleLinks),
+        |hg AS (
+        |""" + oracleHostGraphBody + """),
+        |dg AS (SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS deg,
+        |              'out' AS dir FROM hg GROUP BY src_host
+        |       UNION ALL
+        |       SELECT dst_host, CAST(SUM(n_links) AS BIGINT), 'in'
+        |       FROM hg GROUP BY dst_host),
+        |h AS (SELECT dir AS grp, deg AS v, COUNT(*) AS c FROM dg GROUP BY 1, 2),
+        |cum AS (SELECT grp, v, c, SUM(c) OVER (PARTITION BY grp ORDER BY v
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |tot AS (SELECT grp, SUM(c) AS n FROM h GROUP BY grp),
+        |rk AS (SELECT grp, n, p, CAST(FLOOR((p * n + 99) / 100.0) AS BIGINT) AS rnk
+        |       FROM tot, (SELECT UNNEST([10, 50, 90, 99]) AS p) q)
+        |SELECT cum.grp AS dir, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
+        |  v AS q_value
+        |FROM cum JOIN rk ON cum.grp = rk.grp
+        |WHERE cum >= rnk AND cum - c < rnk""").stripMargin,
 
     // 3 unrolled synchronous iterations; `//` is DuckDB BIGINT floor division
     // = Spark `div` on the same non-negative Longs → bit-identical ranks.
