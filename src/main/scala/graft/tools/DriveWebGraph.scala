@@ -119,6 +119,15 @@ object DriveWebGraph {
       concat(lit("head\nL"), pmod(col("id"), lit(7L)), lit("\ntail")).as("text"))
     audit("crawlChurn", graft.operators.WebText.crawlChurn(
       churnCrawls, "url", "ts", "text"))
+    // mergeHostGraphs: one full-outer SMJ on the edge key; degreedist:
+    // two degree aggs off the hostgraph + histogram-under-window quantiles
+    audit("mergeHostGraphs", WebGraph.mergeHostGraphs(hg, hg))
+    val outDeg = hg.groupBy(col("src_host").as("host"))
+      .agg(sum("n_links").as("deg")).withColumn("dir", lit("out"))
+    val inDeg = hg.groupBy(col("dst_host").as("host"))
+      .agg(sum("n_links").as("deg")).withColumn("dir", lit("in"))
+    audit("degreeQuantiles", graft.operators.WebText.valueQuantiles(
+      outDeg.unionByName(inDeg), "dir", "deg", Seq(10, 50, 90, 99)))
     spark.stop()
   }
 }
