@@ -84,11 +84,16 @@ object QueriesWebGraph {
     h.select(
       concat(lit("h"), col("h").cast("string"), lit(".example")).as("host"),
       concat(
-        when(pmod(col("h"), lit(3L)) === 0, "User-agent: bot\nDisallow: /\n")
+        when(pmod(col("h"), lit(3L)) === 0,
+          "User-agent: bot\nDisallow: /\nCrawl-delay: 99\n")
           .otherwise(""),
         when(pmod(col("h"), lit(5L)) === 0, "User-agent: a\n").otherwise(""),
         lit("User-agent: *\nDisallow: /private\n"),
         when(pmod(col("h"), lit(2L)) === 0, "Allow: /private/ok\n").otherwise(""),
+        when(pmod(col("h"), lit(2L)) === 1,
+          concat(lit("Crawl-delay: "), (col("h") + 1).cast("string"), lit("\n")))
+          .otherwise(""),
+        when(pmod(col("h"), lit(7L)) === 0, "crawl-delay: fast\n").otherwise(""),
         when(pmod(col("h"), lit(4L)) === 0, "Disallow:\n# note\n").otherwise(""))
         .as("body"))
   }
@@ -363,6 +368,12 @@ object QueriesWebGraph {
         iters = 3)
         .select(col("host"), col("rank").as("pr"))),
 
+    // Crawl-delay extraction: %2==1 hosts carry a *-group delay h+1; the
+    // bot-group 99 (%3==0) and the non-numeric 'fast' (%7==0) must NOT
+    // surface
+    "q_web_crawldelay" -> ((s, dir) =>
+      WebGraph.crawlDelays(robotsCorpus(s, dir), "host", "body")),
+
     // host degree distribution (out- and in-link mass quantiles — the
     // power-law profile a crawl planner budgets against), composing
     // hostGraph with the nearest-rank quantile operator
@@ -505,10 +516,14 @@ object QueriesWebGraph {
       |bod AS (SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
       |    (CASE WHEN h % 3 = 0
       |       THEN 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10)
+      |            || 'Crawl-delay: 99' || chr(10)
       |       ELSE '' END)
       |    || (CASE WHEN h % 5 = 0 THEN 'User-agent: a' || chr(10) ELSE '' END)
       |    || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
       |    || (CASE WHEN h % 2 = 0 THEN 'Allow: /private/ok' || chr(10) ELSE '' END)
+      |    || (CASE WHEN h % 2 = 1
+      |          THEN 'Crawl-delay: ' || CAST(h + 1 AS VARCHAR) || chr(10) ELSE '' END)
+      |    || (CASE WHEN h % 7 = 0 THEN 'crawl-delay: fast' || chr(10) ELSE '' END)
       |    || (CASE WHEN h % 4 = 0 THEN 'Disallow:' || chr(10) || '# note' || chr(10) ELSE '' END)
       |    AS body FROM hs),
       |l0 AS (SELECT host, i AS pos,
@@ -941,6 +956,16 @@ object QueriesWebGraph {
     // convergence IS the oracle: batch-split + merge must equal the
     // full-corpus graph
     "q_web_hostmerge" -> oracleHostGraph,
+
+    // the shared robots parse fragment's tg3/star feed the delay
+    // extraction the same way they feed the rules
+    "q_web_crawldelay" ->
+      ("""WITH """ + oracleRobotsRules + """,
+        |dl AS (SELECT t.host,
+        |    TRIM(REGEXP_EXTRACT(t.line, '(?i)^crawl-delay:(.*)$', 1)) AS d
+        |  FROM tg3 t JOIN star USING (host, grp))
+        |SELECT host, MAX(CAST(d AS BIGINT)) AS crawl_delay_sec
+        |FROM dl WHERE REGEXP_MATCHES(d, '^[0-9]+$') GROUP BY host""").stripMargin,
 
     // hostgraph body as a CTE + the q_txt_quantiles nearest-rank shape
     "q_web_degreedist" ->

@@ -386,7 +386,11 @@ object WebGraph {
    * group ids — a single shuffle of the line table; bodies are small
    * (RFC caps parse at 500 KiB) so per-host groups are bounded.
    */
-  def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+  /** robots.txt lines belonging to `User-agent: *` groups, as
+    * (host, line) — the UA-run window parse shared by [[parseRobots]] and
+    * [[crawlDelays]]. */
+  private def robotsStarLines(robots: DataFrame, hostCol: String,
+                              bodyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("host")).orderBy(col("pos"))
     val lines = robots
@@ -403,16 +407,35 @@ object WebGraph {
       .filter(col("is_ua") &&
         trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1)) === "*")
       .select(col("host"), col("grp")).distinct()
-    tagged
+    tagged.join(starGroups, Seq("host", "grp")).select(col("host"), col("line"))
+  }
+
+  def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
+    robotsStarLines(robots, hostCol, bodyCol)
       .withColumn("dir",
         lower(regexp_extract(col("line"), "(?i)^(allow|disallow):.*$", 1)))
       .withColumn("prefix",
         trim(regexp_extract(col("line"), "(?i)^(allow|disallow):(.*)$", 2)))
       .filter(col("dir") =!= "" && col("prefix") =!= "")
-      .join(starGroups, Seq("host", "grp"))
       .select(col("host"), (col("dir") === "allow").as("allow"),
         col("prefix"), length(col("prefix")).cast("long").as("plen"))
-  }
+
+  /**
+   * Per-host `Crawl-delay` from `User-agent: *` robots groups — the
+   * politeness RATE input [[frontierSchedule]]'s wave math composes with
+   * (`eta_sec = wave · crawl_delay_sec`). Integer seconds only
+   * (non-numeric values are dropped — the de facto Bing/Yandex
+   * semantics); several declarations keep the MAX (most conservative).
+   * Directives in non-`*` groups are scoped to other crawlers and
+   * excluded, like [[parseRobots]]' rules. Same single-shuffle line
+   * parse; output is host-cardinality-bounded.
+   */
+  def crawlDelays(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
+    robotsStarLines(robots, hostCol, bodyCol)
+      .withColumn("d", trim(regexp_extract(col("line"), "(?i)^crawl-delay:(.*)$", 1)))
+      .filter(col("d").rlike("^[0-9]+$"))
+      .groupBy("host")
+      .agg(max(col("d").cast("long")).as("crawl_delay_sec"))
 
   /** path+query of a url ('' and no-path urls normalize to "/"). */
   private def pathOf(url: Column): Column =

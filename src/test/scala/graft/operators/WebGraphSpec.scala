@@ -312,6 +312,19 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(8L) == (("ok.net", false, None)))
   }
 
+  test("crawlDelays: star-group scoped, max wins, non-numeric dropped") {
+    val robots = Seq(
+      ("H1.example",
+       "User-agent: bot\nCrawl-delay: 99\nUser-agent: *\nDisallow: /x\n" +
+       "Crawl-delay: 5\ncrawl-delay: 2\nCrawl-delay: fast\n"),
+      ("h2.example", "User-agent: *\nDisallow: /\n"),        // no delay
+      ("h3.example", "User-agent: bot\nCrawl-delay: 7\n"))   // non-* only
+      .toDF("host", "body")
+    val got = WebGraph.crawlDelays(robots, "host", "body")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("h1.example" -> 5L))
+  }
+
   test("mergeHostGraphs: any batch split converges to the full-corpus graph") {
     val r = new scala.util.Random(23)
     val all = (0 until 300).map { i =>
