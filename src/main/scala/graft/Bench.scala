@@ -143,11 +143,23 @@ object Bench {
     val efficiency = (tLow / tHigh) / (coresHigh.toDouble / coresLow)
 
     // --- pipeline throughput at FULL width (the BASELINE.json metric) ---
-    spark = session(cpus, aqe = false)
-    var best = pipeline(spark, nSites)
-    val second = pipeline(spark, nSites)
-    if (second._1 < best._1) best = second
-    spark.stop()
+    // min over TWO sessions x two runs (VERDICT r4 #2): consecutive runs in
+    // one session share any multi-minute steal-burst window (the r3->r4
+    // 145.7k->136.9k "regression" was exactly this), so the sessions are
+    // separated in time and each reruns the same job — a burst inflates one
+    // session's pair, and the min discards it. First run per session also
+    // pays codegen/JIT (the scaling-block lesson); the second is the
+    // representative one, min-of-all guards both.
+    val pipeSessions = sys.env.getOrElse("SPARK_GRAFT_PIPE_SESSIONS", "2").toInt
+    var best = (Double.MaxValue, 0L, 0L)
+    for (_ <- 1 to pipeSessions) {
+      spark = session(cpus, aqe = false)
+      val a = pipeline(spark, nSites)
+      val b = pipeline(spark, nSites)
+      spark.stop()
+      if (a._1 < best._1) best = a
+      if (b._1 < best._1) best = b
+    }
     val (pSec, matchRows, devRows) = best
     val rowsPerSec = (matchRows + devRows) / pSec
 

@@ -404,13 +404,33 @@ object QueriesText {
       TextAnalysis.packSequences(docs(s, dir).select("doc_id", "text"),
         "doc_id", "text", seqLen = 512, bucketSize = 97L)),
 
-    "q_agg_hll" -> ((s, dir) => { // rows-only (HLL++ sketch is engine-specific)
+    // rows-only by necessity (HLL++ sketch bytes are engine-specific), but
+    // the entry POLICES ITSELF: the sketch estimate is asserted within 15%
+    // (3× the 0.05 rsd) of the exact count IN-PLAN — a violating lang row
+    // raise_errors the whole gate entry. The exact side has a full hash
+    // oracle as q_agg_hll_exact below.
+    "q_agg_hll" -> ((s, dir) => {
       val toks = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       toks.groupBy("lang").agg(
-        countDistinct(col("word")).as("exact_words"),
-        approx_count_distinct(col("word")).as("approx_words"))
+          countDistinct(col("word")).as("exact_words"),
+          approx_count_distinct(col("word"), 0.05).as("approx_words"))
+        .withColumn("approx_words",
+          when(abs(col("approx_words") - col("exact_words")) * 100 <=
+               col("exact_words") * 15, col("approx_words"))
+            .otherwise(raise_error(concat(
+              lit("HLL estimate off by >15% for lang "), col("lang"),
+              lit(": approx="), col("approx_words").cast("string"),
+              lit(" exact="), col("exact_words").cast("string")))))
     }),
+
+    // the oracled twin of q_agg_hll's exact side: per-language distinct
+    // word cardinality, hash-checked against DuckDB COUNT(DISTINCT)
+    "q_agg_hll_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("lang")
+        .agg(countDistinct(col("word")).as("exact_words"))),
 
     "q_txt_quantiles" -> ((s, dir) =>
       WebText.valueQuantiles(docs(s, dir), "lang", "n_chars", Seq(10, 50, 90))),
@@ -649,6 +669,14 @@ object QueriesText {
       |  TRIM(REGEXP_REPLACE(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS text FROM s8)""".replace("IN_CTE", in)
 
   val oracle: Map[String, String] = Map(
+    // Spark split(text, ' ') keeps empty tokens from double spaces;
+    // regexp_split_to_array has identical semantics
+    "q_agg_hll_exact" ->
+      """SELECT lang, CAST(COUNT(DISTINCT word) AS BIGINT) AS exact_words
+        |FROM (SELECT lang, unnest(regexp_split_to_array(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin,
+
     // the full composition re-derived: corpus synthesis, the 9-stage
     // extraction chain (constants VERBATIM from extractText), the c4 line
     // rules + doc-reason CASE, exact dedup keyed on clean_text with the

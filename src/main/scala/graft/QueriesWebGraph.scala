@@ -142,8 +142,9 @@ object QueriesWebGraph {
   /** sitemap-xml corpus: two url entries per page (whitespace-padded loc on
     * %2 — the trim class; lastmod on %3), a sitemapindex child on %4, a
     * loc-less structural entry on %5 (dropped), a comment-wrapped FAKE
-    * entry on %7 (must vanish with the comment). Reproduced verbatim in
-    * the q_web_sitemap oracle. */
+    * entry on %7 (must vanish with the comment), a CDATA-wrapped loc on
+    * %11 (generator convention — the wrapper must strip, not drop the
+    * entry). Reproduced verbatim in the q_web_sitemap oracle. */
   private def sitemapCorpus(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       concat(lit("http://s"), pmod(col("doc_id"), lit(100L)).cast("string"),
@@ -163,8 +164,11 @@ object QueriesWebGraph {
             (pmod(col("doc_id"), lit(9L)) + 1).cast("string"),
             lit("</lastmod>"))).otherwise(""),
         lit("</url>"),
-        lit("<url><loc>http://s"), pmod(col("doc_id"), lit(100L)).cast("string"),
+        lit("<url><loc>"),
+        when(pmod(col("doc_id"), lit(11L)) === 0, "<![CDATA[").otherwise(""),
+        lit("http://s"), pmod(col("doc_id"), lit(100L)).cast("string"),
         lit(".example/page/"), (pmod(col("doc_id"), lit(10L)) + 1).cast("string"),
+        when(pmod(col("doc_id"), lit(11L)) === 0, "]]>").otherwise(""),
         lit("</loc></url>"),
         when(pmod(col("doc_id"), lit(5L)) === 0,
           "<url><priority>0.5</priority></url>").otherwise(""),
@@ -701,8 +705,8 @@ object QueriesWebGraph {
         |       ELSE 'fresh' END AS status
         |FROM locs LEFT JOIN seen ON seen.url = locs.loc""".stripMargin,
 
-    // re-derives sitemapCorpus; the comment strip, entry split, loc/lastmod
-    // patterns are WebGraph's constants verbatim
+    // re-derives sitemapCorpus; the comment strip, CDATA strip, entry
+    // split, loc/lastmod patterns are WebGraph's constants verbatim
     "q_web_sitemap" ->
       """WITH p AS (SELECT
         |    'http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/sitemap'
@@ -720,8 +724,12 @@ object QueriesWebGraph {
         |         THEN '<lastmod>2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '</lastmod>'
         |         ELSE '' END)
         |    || '</url>'
-        |    || '<url><loc>http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/page/'
-        |    || CAST(doc_id % 10 + 1 AS VARCHAR) || '</loc></url>'
+        |    || '<url><loc>'
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '<![CDATA[' ELSE '' END)
+        |    || 'http://s' || CAST(doc_id % 100 AS VARCHAR) || '.example/page/'
+        |    || CAST(doc_id % 10 + 1 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ']]>' ELSE '' END)
+        |    || '</loc></url>'
         |    || (CASE WHEN doc_id % 5 = 0
         |         THEN '<url><priority>0.5</priority></url>' ELSE '' END)
         |    || (CASE WHEN doc_id % 4 = 0
@@ -729,7 +737,9 @@ object QueriesWebGraph {
         |              || '.example/sitemap-child.xml</loc></sitemap>' ELSE '' END)
         |    || '</urlset>' AS xml
         |  FROM documents),
-        |noc AS (SELECT url, REGEXP_REPLACE(xml, '(?s)<!--.*?-->', '', 'g') AS t FROM p),
+        |noc AS (SELECT url, REGEXP_REPLACE(
+        |    REGEXP_REPLACE(xml, '(?s)<!--.*?-->', '', 'g'),
+        |    '(?s)<!\[CDATA\[(.*?)\]\]>', '\1', 'g') AS t FROM p),
         |ent AS (SELECT url, unnest(regexp_split_to_array(t, '(?i)</(?:url|sitemap)>')) AS e FROM noc),
         |f AS (SELECT url, e FROM ent WHERE CONTAINS(LOWER(e), '<loc>'))
         |SELECT url AS sitemap_url,

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
  * re-runs, cluster sizes, AND engines (the affine hash is exact 64-bit
  * integer arithmetic, recomputable verbatim in the DuckDB oracle).
  *
- * The hash: u(id) = ((id mod P) * A + B + salt) mod P, uniform over [0, P)
- * with P = 2^31 - 1 (prime); (P-1) * A stays well under 2^63 so the
+ * The hash: u(id) = ((id mod P) * mixedMultiplier(salt) + B + (salt mod P))
+ * mod P, uniform over [0, P) with P = 2^31 - 1 (prime); the salt mixes the
+ * MULTIPLIER (see [[mixedMultiplier]]) so different salts permute rather
+ * than shift. (P-1) * mixedMultiplier stays well under 2^63 so the
  * product never overflows a BIGINT in either engine. Selection compares
  * u(id) < rate * P — one codegen'd comparison per row, no shuffle at all
  * for `hashSample`/`withSplit` (pure filters/projections: they compose
@@ -98,24 +100,6 @@ object Sampling {
   }
 
   /**
-   * Temperature-based domain rebalancing (the multilingual-BERT /
-   * data-mixing downsampling rule at temperature alpha = 0.5): per-domain
-   * keep probability `sqrt(n_min / n_domain)`, so post-sample domain mass
-   * scales with `sqrt(n_domain)` — mega-domains are damped, the smallest
-   * domain is kept whole (rate exactly 1.0). Alpha is FIXED at 0.5 because
-   * `SQRT` is the one power IEEE-754 requires correctly rounded — the
-   * keep decision (`uniformHash(id, salt) < keep_rate * P`, one multiply +
-   * one compare of exactly-representable values) is therefore bit-identical
-   * across engines; a general `POWER(x, a)` is not and would flip boundary
-   * docs between Spark and the oracle.
-   *
-   * Output: `(id, domain, n_domain, keep_rate, kept)` for every row —
-   * filter `kept` for the sample, keep the rest as the audit trail. Scale
-   * shape: ONE map-side-combined shuffle for the domain histogram; the
-   * histogram (domain-cardinality-sized) broadcasts back, so the corpus
-   * itself never shuffles.
-   */
-  /**
    * DSIR-style data selection via importance resampling (Xie et al.,
    * NeurIPS'23): score every raw-corpus document by how much more likely
    * its words are under a small TARGET corpus (the domain you want the
@@ -159,9 +143,16 @@ object Sampling {
       .select(explode(words(col(targetTextCol))).as("word"))
       .groupBy("word").agg((count(lit(1)) + 1L).as("t_w"))
     // totals: every vocabulary word is +1-smoothed on both sides; words
-    // only in the target still score via r_w = 1 (left join below)
-    val rTotal = rawCounts.agg(sum("r_w")).collect()(0).getLong(0)
-    val tTotal = tgtCounts.agg(sum("t_w")).collect()(0).getLong(0)
+    // only in the target still score via r_w = 1 (left join below).
+    // A corpus with zero in-domain words yields a NULL sum — fall back to
+    // mass 1 (bit-length 1) so degenerate inputs score 0 instead of NPEing
+    // the driver or feeding numberOfLeadingZeros(0).
+    def totalOf(agg: DataFrame): Long = {
+      val row = agg.collect()(0)
+      if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+    }
+    val rTotal = totalOf(rawCounts.agg(sum("r_w")))
+    val tTotal = totalOf(tgtCounts.agg(sum("t_w")))
     val rTotBits = 64 - java.lang.Long.numberOfLeadingZeros(rTotal)
     val tTotBits = 64 - java.lang.Long.numberOfLeadingZeros(tTotal)
     val binlen = (c: Column) => length(bin(c))
@@ -185,6 +176,24 @@ object Sampling {
         col("n_words") > 0 && col("mean_imp100") >= minMeanImp100)
   }
 
+  /**
+   * Temperature-based domain rebalancing (the multilingual-BERT /
+   * data-mixing downsampling rule at temperature alpha = 0.5): per-domain
+   * keep probability `sqrt(n_min / n_domain)`, so post-sample domain mass
+   * scales with `sqrt(n_domain)` — mega-domains are damped, the smallest
+   * domain is kept whole (rate exactly 1.0). Alpha is FIXED at 0.5 because
+   * `SQRT` is the one power IEEE-754 requires correctly rounded — the
+   * keep decision (`uniformHash(id, salt) < keep_rate * P`, one multiply +
+   * one compare of exactly-representable values) is therefore bit-identical
+   * across engines; a general `POWER(x, a)` is not and would flip boundary
+   * docs between Spark and the oracle.
+   *
+   * Output: `(id, domain, n_domain, keep_rate, kept)` for every row —
+   * filter `kept` for the sample, keep the rest as the audit trail. Scale
+   * shape: ONE map-side-combined shuffle for the domain histogram; the
+   * histogram (domain-cardinality-sized) broadcasts back, so the corpus
+   * itself never shuffles.
+   */
   def temperatureRebalance(df: DataFrame, idCol: String, domainCol: String,
                            salt: Long = 0L): DataFrame = {
     val counts = df.groupBy(col(domainCol).as("domain"))

@@ -352,11 +352,24 @@ object TextAnalysis {
    * as TWO passes of space-bounded non-overlapping string replacement
    * `' l r ' -> ' lr '` over the padded symbol string. One pass misses every
    * second occurrence in a run (`a b a b` shares the middle space); after the
-   * first pass such leftovers are isolated, so the second catches them all.
-   * For runs of a self-adjacent pair (`l == r`) the leftover single symbol
-   * may sit mid-run rather than at the end (`aa a aa` where list-greedy
-   * gives `aa aa a`) — deterministic and identical across engines, asserted
+   * first pass such leftovers are isolated or pairwise adjacent, so the
+   * second catches them all — two passes reach the TEXTUAL fixed point
+   * (further passes are a no-op; the pattern no longer occurs), asserted
    * pair-free in the spec.
+   *
+   * KNOWN DEVIATION from canonical list-greedy BPE (Sennrich's reference
+   * implementation), confined to SELF-adjacent pairs (`l == r`) inside
+   * symbol runs: replace-matching consumes the run's shared separator, so
+   * on a 6-run `a a a a a a` it yields `aa a aa a` where list-greedy gives
+   * `aa aa aa` — from run length 5 the leftover single sits mid-run, and
+   * from run length 6 the MERGE COUNT itself differs (2 vs 3), which can
+   * ripple into later rounds' pair counts. This is a deliberate trade:
+   * the exact same kernel runs in train, encode AND the DuckDB oracle
+   * (space-bounded `replace` is leftmost non-overlapping in both engines),
+   * so the system is self-consistent and hash-oracled, whereas canonical
+   * list-greedy has no closed-form SQL mirror. Real lowercase-word corpora
+   * make 6+ single-character self-runs vanishingly rare; the behavior is
+   * pinned by a regression spec (`aaaaaa` → `aa a aa a`).
    *
    * Scale shape: the corpus is touched ONCE (word-count hash aggregation,
    * map-side combined); all `numMerges` iterations run over the collapsed

@@ -201,21 +201,24 @@ object WebGraph {
    * edge list by src once caller-side and the shuffle is rank-table-sized)
    * and one map-side-combinable sum by dst. The rank table is |hosts| rows
    * (~10^8 at 10^12 pages — above broadcast size, fine as a shuffle side).
-   * Plans grow linearly with `iters`; for iters beyond ~8 localCheckpoint
-   * the rank table between rounds (the [[Dedup]] connected-components
-   * discipline).
+   * Plans grow linearly with `iters`, so the rank table is eagerly
+   * localCheckpoint'ed every [[FixedPointCheckpointEvery]] rounds (the
+   * [[Dedup]] connected-components discipline) — long runs keep an O(1)
+   * per-round plan with no caller-side hygiene required; the inputs
+   * (edges, nodes, outdeg) checkpoint once up front for the same reason.
    */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int = 3, scale: Long = 1000000L,
                          dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 && scale > 0)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val base = ((100L - dampingPct) * scale) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val incoming = e
         .join(ranks.join(outdeg, col("host") === col("src"))
           .select(col("host").as("__h"), expr("rank div outdeg").as("contrib")),
@@ -227,9 +230,18 @@ object WebGraph {
         .select(col("host"),
           (lit(base) + expr(s"($dampingPct * coalesce(inc, 0L)) div 100"))
             .as("rank"))
+      if (i % FixedPointCheckpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
+
+  /** Fixed-point loops ([[pageRankFixedPoint]], [[trustRank]]) eagerly
+    * localCheckpoint their working table every this-many rounds: frequent
+    * enough that a round's plan never stacks more than this many join+agg
+    * layers (analyzer/optimizer cost stays O(1) per round), rare enough
+    * that short runs (the default iters=3) pay zero extra materialization. */
+  val FixedPointCheckpointEvery: Int = 4
 
   /**
    * Merge a crawl increment's host graph into the stored one — the
@@ -265,27 +277,31 @@ object WebGraph {
    *
    * Same BIGINT floor-division portability argument as
    * [[pageRankFixedPoint]]; same per-iteration plan shape (one edge join +
-   * one combinable sum). The seed table is small by definition (hand-vetted
-   * hosts) and broadcast. Seeds not present in the edge list are ignored;
-   * output is (host, is_seed, trust).
+   * one combinable sum) and the same automatic
+   * [[FixedPointCheckpointEvery]]-round localCheckpoint discipline. The
+   * seed table is small by definition (hand-vetted hosts) and broadcast.
+   * Seeds not present in the edge list are ignored; output is
+   * (host, is_seed, trust).
    */
   def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
                 iters: Int = 3, scale: Long = 1000000L,
                 dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 && scale > 0)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host"))).distinct()
+      .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
     val sd = broadcast(seeds.select(col(seedCol).as("host")).distinct()
       .withColumn("__seed", lit(true)))
     val seeded = nodes.join(sd, Seq("host"), "left")
       .select(col("host"), coalesce(col("__seed"), lit(false)).as("is_seed"))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val base = ((100L - dampingPct) * scale) / 100L
     var ranks = seeded.withColumn("trust",
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val incoming = e
         .join(ranks.join(outdeg, col("host") === col("src"))
           .select(col("host").as("__h"), expr("trust div outdeg").as("contrib")),
@@ -297,6 +313,8 @@ object WebGraph {
         .select(col("host"), col("is_seed"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampingPct * coalesce(inc, 0L)) div 100")).as("trust"))
+      if (i % FixedPointCheckpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -365,27 +383,6 @@ object WebGraph {
     hub.join(auth, Seq("host"))
   }
 
-  /**
-   * Parse robots.txt bodies into prefix rules — the politeness input of
-   * [[frontierSchedule]]. One row per (host, rule):
-   * (host, allow:boolean, prefix, plen). Semantics (deterministic subset,
-   * shared with the q_web_robots oracle):
-   *
-   *  - `#` comments strip to end of line; lines trim;
-   *  - directives live in User-agent GROUPS — a group is a RUN of
-   *    consecutive `User-agent:` lines followed by its directives; only
-   *    groups naming `*` emit rules (specific-agent groups are out of
-   *    scope, documented);
-   *  - `Allow:` / `Disallow:` (case-insensitive) with a non-empty value
-   *    become rules; an empty value means "no rule" (the RFC 9309 empty
-   *    Disallow = allow-all), any other directive is ignored;
-   *  - matching is LITERAL prefix on the url's path+query (`*`/`$`
-   *    wildcards out of scope — never guess at what you can't read).
-   *
-   * Scale: one window pair (lag + running sum) keyed on host assigns
-   * group ids — a single shuffle of the line table; bodies are small
-   * (RFC caps parse at 500 KiB) so per-host groups are bounded.
-   */
   /** robots.txt lines belonging to `User-agent: *` groups, as
     * (host, line) — the UA-run window parse shared by [[parseRobots]] and
     * [[crawlDelays]]. */
@@ -410,6 +407,27 @@ object WebGraph {
     tagged.join(starGroups, Seq("host", "grp")).select(col("host"), col("line"))
   }
 
+  /**
+   * Parse robots.txt bodies into prefix rules — the politeness input of
+   * [[frontierSchedule]]. One row per (host, rule):
+   * (host, allow:boolean, prefix, plen). Semantics (deterministic subset,
+   * shared with the q_web_robots oracle):
+   *
+   *  - `#` comments strip to end of line; lines trim;
+   *  - directives live in User-agent GROUPS — a group is a RUN of
+   *    consecutive `User-agent:` lines followed by its directives; only
+   *    groups naming `*` emit rules (specific-agent groups are out of
+   *    scope, documented);
+   *  - `Allow:` / `Disallow:` (case-insensitive) with a non-empty value
+   *    become rules; an empty value means "no rule" (the RFC 9309 empty
+   *    Disallow = allow-all), any other directive is ignored;
+   *  - matching is LITERAL prefix on the url's path+query (`*`/`$`
+   *    wildcards out of scope — never guess at what you can't read).
+   *
+   * Scale: one window pair (lag + running sum) keyed on host assigns
+   * group ids — a single shuffle of the line table; bodies are small
+   * (RFC caps parse at 500 KiB) so per-host groups are bounded.
+   */
   def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
     robotsStarLines(robots, hostCol, bodyCol)
       .withColumn("dir",
@@ -537,18 +555,6 @@ object WebGraph {
   val SitemapLastmodPattern: String = "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>"
 
   /**
-   * Sitemap parsing (sitemaps.org XML, both urlset and sitemapindex): the
-   * crawl-discovery input feeding the frontier alongside extracted links.
-   * Each `</url>` / `</sitemap>`-terminated entry yields its first `<loc>`
-   * (trimmed; entries without one are structural tails and dropped) plus
-   * the optional `<lastmod>` (kept as the raw W3C datetime STRING — date
-   * parsing is locale/engine-sensitive, downstream recrawl logic compares
-   * lexicographically which W3C datetimes support) and `is_index` (true
-   * for `<sitemap>` entries — they name further sitemaps to fetch, not
-   * documents). Zero shuffles: entry split + per-entry regex are per-row
-   * array expressions; the output explode is the only pivot.
-   */
-  /**
    * Recrawl triage from sitemap declarations: join the [[parseSitemaps]]
    * document entries (index entries excluded) against the crawl store's
    * last-fetch record per url and classify each declared url —
@@ -581,10 +587,28 @@ object WebGraph {
           .otherwise("fresh").as("status"))
   }
 
+  /**
+   * Sitemap parsing (sitemaps.org XML, both urlset and sitemapindex): the
+   * crawl-discovery input feeding the frontier alongside extracted links.
+   * Each `</url>` / `</sitemap>`-terminated entry yields its first `<loc>`
+   * (trimmed; entries without one are structural tails and dropped) plus
+   * the optional `<lastmod>` (kept as the raw W3C datetime STRING — date
+   * parsing is locale/engine-sensitive, downstream recrawl logic compares
+   * lexicographically which W3C datetimes support) and `is_index` (true
+   * for `<sitemap>` entries — they name further sitemaps to fetch, not
+   * documents). CDATA wrappers (`<loc><![CDATA[…]]></loc>`, common in
+   * generator output) are stripped before entry parsing so the wrapped
+   * value is read, not dropped. Zero shuffles: entry split + per-entry
+   * regex are per-row array expressions; the output explode is the only
+   * pivot.
+   */
   def parseSitemaps(sitemaps: DataFrame, urlCol: String, xmlCol: String): DataFrame = {
     val xml = col(xmlCol).cast("string")
     val entries = filter(
-      split(regexp_replace(xml, "(?s)<!--.*?-->", ""), "(?i)</(?:url|sitemap)>"),
+      split(regexp_replace(
+        regexp_replace(xml, "(?s)<!--.*?-->", ""),
+        "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1"),
+        "(?i)</(?:url|sitemap)>"),
       e => instr(lower(e), "<loc>") > 0)
     val parsed = transform(entries, e => struct(
       regexp_extract(e, SitemapLocPattern, 1).as("loc"),

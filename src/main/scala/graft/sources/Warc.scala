@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
  * archive chunk (Common Crawl ships ~1 GiB WARC segments; store chunks as
  * rows of a binary column, or `spark.read.format("binaryFile")`), so the
  * scan parallelizes by file and the parser never holds more than one
- * record's payload beyond the current slice.
+ * record's payload beyond the current slice. Chunking is ENFORCED, not
+ * advisory: [[parseWarc]] rejects rows above `maxBlobBytes` with a loud
+ * per-file error (see [[DefaultMaxBlobBytes]]).
  *
  * Malformed input semantics (all spec-asserted): a file not starting with
  * an ASCII `WARC/` magic yields no records; a header block without a
@@ -113,16 +115,36 @@ object Warc {
     out.toSeq
   }
 
+  /** Default per-row blob ceiling for [[parseWarc]]: 256 MiB. The walk
+    * materializes every record of a blob before the explode (~2× the blob
+    * in task heap), so blob size IS the task memory budget — Common Crawl's
+    * ~1 GiB segments must be chunked into rows below this before ingest. */
+  val DefaultMaxBlobBytes: Long = 256L * 1024 * 1024
+
   /**
    * Explode a table of archive blobs into one row per WARC record:
    * `(warc_file, rec_ord, record_type, target_uri, warc_date, payload_len,
    * payload)`. `fileCol` passes through as `warc_file`.
+   *
+   * Blobs larger than `maxBlobBytes` FAIL THE TASK LOUDLY (naming the file
+   * and both sizes) instead of silently ballooning the heap: at 100 TB an
+   * oversized archive row is a pipeline-config bug (missing chunking), and
+   * an OOM kill three operators downstream is the worst way to learn it.
    */
-  def parseWarc(files: DataFrame, fileCol: String, blobCol: String): DataFrame = {
-    val parse = udf((blob: Array[Byte]) =>
-      if (blob == null) Seq.empty[WarcRecord] else parseRecords(blob))
+  def parseWarc(files: DataFrame, fileCol: String, blobCol: String,
+                maxBlobBytes: Long = DefaultMaxBlobBytes): DataFrame = {
+    require(maxBlobBytes > 0, s"maxBlobBytes must be positive, got $maxBlobBytes")
+    val parse = udf((file: String, blob: Array[Byte]) =>
+      if (blob == null) Seq.empty[WarcRecord]
+      else if (blob.length > maxBlobBytes)
+        throw new IllegalArgumentException(
+          s"WARC blob '$file' is ${blob.length} bytes, above the " +
+            s"$maxBlobBytes-byte ceiling — chunk archive files into rows " +
+            "below the ceiling (or raise parseWarc's maxBlobBytes)")
+      else parseRecords(blob))
     files
-      .select(col(fileCol).as("warc_file"), explode(parse(col(blobCol))).as("r"))
+      .select(col(fileCol).as("warc_file"),
+        explode(parse(col(fileCol).cast("string"), col(blobCol))).as("r"))
       .select(col("warc_file"), col("r.rec_ord").as("rec_ord"),
         col("r.record_type").as("record_type"), col("r.target_uri").as("target_uri"),
         col("r.warc_date").as("warc_date"),

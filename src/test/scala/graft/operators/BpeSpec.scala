@@ -93,6 +93,22 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("self-adjacent pair runs: the documented two-pass deviation is pinned") {
+    val aa = Seq(("a", "a"))
+    // run 4: two passes DO reach the canonical greedy result
+    assert(TextAnalysis.applyBpeMerges("aaaa", aa) === Seq("aa", "aa", "</w>"))
+    // run 5: same merge COUNT as canonical, leftover single sits mid-run
+    assert(TextAnalysis.applyBpeMerges("aaaaa", aa) === Seq("aa", "a", "aa", "</w>"))
+    // run 6: the known deviation — 2 merges where canonical greedy does 3;
+    // pinned so any kernel change that silently alters segmentation fails
+    // here first (train/encode/oracle all share this kernel's semantics)
+    assert(TextAnalysis.applyBpeMerges("aaaaaa", aa) ===
+      Seq("aa", "a", "aa", "a", "</w>"))
+    // non-self-adjacent pairs always match canonical greedy
+    assert(TextAnalysis.applyBpeMerges("ababab", Seq(("a", "b"))) ===
+      Seq("ab", "ab", "ab", "</w>"))
+  }
+
   test("bpeEncode reproduces the trained segmentation and encodes unseen words") {
     val docs = Seq(
       (1L, "low low low low low"),

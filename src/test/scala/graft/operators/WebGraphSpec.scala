@@ -379,6 +379,8 @@ class WebGraphSpec extends AnyFunSuite {
       "<url><priority>0.3</priority></url>" +
       "<sitemap><loc>http://a.example/more.xml</loc></sitemap>" +
       "<url><loc></loc></url>" +
+      "<url><loc><![CDATA[http://a.example/cdata?a=1&b=2]]></loc>" +
+      "<lastmod><![CDATA[2026-03-04]]></lastmod></url>" +
       "</urlset>"
     val p = Seq(("http://a.example/sitemap.xml", xml)).toDF("url", "xml")
       .withColumn("xml", col("xml").cast("binary"))
@@ -387,7 +389,8 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got.toSet === Set(
       ("http://a.example/1", Some("2026-02-03"), false),
       ("http://a.example/2", None, false),
-      ("http://a.example/more.xml", None, true)))
-    assert(got.length === 3) // fake (comment), loc-less, empty-loc all dropped
+      ("http://a.example/more.xml", None, true),
+      ("http://a.example/cdata?a=1&b=2", Some("2026-03-04"), false)))
+    assert(got.length === 4) // fake (comment), loc-less, empty-loc all dropped
   }
 }

@@ -89,4 +89,23 @@ class WarcSpec extends AnyFunSuite {
     assert(resp.getInt(1) == 0 && resp.getLong(5) == 5L &&
       new String(resp.getAs[Array[Byte]](6), "UTF-8") == "abcde")
   }
+
+  test("parseWarc: oversized blob fails loudly, naming the file and the ceiling") {
+    val small = rec("response", Some("http://a/1"), None, "ok")
+    val big = rec("response", Some("http://a/2"), None, "x" * 200)
+    val df = Seq(("small.warc", small), ("big.warc", big)).toDF("f", "b")
+      .withColumn("b", col("b").cast("binary"))
+    // under-ceiling rows parse; the oversized row kills the job with a
+    // message pinpointing the file, not an OOM three stages later
+    val ex = intercept[org.apache.spark.SparkException] {
+      Warc.parseWarc(df, "f", "b", maxBlobBytes = 100L).collect()
+    }
+    val msg = Option(ex.getCause).fold(ex.getMessage)(_.getMessage)
+    assert(msg.contains("big.warc") && msg.contains("100-byte ceiling"), msg)
+    // a permissive ceiling admits both rows unchanged
+    assert(Warc.parseWarc(df, "f", "b", maxBlobBytes = 1L << 20).count() == 2)
+    assert(intercept[IllegalArgumentException](
+      Warc.parseWarc(df, "f", "b", maxBlobBytes = 0L)).getMessage
+      .contains("maxBlobBytes"))
+  }
 }
