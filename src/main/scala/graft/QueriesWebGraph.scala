@@ -25,7 +25,7 @@ object QueriesWebGraph {
     *  %13 → a whitespace-only anchor body (trims to '' — link mass but not
     *        anchor vocabulary in anchorStats).
     * Reproduced verbatim in all the q_web_* oracles. */
-  private def webCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def webCorpus(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
       concat(
@@ -447,7 +447,7 @@ object QueriesWebGraph {
     * MARGIN-BEARING fragment — stripMargin happens ONCE in the consumer
     * (stripping an already-stripped fragment re-eats the first `|` of
     * every `||` concat). */
-  private val oraclePages: String =
+  private[graft] val oraclePages: String =
     """SELECT doc_id,
       |  (CASE WHEN doc_id % 6 = 0 THEN 'https' ELSE 'http' END) || '://'
       |  || (CASE WHEN doc_id % 5 = 0
@@ -473,7 +473,7 @@ object QueriesWebGraph {
       |  || '</html>' AS html FROM documents"""
 
   /** Margin-bearing for the same reason as [[oraclePages]]. */
-  private val oracleLinks: String =
+  private[graft] val oracleLinks: String =
     s"""WITH p AS ($oraclePages),
       |x AS (SELECT url,
       |  LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -583,7 +583,7 @@ object QueriesWebGraph {
   /** host-graph collapse over a `links(src_url, dst_url)` CTE —
     * margin-bearing body shared by three oracles (strip once at the
     * consumer). */
-  private def oracleHostGraphBody: String =
+  private[graft] def oracleHostGraphBody: String =
     """SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
       |  SELECT
       |    LOWER(REGEXP_EXTRACT(src_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS src_host,

@@ -149,7 +149,7 @@ object SparkEntry {
       QueriesRaster.queries ++ QueriesStore.queries ++
       QueriesTemporal.queries ++ QueriesSampling.queries ++
       QueriesPipelineOracle.queries ++ QueriesWebGraph.queries ++
-      QueriesBpe.queries ++
+      QueriesBpe.queries ++ QueriesIncrPipe.queries ++
       pipelineQueries ++ datasetQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,5 +163,5 @@ object SparkEntry {
       QueriesEmbOracle.oracle ++ QueriesDedupOracle.oracle ++
       QueriesRaster.oracle ++ QueriesStore.oracle ++ QueriesTemporal.oracle ++
       QueriesSampling.oracle ++ QueriesPipelineOracle.oracle ++
-      QueriesWebGraph.oracle ++ QueriesBpe.oracle
+      QueriesWebGraph.oracle ++ QueriesBpe.oracle ++ QueriesIncrPipe.oracle
 }

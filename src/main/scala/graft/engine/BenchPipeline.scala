@@ -109,10 +109,13 @@ object BenchPipeline {
 
   /** (matchRows, deviationRows) in ONE action: the deviation projection runs
     * unfiltered with an `emitted` flag, so a single aggregation counts both —
-    * no intermediate cache of the match frame, one pass end to end. */
-  def pipelineCounts(spark: SparkSession, nSites: Long): (Long, Long) = {
+    * no intermediate cache of the match frame, one pass end to end.
+    * `densityRefSites` forwards to [[Pages.synthesize]]'s constant-density
+    * mode (the linear-in-corpus measurement of BASELINE.md §3f). */
+  def pipelineCounts(spark: SparkSession, nSites: Long,
+                     densityRefSites: Option[Long] = None): (Long, Long) = {
     import org.apache.spark.sql.functions._
-    val pages = Pages.synthesize(spark, nSites)
+    val pages = Pages.synthesize(spark, nSites, densityRefSites = densityRefSites)
     val m = matchRows(pages)
     val all = DeviationView.deviations(m, DeviationConfig(
       datasetId = Pages.BenchDatasetId, layerId = 1L, viewName = "bench_pois",

@@ -230,6 +230,47 @@ object SpatialLayout {
     walk(root)
   }
 
+  /** Every node name in a frame's EXECUTED plan (same AQE-aware walk as
+    * [[exchangeNodes]]) — gate entries assert the ABSENCE of a node class
+    * (BroadcastNestedLoopJoin, CartesianProduct) with this. */
+  def planNodeNames(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p.nodeName +: (p match {
+      case q: QueryStageExec => walk(q.plan)
+      case _ => p.children.flatMap(walk)
+    })
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    walk(root)
+  }
+
+  /** Root paths of every file scan in a frame's EXECUTED plan — gate
+    * entries assert which STORED state an incremental step actually reads
+    * (e.g. the signature store, never the corpus text). */
+  def scanRootPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      self ++ (p match {
+        case q: QueryStageExec => walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      })
+    }
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    walk(root)
+  }
+
   def bucketedDWithinBatch(batch: DataFrame, buildTable: String,
                            pX: String, pY: String, bX: String, bY: String,
                            cellSize: Double, distance: Double): DataFrame = {

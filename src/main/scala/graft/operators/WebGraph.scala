@@ -294,9 +294,11 @@ object WebGraph {
       .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
     val sd = broadcast(seeds.select(col(seedCol).as("host")).distinct()
       .withColumn("__seed", lit(true)))
+    // NOT checkpointed: nodes already is, so each reference is a 2-node
+    // subtree (checkpoint scan + broadcast hash join) — and keeping the
+    // broadcast in the visible lineage lets PlanQualitySpec assert it
     val seeded = nodes.join(sd, Seq("host"), "left")
       .select(col("host"), coalesce(col("__seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val base = ((100L - dampingPct) * scale) / 100L
     var ranks = seeded.withColumn("trust",

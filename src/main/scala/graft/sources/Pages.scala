@@ -48,11 +48,20 @@ object Pages {
     (lit(x0) + u01(id, seed, tagX) * lit(x1 - x0),
      lit(y0) + u01(id, seed, tagY) * lit(y1 - y0))
 
-  /** Site position: 30% of sites in the Stockholm box, 70% across Sweden. */
-  private def sitePos(id: Column, seed: Long): (Column, Column) = {
+  /** Site position: 30% of sites in the (possibly area-scaled) Stockholm
+    * box, 70% across the (possibly area-scaled) Sweden box. `areaFactor`
+    * stretches both box side lengths by sqrt(areaFactor) anchored at the
+    * (X0, Y0) corner, so box AREA scales by areaFactor — the
+    * constant-density mode's knob (see [[synthesize]]). */
+  private def sitePos(id: Column, seed: Long, areaFactor: Double = 1.0): (Column, Column) = {
+    val f = math.sqrt(areaFactor)
     val hot = u01(id, seed, 1) < lit(0.30)
-    val (hx, hy) = inBox(id, seed, 2, 3, StockholmX0, StockholmX1, StockholmY0, StockholmY1)
-    val (cx, cy) = inBox(id, seed, 4, 5, SwedenX0, SwedenX1, SwedenY0, SwedenY1)
+    val (hx, hy) = inBox(id, seed, 2, 3,
+      StockholmX0, StockholmX0 + (StockholmX1 - StockholmX0) * f,
+      StockholmY0, StockholmY0 + (StockholmY1 - StockholmY0) * f)
+    val (cx, cy) = inBox(id, seed, 4, 5,
+      SwedenX0, SwedenX0 + (SwedenX1 - SwedenX0) * f,
+      SwedenY0, SwedenY0 + (SwedenY1 - SwedenY0) * f)
     (when(hot, hx).otherwise(cx), when(hot, hy).otherwise(cy))
   }
 
@@ -64,12 +73,25 @@ object Pages {
    * 70% of those carry the matching name); an extra ~8% OSM-only sites feed
    * the anti-leg. Plus `nNoise` non-feature pages (mixed lang) and 3 MUNI
    * pages, so extraction is an honest filter+parse, not an identity map.
+   *
+   * `densityRefSites`: CONSTANT-DENSITY mode (VERDICT r4 #1). By default
+   * the bbox is fixed, so scaling `nSites` DENSIFIES the map and the ≤250 m
+   * candidate-pair count grows ~quadratically — the right fixture for skew/
+   * correctness work, the wrong one for corpus-scale-up claims (a bigger
+   * crawl covers more area at roughly constant feature density). With
+   * `Some(ref)`, both boxes' areas scale by `nSites/ref` so sites-per-km²
+   * is held at the ref level — at `nSites == ref` the fixture is
+   * bit-identical to the default mode, anchoring comparability. The
+   * linear-in-corpus operating point measured in BASELINE.md §3f uses
+   * ref = 2.5M (the bench point).
    */
   def synthesize(spark: SparkSession, nSites: Long, seed: Long = 42L,
-                 noiseFraction: Double = 0.2, siteOffset: Long = 0L): DataFrame = {
+                 noiseFraction: Double = 0.2, siteOffset: Long = 0L,
+                 densityRefSites: Option[Long] = None): DataFrame = {
+    val areaFactor = densityRefSites.fold(1.0)(r => nSites.toDouble / r)
     val sites = spark.range(siteOffset, siteOffset + nSites).toDF("site")
     val id = col("site")
-    val (sx, sy) = sitePos(id, seed)
+    val (sx, sy) = sitePos(id, seed, areaFactor)
 
     // ---------- UPSTREAM pages (one per site) ----------
     val upstream = sites

@@ -18,6 +18,13 @@ import scala.jdk.CollectionConverters._
  *       config (AQE off, explicit 4/core) — the config note for which to
  *       ship at which scale.
  *
+ *   density <cores> <nSites> [refSites=2.5M] — constant-density pipeline
+ *       run + candidate count (VERDICT r4 #1): bbox area scales with
+ *       nSites so the ≤250 m pair count grows ~linearly, the honest
+ *       corpus-scale-up fixture. Run at 2.5M/10M/25M × {8,32} cores;
+ *       rows/s flat (±20%) + linear candidates = the measured
+ *       linear-in-corpus operating point (BASELINE.md §3f).
+ *
  *   tagdiff <cores> <nSites>    — 20 ms stack sampler over a pipeline run
  *       measuring the fraction of RUNNABLE executor samples inside
  *       Tags.tagDiff / countKeys (the per-row UDF on the deviation
@@ -55,9 +62,10 @@ object ScaleRehearsal {
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
 
-  private def runOnce(s: SparkSession, n: Long): (Double, Long, Long) = {
+  private def runOnce(s: SparkSession, n: Long,
+                      densityRef: Option[Long] = None): (Double, Long, Long) = {
     val t0 = System.nanoTime()
-    val (mr, dr) = graft.engine.BenchPipeline.pipelineCounts(s, n)
+    val (mr, dr) = graft.engine.BenchPipeline.pipelineCounts(s, n, densityRef)
     val sec = (System.nanoTime() - t0) / 1e9
     s.sharedState.cacheManager.clearCache()
     (sec, mr, dr)
@@ -129,6 +137,33 @@ object ScaleRehearsal {
         println(f"TAGDIFF cores=$cores n=$n sec=$sec%.1f busy_samples=$tot " +
           f"tagdiff_pct=${100.0 * inTagDiff.get / tot}%.2f " +
           f"any_udf_pct=${100.0 * inUdfAny.get / tot}%.2f match=$mr dev=$dr")
+        s.stop()
+
+      case "density" =>
+        // THE LINEAR-IN-CORPUS OPERATING POINT (VERDICT r4 #1): one
+        // pipeline run + one candidate count at CONSTANT site density
+        // (bbox area grows with n; ref = the 2.5M bench point, where the
+        // fixture is bit-identical to the default mode). Across a 10x n
+        // range, rows/s should hold ~flat and candidates grow ~linearly —
+        // the premise of the 100-TB claim, measured instead of argued.
+        // Run detached, repeatedly, at 8 and 32 cores (min-of-1 rule).
+        val ref = if (args.length > 3) args(3).toLong else 2500000L
+        val s = session(cores, aqeOn = false)
+        runOnce(s, 50000L, Some(ref)) // warm codegen/JIT
+        System.gc()
+        val gc0 = gcMillis()
+        val (sec, mr, dr) = runOnce(s, n, Some(ref))
+        val gcSec = (gcMillis() - gc0) / 1000.0
+        val pages = graft.sources.Pages.synthesize(s, n, densityRefSites = Some(ref))
+        val (osm, ups) = graft.engine.BenchPipeline.extract(pages)
+        val spec0 = graft.engine.BenchPipeline.spec
+        val t1 = System.nanoTime()
+        val c = graft.operators.SpatialJoin.dwithinCandidates(
+          build = osm, probe = ups, buildGeom = "geom", probeGeom = "geometry",
+          spec = graft.operators.SpatialJoin.DWithinSpec(spec0.maxDistance, 1000.0)).count()
+        println(f"DENSITY cores=$cores n=$n ref=$ref sec=$sec%.1f gc_sec=$gcSec%.1f " +
+          f"match=$mr dev=$dr rows_per_sec=${(mr + dr) / sec}%.0f " +
+          f"candidates=$c cand_sec=${(System.nanoTime() - t1) / 1e9}%.1f")
         s.stop()
 
       case "cands" =>

@@ -294,6 +294,156 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  // ---- web-graph / crawl plan gates (VERDICT r4 #4: the DriveWebGraph
+  // audits as failing tests, not manual dev drivers). Exchange counts use
+  // SpatialLayout.exchangeNodes — the AQE-aware executed-plan walk — never
+  // formatted-string counting (which double-counts across plan sections).
+
+  private def webPages(n: Long) = {
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(
+      concat(lit("http://site"), pmod(col("id"), lit(500L)), lit(".example/p/"),
+        col("id")).as("url"),
+      concat(lit("<a href=\"https://hub"), pmod(col("id"), lit(97L)),
+        lit(".example/x\">l</a><a href=\"/local/"), pmod(col("id"), lit(9L)),
+        lit("\">r</a>")).cast("binary").as("html"))
+  }
+
+  private def audited(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // finalize AQE on df's own plan before walking it
+    (graft.operators.SpatialLayout.exchangeNodes(df),
+      graft.operators.SpatialLayout.planNodeNames(df))
+  }
+
+  /** run `body` with auto-broadcast OFF so any BroadcastHashJoin the asserts
+    * require can only come from an explicit broadcast() hint — deleting the
+    * hint fails the test instead of being silently patched by size stats. */
+  private def noAutoBroadcast[A](body: => A): A = {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("web parsers/extractors are zero-Exchange single passes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.WebGraph
+    val pages = webPages(2000)
+    val warcs = spark.range(500).select(
+      concat(lit("f"), col("id")).as("url"),
+      concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h"),
+        pmod(col("id"), lit(97L)),
+        lit(".example/p\r\nContent-Length: 6\r\n\r\nabcdef\r\n\r\n"))
+        .cast("binary").as("blob"))
+    val maps = spark.range(500).select(
+      concat(lit("f"), col("id")).as("url"),
+      concat(lit("<urlset><url><loc>http://h"), pmod(col("id"), lit(97L)),
+        lit(".example/p</loc></url></urlset>")).cast("binary").as("xml"))
+    for ((name, df) <- Seq(
+        "extractLinks" -> WebGraph.extractLinks(pages, "url", "html"),
+        "extractAnchors" -> WebGraph.extractAnchors(pages, "url", "html"),
+        "extractText" -> graft.operators.WebText.extractText(pages, "url", "html"),
+        "parseWarc" -> graft.sources.Warc.parseWarc(warcs, "url", "blob"),
+        "parseSitemaps" -> WebGraph.parseSitemaps(maps, "url", "xml"))) {
+      val (ex, _) = audited(df)
+      assert(ex.isEmpty, s"$name must be shuffle-free, planned: $ex")
+    }
+  }
+
+  test("hostGraph is ONE map-side-combined Exchange; merge is an equi full-outer") {
+    import graft.operators.WebGraph
+    val links = WebGraph.extractLinks(webPages(2000), "url", "html")
+    val hg = WebGraph.hostGraph(links, "src_url", "dst_url")
+    val (ex, _) = audited(hg)
+    assert(ex.size == 1, s"hostGraph must shuffle exactly once, planned: $ex")
+    val (_, mergeNodes) = audited(WebGraph.mergeHostGraphs(hg, hg))
+    assert(!mergeNodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+      s"merge must stay an equi join: $mergeNodes")
+  }
+
+  test("fixed-point graph loops never plan all-pairs; trustRank seeds broadcast explicitly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.WebGraph
+    noAutoBroadcast {
+      val hg = WebGraph.hostGraph(
+        WebGraph.extractLinks(webPages(2000), "url", "html"), "src_url", "dst_url")
+        .localCheckpoint()
+      val seeds = spark.range(10).select(
+        concat(lit("hub"), col("id") * 9L, lit(".example")).as("host"))
+      for ((name, df) <- Seq(
+          "pageRank" -> WebGraph.pageRankFixedPoint(hg, "src_host", "dst_host", iters = 3),
+          "trustRank" -> WebGraph.trustRank(hg, "src_host", "dst_host", seeds, "host", iters = 3),
+          "hits" -> WebGraph.hitsFixedPoint(hg, "src_host", "dst_host", iters = 2))) {
+        val (_, nodes) = audited(df)
+        assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+          s"$name planned all-pairs: $nodes")
+      }
+      val (_, tn) = audited(WebGraph.trustRank(hg, "src_host", "dst_host",
+        seeds, "host", iters = 1))
+      assert(tn.exists(_.contains("BroadcastHashJoin")),
+        s"trustRank's seed join must be the explicit broadcast: $tn")
+    }
+  }
+
+  test("hostBlocklist distincts hosts first and broadcasts the blocklist explicitly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.WebGraph
+    noAutoBroadcast {
+      val frontier = spark.range(5000).select(
+        concat(lit("http://h"), pmod(col("id"), lit(200L)),
+          lit(".example/p/"), col("id")).as("url"))
+      val bl = spark.range(50).select(
+        concat(lit("h"), col("id"), lit(".example")).as("domain"))
+      val df = WebGraph.hostBlocklist(frontier, "url", bl, "domain")
+      val (ex, nodes) = audited(df)
+      assert(nodes.exists(_.contains("BroadcastHashJoin")),
+        s"blocklist join must be the explicit broadcast: $nodes")
+      assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")))
+      // the suffix explode runs over DISTINCT hosts: the distinct shuffle +
+      // the two join-back sides are the only SHUFFLE Exchanges (the
+      // BroadcastExchange is the blocklist itself) — the 5x-exploded
+      // suffix table never shuffles (the session-7 regression this
+      // audit caught live)
+      assert(ex.count(!_.contains("Broadcast")) <= 3,
+        s"suffix explode is shuffling: $ex")
+    }
+  }
+
+  test("packSequences windows are bucket-partitioned; the bucket base broadcasts") {
+    import org.apache.spark.sql.functions._
+    noAutoBroadcast {
+      val docs = spark.range(2000).select(col("id").as("doc_id"),
+        concat(lit("w"), pmod(col("id"), lit(500L)), lit(" w"),
+          pmod(col("id") * 7L, lit(500L)), lit(" the")).as("text"))
+      val df = graft.operators.TextAnalysis.packSequences(
+        docs, "doc_id", "text", seqLen = 512, bucketSize = 100L)
+      df.collect()
+      // every corpus-sized window must be PARTITIONED (the per-bucket
+      // running sum); only the bucket-TOTALS window (N/bucketSize rows) may
+      // order globally — a global orderBy window over the corpus is the
+      // 10^12-row single-task funnel
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.size == 2, s"expected intra-bucket + bucket-total windows, got ${windows.size}")
+      assert(windows.count(_.partitionSpec.nonEmpty) >= 1,
+        "the corpus prefix-sum window lost its bucket partitioning")
+      val (_, nodes) = audited(df)
+      assert(nodes.exists(_.contains("BroadcastHashJoin")),
+        s"bucket-base join must be the explicit broadcast: $nodes")
+    }
+  }
+
+  test("crawlChurn's rank window and pivot share ONE url shuffle") {
+    import org.apache.spark.sql.functions._
+    val crawls = spark.range(2000).select(
+      concat(lit("http://s.example/p/"), pmod(col("id"), lit(200L))).as("url"),
+      col("id").as("ts"),
+      concat(lit("head\nL"), pmod(col("id"), lit(7L)), lit("\ntail")).as("text"))
+    val df = graft.operators.WebText.crawlChurn(crawls, "url", "ts", "text")
+    val (ex, _) = audited(df)
+    assert(ex.size <= 1, s"churn must reuse the url partitioning, planned: $ex")
+  }
+
   test("bpe merge loop keeps the vocab plan O(1) per round (checkpoint truncation)") {
     val (merges, vocab) = graft.operators.TextAnalysis.bpeTrain(
       spark.read.parquet(s"$dir/documents.parquet"), "text", numMerges = 4)
