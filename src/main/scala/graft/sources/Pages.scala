@@ -105,7 +105,11 @@ object Pages {
     // sites [0, nSites): present with p=0.85; sites [nSites, nSites*1.08): OSM-only
     val osmIds = spark.range(siteOffset, siteOffset + (nSites * 1.08).toLong).toDF("site")
     val oid = col("site")
-    val (ox0, oy0) = sitePos(oid, seed)
+    // SAME areaFactor as the upstream side: a site's OSM twin derives its
+    // base position from the same hash + box, so twins stay ≤80 m apart in
+    // constant-density mode too (round-5 sweep pass-1 caught the miss —
+    // unscaled twins made every 10M-site upstream row "Missing")
+    val (ox0, oy0) = sitePos(oid, seed, areaFactor)
     val present = u01(oid, seed, 10) < lit(0.85) || oid >= lit(siteOffset + nSites)
     val jitterR = u01(oid, seed, 11) * lit(80.0)
     val jitterA = u01(oid, seed, 12) * lit(2 * math.Pi)
