@@ -60,6 +60,24 @@ object QueriesSampling {
         minMeanImp100 = dsirMin)
     }),
 
+    // mixture token-budget allocation over a synthetic domain ladder with
+    // a deliberately under-resourced 'rare' class (doc_id%1000 — high
+    // weight, tiny corpus → rate caps at 1.0 and shortfall > 0 at every
+    // sf) and a zero-weight 'micro' class (absent from the weight list →
+    // rate 0); weights/budget/salt shared with the oracle as literals
+    "q_sample_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureAllocate(
+        t(s, dir, "documents").withColumn("domain",
+          when(pmod(col("doc_id"), lit(1000L)) === 0, "rare")
+            .when(pmod(col("doc_id"), lit(2L)) === 0, "mega")
+            .when(pmod(col("doc_id"), lit(4L)) === 1, "mid")
+            .when(pmod(col("doc_id"), lit(8L)) === 3, "small")
+            .otherwise("micro")),
+        "doc_id", "domain", "text",
+        weightsPpm = Seq("mega" -> 350000L, "mid" -> 100000L,
+          "small" -> 50000L, "rare" -> 500000L),
+        budgetTokens = 20000L, salt = 13L)),
+
     // sqrt-temperature domain rebalancing over a skewed synthetic domain
     // column (geometric class sizes 1/2, 1/4, 1/8, 1/16, 1/16 — real
     // down-sampling at every rate tier incl. the kept-whole smallest)
@@ -137,6 +155,49 @@ object QueriesSampling {
          |    ELSE 0 END AS mean_imp100 FROM fin)
          |SELECT doc_id, n_words, imp_sum, mean_imp100,
          |  (n_words > 0 AND mean_imp100 >= $dsirMin) AS kept FROM fm""".stripMargin,
+    // mirrors mixtureAllocate step for step; every quantity is
+    // non-negative BIGINT so DuckDB // == Spark div, and the per-doc keep
+    // decision recomputes the affine hash (salt 13)
+    "q_sample_mixture" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 1000 = 0 THEN 'rare'
+         |         WHEN doc_id % 2 = 0 THEN 'mega'
+         |         WHEN doc_id % 4 = 1 THEN 'mid'
+         |         WHEN doc_id % 8 = 3 THEN 'small'
+         |         ELSE 'micro' END AS domain,
+         |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS n_toks
+         |  FROM documents),
+         |hist AS (SELECT domain, COUNT(*) AS n_docs,
+         |                CAST(SUM(n_toks) AS BIGINT) AS tokens
+         |         FROM d GROUP BY domain),
+         |w AS (SELECT * FROM (VALUES ('mega', CAST(350000 AS BIGINT)),
+         |        ('mid', 100000), ('small', 50000), ('rare', 500000))
+         |      AS t(domain, w_ppm)),
+         |r AS (SELECT hist.domain, n_docs, tokens,
+         |    COALESCE(w.w_ppm, 0) AS w_ppm,
+         |    (20000 * COALESCE(w.w_ppm, 0)) // 1000000 AS target_tokens,
+         |    CASE WHEN tokens > 0 THEN
+         |      LEAST(1000000, (20000 * COALESCE(w.w_ppm, 0)) // tokens)
+         |    ELSE 0 END AS rate_ppm
+         |  FROM hist LEFT JOIN w ON w.domain = hist.domain),
+         |r2 AS (SELECT *, (tokens * rate_ppm) // 1000000 AS expected_tokens
+         |       FROM r),
+         |r3 AS (SELECT *, GREATEST(0, target_tokens - expected_tokens)
+         |         AS shortfall FROM r2),
+         |a AS (SELECT d.domain, COUNT(*) AS n_kept,
+         |             CAST(SUM(d.n_toks) AS BIGINT) AS kept_tokens
+         |      FROM d JOIN r3 ON r3.domain = d.domain
+         |      WHERE (${hsql("d.doc_id", 13L)}) * 1000000 < r3.rate_ppm * $P
+         |      GROUP BY d.domain)
+         |SELECT r3.domain, r3.n_docs, r3.tokens, r3.w_ppm,
+         |  CAST(r3.rate_ppm AS BIGINT) AS rate_ppm,
+         |  CAST(r3.target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(r3.expected_tokens AS BIGINT) AS expected_tokens,
+         |  CAST(r3.shortfall AS BIGINT) AS shortfall,
+         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(a.kept_tokens, 0) AS kept_tokens
+         |FROM r3 LEFT JOIN a ON a.domain = r3.domain""".stripMargin,
     // SQRT is IEEE-correctly-rounded, so keep_rate and the keep decision
     // (exact-int hash compared to rate * P as doubles) are bit-portable
     "q_sample_temp" ->

@@ -432,6 +432,17 @@ object QueriesText {
         .groupBy("lang")
         .agg(countDistinct(col("word")).as("exact_words"))),
 
+    // lexical blocklist filter (the C4 banned-word rule generalized to a
+    // count threshold): two frequent fixture words, one mid-frequency and
+    // one absent — maxHits=2 makes keep/drop split on real counts; the
+    // list and threshold are shared with the oracle as literals
+    "q_txt_banned" -> ((s, dir) => {
+      import s.implicits._
+      WebText.bannedWords(docs(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "dup", "forbiddenzzz").toDF("word"), "word",
+        maxHits = 2L)
+    }),
+
     "q_txt_quantiles" -> ((s, dir) =>
       WebText.valueQuantiles(docs(s, dir), "lang", "n_chars", Seq(10, 50, 90))),
 
@@ -669,6 +680,28 @@ object QueriesText {
       |  TRIM(REGEXP_REPLACE(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS text FROM s8)""".replace("IN_CTE", in)
 
   val oracle: Map[String, String] = Map(
+    // word-run matching: the [a-z]+ split is the bpeTrain word domain, so
+    // boundaries hold by construction on both engines
+    "q_txt_banned" ->
+      """WITH banned AS (SELECT * FROM (VALUES ('spark'), ('vector'),
+        |    ('dup'), ('forbiddenzzz')) AS t(word)),
+        |w AS (SELECT doc_id,
+        |    UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+'),
+        |      x -> x <> '')) AS word
+        |  FROM documents),
+        |h AS (SELECT doc_id, COUNT(*) AS n_banned_hits,
+        |             CAST(COUNT(DISTINCT w.word) AS BIGINT) AS n_banned_distinct,
+        |             MIN(w.word) AS first_banned
+        |      FROM w JOIN banned ON banned.word = w.word
+        |      GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_banned_hits, 0) AS n_banned_hits,
+        |  COALESCE(h.n_banned_distinct, 0) AS n_banned_distinct,
+        |  h.first_banned,
+        |  COALESCE(h.n_banned_hits, 0) <= 2 AS kept
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin,
+
     // Spark split(text, ' ') keeps empty tokens from double spaces;
     // regexp_split_to_array has identical semantics
     "q_agg_hll_exact" ->

@@ -194,6 +194,72 @@ object Sampling {
    * histogram (domain-cardinality-sized) broadcasts back, so the corpus
    * itself never shuffles.
    */
+  /**
+   * Training-mixture token-budget allocation — the data-mixing PLANNER a
+   * pretraining run starts from (fixed target weights à la Pile/DoReMi,
+   * complementing [[temperatureRebalance]]'s heuristic rule): given the
+   * corpus's per-domain token mass and target mixture weights in ppm,
+   * derive each domain's deterministic sampling rate so the sampled corpus
+   * approaches `budgetTokens` distributed by the weights:
+   *
+   *   target_d   = (budgetTokens * w_ppm_d) div 10^6
+   *   rate_ppm_d = min(10^6, (budgetTokens * w_ppm_d) div tokens_d)
+   *   expected_d = (tokens_d * rate_ppm_d) div 10^6
+   *   shortfall_d = max(0, target_d - expected_d)
+   *
+   * All BIGINT arithmetic (engine-portable; budgetTokens ≤ ~9·10^12 keeps
+   * budget·w_ppm < 2^63). `shortfall > 0` flags an under-resourced domain:
+   * the rate caps at 1.0 because sampling cannot mint tokens — the
+   * epochs-vs-mixture tension surfaces as data instead of a silent
+   * re-normalization. Domains absent from `weightsPpm` get weight 0 (rate
+   * 0 — dropped from the mix but present in the output for audit). Tokens
+   * are non-empty space-split words (the packSequences convention). The
+   * per-doc decision is applied in the same pass —
+   * `kept(id) = uniformHash(id, salt) * 10^6 < rate_ppm * P` — and
+   * reported as (n_kept, kept_tokens) per domain, so the allocation AND
+   * its realized sample are both in the audit row.
+   *
+   * Scale: TWO map-side-combined domain-histogram aggregations (allocate,
+   * then apply — inherently two passes since rates derive from the
+   * histogram); the weight table (mixture-sized, tens of rows) and the
+   * rate table broadcast; the corpus itself never shuffles.
+   */
+  def mixtureAllocate(docs: DataFrame, idCol: String, domainCol: String,
+                      textCol: String, weightsPpm: Seq[(String, Long)],
+                      budgetTokens: Long, salt: Long = 0L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(weightsPpm.forall(_._2 >= 0), "weights must be non-negative ppm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("id"), col(domainCol).as("domain"),
+      size(filter(split(col(textCol), " "), w => w =!= ""))
+        .cast("long").as("n_toks"))
+    val hist = toks.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("tokens"))
+    val rates = hist
+      .join(broadcast(weightsPpm.toDF("domain", "w_ppm")), Seq("domain"), "left")
+      .withColumn("w_ppm", coalesce(col("w_ppm"), lit(0L)))
+      .withColumn("target_tokens", expr(s"($budgetTokens * w_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        when(col("tokens") > 0,
+          least(lit(1000000L), expr(s"($budgetTokens * w_ppm) div tokens")))
+          .otherwise(lit(0L)))
+      .withColumn("expected_tokens", expr("(tokens * rate_ppm) div 1000000"))
+      .withColumn("shortfall",
+        greatest(lit(0L), expr("target_tokens - expected_tokens")))
+    val applied = toks
+      .join(broadcast(rates.select(col("domain"), col("rate_ppm"))), Seq("domain"))
+      .filter(uniformHash(col("id"), salt) * 1000000L < col("rate_ppm") * P)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_kept"), sum("n_toks").as("kept_tokens"))
+    rates.join(applied, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("tokens"), col("w_ppm"),
+        col("rate_ppm"), col("target_tokens"), col("expected_tokens"),
+        col("shortfall"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
   def temperatureRebalance(df: DataFrame, idCol: String, domainCol: String,
                            salt: Long = 0L): DataFrame = {
     val counts = df.groupBy(col(domainCol).as("domain"))

@@ -454,6 +454,48 @@ object WebText {
       .withColumn("kept", col("domain_rank") <= maxPerDomain)
   }
 
+  /**
+   * Lexical blocklist filter — the OTHER half of C4's cleaning next to
+   * [[c4LineFilter]]'s structural rules (C4 drops any page containing a
+   * word from its banned-word list; Gopher/RefinedWeb-style pipelines keep
+   * count thresholds instead — `maxHits` covers both: 0 is the C4 rule).
+   * Matching is on lowercased `[a-z]+` word RUNS (the bpeTrain word
+   * domain), so word-boundary semantics hold by construction — "class"
+   * never matches a banned "ass" — with no regex-metacharacter risk from
+   * the list itself. Emits EVERY doc with
+   * (n_banned_hits, n_banned_distinct, first_banned, kept):
+   * `n_banned_hits` counts occurrences, `first_banned` is the bytewise-MIN
+   * matched word (position-free, engine-portable), NULL when clean; the
+   * drop population stays auditable (the [[domainCap]] convention).
+   *
+   * Scale: the banned list is vocabulary-sized (the canonical C4 list is
+   * ~400 entries) and BROADCAST into a hash join on `word`; hits are rare
+   * by construction, so the per-doc aggregation's shuffle carries the hit
+   * sliver, never the corpus's exploded words; the doc spine joins back
+   * on the id. No window, no all-pairs.
+   */
+  def bannedWords(docs: DataFrame, idCol: String, textCol: String,
+                  banned: DataFrame, wordCol: String,
+                  maxHits: Long = 0L): DataFrame = {
+    require(maxHits >= 0, s"maxHits must be >= 0, got $maxHits")
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        w => length(w) > 0)).as("word"))
+    val b = broadcast(banned.select(lower(col(wordCol)).as("word")).distinct())
+    val hits = words.join(b, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_banned_hits"),
+        countDistinct(col("word")).as("n_banned_distinct"),
+        min(col("word")).as("first_banned"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_banned_hits"), lit(0L)).as("n_banned_hits"),
+        coalesce(col("n_banned_distinct"), lit(0L)).as("n_banned_distinct"),
+        col("first_banned"))
+      .withColumn("kept", col("n_banned_hits") <= maxHits)
+  }
+
   /** query params dropped by [[canonicalUrl]]: click/campaign trackers that
     * never change page content (the Common-Crawl URL-dedup convention).
     * RE2-compatible (no \d / lookarounds) so the oracle shares it verbatim. */

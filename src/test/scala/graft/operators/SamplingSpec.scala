@@ -129,6 +129,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(3L)._4)
   }
 
+  test("mixtureAllocate: rates, cap, zero weight, shortfall, applied sample") {
+    // domains: big = 3 docs x 4 tokens = 12; tiny = 1 doc x 2 tokens;
+    // unweighted = 1 doc (absent from weights -> rate 0)
+    val docs = Seq(
+      (1L, "big", "a b c d"), (2L, "big", "a b c d"), (3L, "big", "a b c d"),
+      (4L, "tiny", "a b"),
+      (5L, "other", "x y z")).toDF("id", "dom", "text")
+    val got = Sampling.mixtureAllocate(docs, "id", "dom", "text",
+        weightsPpm = Seq("big" -> 250000L, "tiny" -> 750000L),
+        budgetTokens = 8L, salt = 5L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    // big: target (8*250000) div 1e6 = 2; rate (8*250000) div 12 = 166666
+    assert(got("big")._1 == 3L && got("big")._2 == 12L)
+    assert(got("big")._4 == 166666L && got("big")._5 == 2L)
+    assert(got("big")._6 == (12L * 166666L) / 1000000L) // expected = 1
+    assert(got("big")._7 == 1L) // shortfall from integer floor
+    // tiny: target 6 > tokens 2 -> rate caps at 1e6, ALL docs kept
+    assert(got("tiny")._4 == 1000000L && got("tiny")._6 == 2L &&
+      got("tiny")._7 == 4L && got("tiny")._8 == 1L && got("tiny")._9 == 2L)
+    // unweighted domain: rate 0, nothing kept, still present for audit
+    assert(got("other")._3 == 0L && got("other")._4 == 0L &&
+      got("other")._8 == 0L)
+    // applied decision matches a hand recompute of the hash rule
+    val bigKept = Seq(1L, 2L, 3L).count { id =>
+      val m = Sampling.mixedMultiplier(5L)
+      val u = ((id % Sampling.P) * m + Sampling.B + 5L) % Sampling.P
+      u * 1000000L < 166666L * Sampling.P
+    }
+    assert(got("big")._8 == bigKept.toLong)
+  }
+
   test("guards: bad weights, rates, k") {
     val df = ids(10)
     intercept[IllegalArgumentException] {

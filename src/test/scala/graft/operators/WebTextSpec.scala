@@ -597,4 +597,24 @@ class WebTextSpec extends AnyFunSuite {
       "u2" -> ((0L, 0L, 2L, 0L)),
       "u3" -> ((1L, 2L, 0L, 100L))))
   }
+
+  test("bannedWords: word-boundary runs, counts, min pick, threshold, clean docs") {
+    val docs = Seq(
+      (1L, "the Class of classes"),       // 'ass' inside runs never matches
+      (2L, "ass kicked, ASS! twice bad"), // 2 hits of ass + 1 bad = 3 > maxHits
+      (3L, "one bad word"),               // 1 hit <= maxHits -> kept
+      (4L, "perfectly clean text"),
+      (5L, "bad ass zzz"))                // first_banned = 'ass' (bytewise min)
+      .toDF("doc_id", "text")
+    val banned = Seq("ass", "bad").toDF("w")
+    val got = WebText.bannedWords(docs, "doc_id", "text", banned, "w", maxHits = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3)), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L, None, true)),
+      2L -> ((3L, 2L, Some("ass"), false)),
+      3L -> ((1L, 1L, Some("bad"), true)),
+      4L -> ((0L, 0L, None, true)),
+      5L -> ((2L, 2L, Some("ass"), false))))
+  }
 }
