@@ -79,6 +79,30 @@ object QueriesIncrPipe {
           coalesce(col("__b"), lit(Long.MinValue))).as("last_ts"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING crawl ingest through the driver oracle (the web-axis
+    // analog of q_stream_devsync_oracle): webCorpus written as 3 parquet
+    // files and replayed AvailableNow + maxFilesPerTrigger=1, so
+    // StreamingCrawl.startHostGraphSync executes 3 REAL micro-batches of
+    // extract → collapse → merge against the parquet-persisted graph; the
+    // FINAL stored graph must hash-equal the full-corpus host graph
+    // (q_web_hostgraph's oracle SQL verbatim) — incremental maintenance
+    // converges to the batch answer regardless of the batch split.
+    "q_stream_hostgraph_oracle" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hg").toString
+      QueriesWebGraph.webCorpus(s, dir).repartition(3)
+        .write.parquet(s"$tmp/pages")
+      val q = graft.streaming.StreamingCrawl.startHostGraphSync(
+        s, s"$tmp/pages", s"$tmp/ckpt", s"$tmp/store",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val out = graft.streaming.StreamingCrawl.latestGraph(s, s"$tmp/store")
+        .getOrElse(sys.error("streaming host-graph sync produced no state"))
+        .select(col("src_host"), col("dst_host"), col("n_links"))
+      val rows = out.collect()
+      graft.engine.MatchStore.deleteRecursively(java.nio.file.Paths.get(tmp))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     "q_web_incrpipe" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_incrpipe").toString
       val pagesAll = QueriesWebGraph.webCorpus(s, dir)
@@ -185,6 +209,10 @@ object QueriesIncrPipe {
   }
 
   val oracle: Map[String, String] = Map(
+    // micro-batched merge must converge to the full-corpus graph — the
+    // SAME SQL as q_web_hostgraph (already margin-stripped at its source)
+    "q_stream_hostgraph_oracle" -> QueriesWebGraph.oracleHostGraph,
+
     // full-corpus closed forms for every piece of the final state: the
     // host graph (the shared oracleHostGraphBody over ALL pages — merge
     // convergence), the capless signature store (per-doc pure => batch

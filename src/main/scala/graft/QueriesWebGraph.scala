@@ -594,7 +594,7 @@ object QueriesWebGraph {
 
   /** full-corpus host graph — shared by q_web_hostgraph (direct) and
     * q_web_hostmerge (the batch-split merge must converge to it). */
-  private def oracleHostGraph: String =
+  private[graft] def oracleHostGraph: String =
     (s"""WITH links AS ($oracleLinks)
       |""" + oracleHostGraphBody).stripMargin
 

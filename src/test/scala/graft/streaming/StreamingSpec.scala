@@ -261,6 +261,38 @@ class StreamingSpec extends AnyFunSuite {
       s"state must evict after the TTL and re-admit the key: got ${alphas.toSeq}")
   }
 
+  test("streaming host-graph sync: micro-batched merge == batch graph; replay reads below") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_hg_pages").toString
+    val store = java.nio.file.Files.createTempDirectory("stream_hg_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_hg_ckpt").toString
+    val pages = spark.range(600).select(
+      concat(lit("http://s"), pmod(col("id"), lit(20L)), lit(".x/p/"),
+        col("id")).as("url"),
+      concat(lit("<a href=\"https://h"), pmod(col("id"), lit(7L)),
+        lit(".x/t\">l</a>")).cast("binary").as("html"))
+    pages.repartition(3).write.mode("overwrite").parquet(dir)
+    val q = StreamingCrawl.startHostGraphSync(spark, dir, ckpt, store,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 3,
+      "file split must produce multiple micro-batches")
+    val streamed = StreamingCrawl.latestGraph(spark, store).get
+    val batch = graft.operators.WebGraph.hostGraph(
+      graft.operators.WebGraph.extractLinks(
+        spark.read.parquet(dir), "url", "html"), "src_url", "dst_url")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "merged stream state must equal the batch host graph edge-for-edge")
+    // replay safety: the state visible to a re-run of batch id B excludes
+    // B's own (possibly partial) output
+    val n = StreamingCrawl.latestGraph(spark, store).get.count()
+    val ids = new java.io.File(store).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_")).map(_.stripPrefix("batch_").toLong).sorted
+    val belowTop = StreamingCrawl.latestGraph(spark, store, below = Some(ids.max))
+    assert(belowTop.isDefined && belowTop.get.count() <= n)
+    assert(StreamingCrawl.latestGraph(spark, store, below = Some(ids.min)).isEmpty)
+  }
+
   test("firstSeenDedup fails loudly on a non-integral id column") {
     import spark.implicits._
     // cast("long") on a UUID/string id nulls EVERY row and the null-drop
