@@ -433,6 +433,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bannedWords and mixtureAllocate broadcast their small sides explicitly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    noAutoBroadcast {
+      val docs = spark.range(2000).select(col("id").as("doc_id"),
+        concat(lit("w"), pmod(col("id"), lit(50L)), lit(" bad w"),
+          pmod(col("id") * 7L, lit(50L))).as("text"))
+      val (_, bn) = audited(graft.operators.WebText.bannedWords(
+        docs, "doc_id", "text", Seq("bad", "w3").toDF("w"), "w", maxHits = 0L))
+      assert(bn.exists(_.contains("BroadcastHashJoin")),
+        s"banned list must broadcast: $bn")
+      assert(!bn.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")))
+      val dom = docs.withColumn("dom",
+        concat(lit("d"), pmod(col("doc_id"), lit(5L))))
+      val (_, mx) = audited(graft.operators.Sampling.mixtureAllocate(
+        dom, "doc_id", "dom", "text",
+        weightsPpm = Seq("d0" -> 500000L, "d1" -> 500000L),
+        budgetTokens = 1000L, salt = 3L))
+      assert(mx.exists(_.contains("BroadcastHashJoin")),
+        s"weight/rate tables must broadcast: $mx")
+      assert(!mx.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")))
+    }
+  }
+
   test("crawlChurn's rank window and pivot share ONE url shuffle") {
     import org.apache.spark.sql.functions._
     val crawls = spark.range(2000).select(
