@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, EmbedCurate, Similarity}
 
 /**
  * Similarity / embedding-dedup operators behind the DuckDB oracle on an
@@ -87,6 +87,41 @@ object QueriesEmbOracle {
       val f = base(s, dir)
       Similarity.annTopK(f, f.filter(pmod(col("vid"), lit(50L)) === 0),
         "vid", "emb", k = 5, nBits = 8, probeRadius = 1)
+    }),
+
+    // SemDeDup: k-means-cell-scoped near-dup grouping (iters=0 → closed-form
+    // centroids the oracle rebuilds; k%3 corpus so each repeating vector
+    // pattern has ~7 copies — real duplicate cliques inside cells)
+    "q_emb_semdedup" -> ((s, dir) =>
+      EmbedCurate.semDedup(base(s, dir).filter(pmod(col("vid"), lit(3L)) === 0),
+        "vid", "emb", nlist = 8, threshold = 0.8)),
+
+    // PQ compression: m=4 subspaces × ksub=8 codewords over the 16-dim
+    // integral fixture — code assignment and reconstruction error are exact
+    // integer arithmetic, rebuilt from first principles by the oracle
+    "q_emb_pqencode" -> ((s, dir) =>
+      EmbedCurate.pqEncode(base(s, dir), "vid", "emb", m = 4, ksub = 8)
+        .select(col("id"),
+          element_at(col("codes"), 1).as("code0"),
+          element_at(col("codes"), 2).as("code1"),
+          element_at(col("codes"), 3).as("code2"),
+          element_at(col("codes"), 4).as("code3"),
+          col("recon2"))),
+
+    // asymmetric-distance top-5 over PQ codes (compressed-domain linear scan)
+    "q_emb_pqadc" -> ((s, dir) => {
+      val f = base(s, dir)
+      EmbedCurate.pqTopK(f, f.filter(pmod(col("vid"), lit(50L)) === 0),
+        "vid", "emb", k = 5, m = 4, ksub = 8)
+    }),
+
+    // IVF-PQ (FAISS IVFADC): coarse cells prune to nprobe=2 of 8 inverted
+    // lists, ADC scores only those — cells AND codes both closed-form, so
+    // the pruned ranking itself is oracled (not just the probe-all case)
+    "q_emb_ivfpq" -> ((s, dir) => {
+      val f = base(s, dir)
+      EmbedCurate.ivfPqTopK(f, f.filter(pmod(col("vid"), lit(50L)) === 0),
+        "vid", "emb", k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8)
     }))
 
   // ---- oracle SQL (generated — 16 explicit dims keep DuckDB plan simple) --
@@ -142,7 +177,133 @@ object QueriesEmbOracle {
        |FROM r WHERE rk <= 5""".stripMargin
   }
 
+  /** squared L2 between subspace j (dims 4j..4j+3) of tables `a` and `b` —
+    * exact integer arithmetic in double, same accumulation as subDist2. */
+  private def sub2Expr(a: String, b: String, j: Int): String =
+    (4 * j until 4 * j + 4)
+      .map(i => s"($a.v$i-$b.v$i)*($a.v$i-$b.v$i)").mkString("+")
+
+  /** cosine of row `a` against centroid row `c` in the Spark udf's exact
+    * expression shape: dot / (norm(centroid) * norm(row)). */
+  private def cellCosExpr(row: String, cent: String): String =
+    s"(${dotExpr(row, cent)})/(${normExpr(cent)}*${normExpr(row)})"
+
+  // multi-referenced CTEs are AS MATERIALIZED (DuckDB-only syntax — oracle
+  // SQL never runs in Spark): inlined, `e` re-derives its 5M-pair cosine
+  // join on EVERY recursion round of `reach`, and the duplicated subplans
+  // blow up the optimizer's join-order search (q_emb_ivfpq went >300 s
+  // inlined, 1.4 s materialized at sf0.01)
+  private val semdedupSql: String =
+    s"""WITH RECURSIVE b AS MATERIALIZED (SELECT o_orderkey AS k,
+       |    $vecSqlCols
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000)
+       |  WHERE o_orderkey%3=0),
+       |cent AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY k) - 1 AS cid, *
+       |  FROM (SELECT * FROM b ORDER BY k LIMIT 8) t),
+       |asg AS (SELECT b.k, c.cid, ROW_NUMBER() OVER (PARTITION BY b.k
+       |    ORDER BY ${cellCosExpr("b", "c")} DESC, c.cid) AS rnk
+       |  FROM b CROSS JOIN cent c),
+       |cell AS MATERIALIZED (SELECT k, cid FROM asg WHERE rnk = 1),
+       |e AS MATERIALIZED (SELECT a.k AS u, c.k AS v FROM b a
+       |  JOIN cell ca ON ca.k = a.k
+       |  JOIN cell cc ON cc.cid = ca.cid AND cc.k <> a.k
+       |  JOIN b c ON c.k = cc.k
+       |  WHERE (${dotExpr("a", "c")})/(${normExpr("a")}*${normExpr("c")}) >= 0.8),
+       |reach(id, lbl) AS (
+       |  SELECT k, k FROM b
+       |  UNION
+       |  SELECT e.u, r.lbl FROM reach r JOIN e ON e.v = r.id WHERE r.lbl < e.u)
+       |SELECT r.id, CAST(cl.cid AS INT) AS cell, MIN(r.lbl) AS canonical_id
+       |FROM reach r JOIN cell cl ON cl.k = r.id GROUP BY r.id, cl.cid""".stripMargin
+
+  /** shared PQ scaffold: corpus `b` (20k cap), codewords `cw` (subvectors of
+    * the 8 smallest ids), per-(row, codeword) subspace distances `d`, and
+    * the per-subspace argmin windows `r` (dist ASC, code ASC — the udf's
+    * strict-< first-minimum rule). */
+  private val pqScaffold: String =
+    s"""b AS MATERIALIZED (SELECT o_orderkey AS k,
+       |    $vecSqlCols
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000)),
+       |cw AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY k) - 1 AS code, *
+       |  FROM (SELECT * FROM b ORDER BY k LIMIT 8) t),
+       |d AS (SELECT b.k, c.code,
+       |    ${(0 until 4).map(j => s"${sub2Expr("b", "c", j)} AS d$j").mkString(",\n    ")}
+       |  FROM b CROSS JOIN cw c),
+       |r AS (SELECT k, code, d0, d1, d2, d3,
+       |    ${(0 until 4).map(j =>
+             s"ROW_NUMBER() OVER (PARTITION BY k ORDER BY d$j, code) AS r$j")
+             .mkString(",\n    ")}
+       |  FROM d),
+       |enc AS MATERIALIZED (SELECT k,
+       |    ${(0 until 4).map(j =>
+             s"CAST(MAX(CASE WHEN r$j=1 THEN code END) AS INT) AS code$j," +
+             s" MAX(CASE WHEN r$j=1 THEN d$j END) AS e$j").mkString(",\n    ")}
+       |  FROM r GROUP BY k)""".stripMargin
+
+  private val pqencodeSql: String =
+    s"""WITH $pqScaffold
+       |SELECT k AS id, code0, code1, code2, code3,
+       |  CAST(e0+e1+e2+e3 AS BIGINT) AS recon2 FROM enc""".stripMargin
+
+  /** ADC lookup table (`lut`): per (query, codeword) the four subspace
+    * distances; the scored join picks lut rows by the corpus row's codes. */
+  private val pqLutCte: String =
+    s"""q AS MATERIALIZED (SELECT * FROM b WHERE k%50=0),
+       |lut AS MATERIALIZED (SELECT q.k AS qk, c.code,
+       |    ${(0 until 4).map(j => s"${sub2Expr("q", "c", j)} AS s$j").mkString(",\n    ")}
+       |  FROM q CROSS JOIN cw c)""".stripMargin
+
+  private val pqadcSql: String =
+    s"""WITH $pqScaffold,
+       |$pqLutCte,
+       |sc AS (SELECT l0.qk AS qid, e.k AS nid,
+       |    l0.s0 + l1.s1 + l2.s2 + l3.s3 AS dist2
+       |  FROM enc e
+       |  JOIN lut l0 ON l0.code = e.code0
+       |  JOIN lut l1 ON l1.qk = l0.qk AND l1.code = e.code1
+       |  JOIN lut l2 ON l2.qk = l0.qk AND l2.code = e.code2
+       |  JOIN lut l3 ON l3.qk = l0.qk AND l3.code = e.code3
+       |  WHERE e.k <> l0.qk),
+       |rk AS (SELECT qid, nid, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rnk
+       |  FROM sc)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rank, CAST(dist2 AS BIGINT) AS dist2
+       |FROM rk WHERE rnk <= 5""".stripMargin
+
+  private val ivfpqSql: String =
+    s"""WITH $pqScaffold,
+       |cent AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY k) - 1 AS cid, *
+       |  FROM (SELECT * FROM b ORDER BY k LIMIT 8) t),
+       |asg AS (SELECT b.k, c.cid, ROW_NUMBER() OVER (PARTITION BY b.k
+       |    ORDER BY ${cellCosExpr("b", "c")} DESC, c.cid) AS rnk
+       |  FROM b CROSS JOIN cent c),
+       |cell AS MATERIALIZED (SELECT k, cid FROM asg WHERE rnk = 1),
+       |$pqLutCte,
+       |prb AS (SELECT q.k, c.cid, ROW_NUMBER() OVER (PARTITION BY q.k
+       |    ORDER BY ${cellCosExpr("q", "c")} DESC, c.cid) AS rnk
+       |  FROM q CROSS JOIN cent c),
+       |probe AS MATERIALIZED (SELECT k, cid FROM prb WHERE rnk <= 2),
+       |sc AS (SELECT l0.qk AS qid, e.k AS nid,
+       |    l0.s0 + l1.s1 + l2.s2 + l3.s3 AS dist2
+       |  FROM enc e
+       |  JOIN cell ON cell.k = e.k
+       |  JOIN probe p ON p.cid = cell.cid
+       |  JOIN lut l0 ON l0.qk = p.k AND l0.code = e.code0
+       |  JOIN lut l1 ON l1.qk = p.k AND l1.code = e.code1
+       |  JOIN lut l2 ON l2.qk = p.k AND l2.code = e.code2
+       |  JOIN lut l3 ON l3.qk = p.k AND l3.code = e.code3
+       |  WHERE e.k <> p.k),
+       |rk AS (SELECT qid, nid, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rnk
+       |  FROM sc)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rank, CAST(dist2 AS BIGINT) AS dist2
+       |FROM rk WHERE rnk <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_emb_semdedup" -> semdedupSql,
+    "q_emb_pqencode" -> pqencodeSql,
+    "q_emb_pqadc" -> pqadcSql,
+    "q_emb_ivfpq" -> ivfpqSql,
     "q_emb_topk_oracle" -> topkSql,
     // IVF probing all cells is exactly the brute-force ranking
     "q_emb_ivf_oracle" -> topkSql,

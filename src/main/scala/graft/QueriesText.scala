@@ -302,6 +302,21 @@ object QueriesText {
       TextAnalysis.invertedIndex(indexCorpus(s, dir), "doc_id", "text",
         k = 3, dfCap = 60L)),
 
+    // fixed-point BM25 retrieval over the real corpus vocabulary; q5 carries
+    // an absent term (contributes nothing) and q3 is single-term — the
+    // oracle hardcodes the same literal query table
+    "q_txt_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1L, "vector"), (1L, "join"),
+        (2L, "customer"), (2L, "query"), (2L, "merge"),
+        (3L, "spark"),
+        (4L, "batch"), (4L, "window"), (4L, "stream"), (4L, "sort"),
+        (5L, "hash"), (5L, "zzz_absent")).toDF("query_id", "term")
+      TextAnalysis.bm25TopK(docs(s, dir).select("doc_id", "text"),
+        "doc_id", "text", q, k = 10)
+    }),
+
     "q_txt_repetition" -> ((s, dir) =>
       WebText.withRepetitionStats(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
         .select("doc_id", "n_words", "dup_word_frac", "top2_ratio", "dup3_frac")),
@@ -894,6 +909,40 @@ object QueriesText {
         |  FROM r WHERE rn <= 3 GROUP BY word)
         |SELECT stats.word, stats.df, stats.tf_total, p.postings
         |FROM stats LEFT JOIN p USING (word)""".stripMargin,
+
+    // same integer rationalization as bm25TopK: idf_milli ×1000 of the RSJ
+    // ratio, tf_ppm ×10⁶ with constants 22/3/9 = 10(k1+1)/10k1(1−b)/10k1b,
+    // DuckDB `//` == Spark `div` on positive BIGINTs
+    "q_txt_bm25" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tfc
+        |  FROM toks WHERE word <> '' GROUP BY doc_id, word),
+        |dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |dlen AS (SELECT doc_id, CAST(SUM(tfc) AS BIGINT) AS len FROM tf GROUP BY doc_id),
+        |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |               (SELECT CAST(SUM(len) AS BIGINT) FROM dlen) AS a_num),
+        |q(query_id, word) AS (VALUES
+        |  (1,'vector'),(1,'join'),
+        |  (2,'customer'),(2,'query'),(2,'merge'),
+        |  (3,'spark'),
+        |  (4,'batch'),(4,'window'),(4,'stream'),(4,'sort'),
+        |  (5,'hash'),(5,'zzz_absent')),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    ((1000*(2*t.n_docs - 2*df + 1)) // (2*df + 1)) *
+        |    ((1000000*22*tfc*a_num) // (10*tfc*a_num + 3*a_num + 9*len*t.n_docs))
+        |      AS contrib
+        |  FROM tf JOIN q USING (word) JOIN dfq USING (word)
+        |    JOIN dlen USING (doc_id) CROSS JOIN tot t),
+        |ag AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+        |  FROM sc GROUP BY query_id, doc_id),
+        |rk AS (SELECT query_id, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rnk
+        |  FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+        |  CAST(rnk AS INT) AS rank
+        |FROM rk WHERE rnk <= 10""".stripMargin,
 
     "q_txt_dupspans" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents

@@ -244,7 +244,7 @@ object Similarity {
   }
 
   /** nearest centroid by cosine (centroid norms precomputed per executor) */
-  private def nearestCellUdf(centroids: Array[Array[Double]]) = {
+  private[operators] def nearestCellUdf(centroids: Array[Array[Double]]) = {
     val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
     udf((v: Seq[Double], vn: Double) => {
       var best = 0; var bestCos = Double.MinValue
@@ -262,7 +262,7 @@ object Similarity {
   }
 
   /** top-`nprobe` cells for a query, by centroid cosine (probe order) */
-  private def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) = {
+  private[operators] def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) = {
     val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
     udf((v: Seq[Double], vn: Double) => {
       centroids.indices

@@ -475,4 +475,69 @@ object TextAnalysis {
       .toDF("merge_rank", "pair_left", "pair_right", "merged", "pair_count")
     (mergesDf, vocab.select(col("word"), col("cnt"), col("sym")))
   }
+
+  /**
+   * Fixed-point BM25 retrieval — the ranking function the inverted index
+   * ([[invertedIndex]]) exists to serve, and the retrieval side of corpus
+   * decontamination-by-query. `queryTerms` is a (query_id, term) table;
+   * returns the top-`k` docs per query by summed per-term BM25 weight.
+   *
+   * Portability (the q_txt convention — all-BIGINT, no float log whose last
+   * ulp could flip a rank across engines): k1 = 1.2, b = 0.75 are baked in
+   * as exact rational constants and every factor is a floored integer
+   * rational. With N docs, A total tokens (avglen = A/N), df(t), tf(t,d),
+   * L = len(d):
+   *
+   *   idf_milli = (1000·(2N − 2·df + 1)) div (2·df + 1)
+   *               — ×1000 of the Robertson-Sparck-Jones ratio
+   *                 (N − df + ½)/(df + ½), kept in RATIO form (positive,
+   *                 monotone in df) rather than its log: documented
+   *                 deviation, same rationale as tfidfTopTerms' raw-IDF
+   *   tf_ppm    = (10⁶·22·tf·A) div (10·tf·A + 3·A + 9·L·N)
+   *               — ×10⁶ of tf·(k1+1)/(tf + k1·(1−b) + k1·b·L/avglen)
+   *                 rationalized by 10·A: 22 = 10(k1+1), 3 = 10·k1(1−b),
+   *                 9 = 10·k1·b
+   *   score(q,d) = Σ_t idf_milli(t) · tf_ppm(t,d)   — BIGINT, order-free
+   *
+   * Overflow bound: 2.2·10⁷ · tf · A < 2⁶³ needs tf·A < 4.2·10¹¹ — at a
+   * larger operating point divide A out of the rationalization (score
+   * ratios are invariant) or shard the corpus before scoring.
+   *
+   * Scale shape: ONE token scan; the (doc, word) tf table is eagerly
+   * localCheckpoint'ed and feeds all three consumers (df, doc lengths, the
+   * query match) — the invertedIndex multi-consumer discipline. Query terms
+   * and the 1-row totals broadcast; the per-query top-k window partitions
+   * by query over ≤ matched-docs rows. Duplicate (query_id, term) rows are
+   * collapsed (a term contributes once per query).
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tfc"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dlen = tf.groupBy("doc_id").agg(sum("tfc").as("len"))
+    // both sides are 1-row aggregates; the broadcast hint keeps the pairing
+    // a (trivial) BroadcastNestedLoop instead of a CartesianProduct node
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dlen.agg(sum("len").as("a_num"))))
+    val q = queryTerms.select(col("query_id"), col("term").as("word")).distinct()
+    val scored = tf
+      .join(broadcast(q), Seq("word"))
+      .join(dfreq, Seq("word"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib",
+        expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)") *
+          expr("(1000000 * 22 * tfc * a_num) div " +
+            "(10 * tfc * a_num + 3 * a_num + 9 * len * n_docs)"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.groupBy("query_id", "doc_id").agg(sum("contrib").as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
 }

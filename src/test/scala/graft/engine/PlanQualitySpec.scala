@@ -479,4 +479,57 @@ class PlanQualitySpec extends AnyFunSuite {
       "vocab lineage still reaches the corpus scan — checkpoint truncation lost")
     assert(merges.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
+
+  test("semDedup pairs equi-join on the cell key, never all-pairs") {
+    val p = plan("q_emb_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "cell-scoped pair search must be an equi join on the cell id")
+  }
+
+  test("pqEncode is a zero-Exchange projection pass") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (ex, _) = audited(graft.operators.EmbedCurate.pqEncode(
+      e, "vec_id", "embedding", m = 8, ksub = 8))
+    assert(ex.isEmpty, s"encoding must not shuffle, planned: $ex")
+  }
+
+  test("pqTopK broadcasts the query LUTs (intended compressed-domain linear scan)") {
+    val p = plan("q_emb_pqadc")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), "query LUT side must broadcast")
+  }
+
+  test("IVF-PQ equi-joins inverted lists on the cell with the probe side broadcast") {
+    import org.apache.spark.sql.functions._
+    noAutoBroadcast {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val df = graft.operators.EmbedCurate.ivfPqTopK(
+        e, e.filter(pmod(col("vec_id"), lit(100L)) === 0),
+        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2, m = 8, ksub = 8)
+      val (_, nodes) = audited(df)
+      assert(nodes.exists(_.contains("BroadcastHashJoin")),
+        s"probe side must be the explicit broadcast: $nodes")
+      assert(!nodes.exists(n => n.contains("NestedLoop") || n.contains("Cartesian")),
+        s"IVF-PQ must never plan all-pairs: $nodes")
+    }
+  }
+
+  test("bm25 broadcasts query terms; the only nested-loop is the 1-row totals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    noAutoBroadcast {
+      val docs = spark.range(2000).select(col("id").as("doc_id"),
+        concat(lit("w"), pmod(col("id"), lit(40L)), lit(" q w"),
+          pmod(col("id") * 3L, lit(40L))).as("text"))
+      val q = Seq((1L, "q"), (1L, "w5")).toDF("query_id", "term")
+      val (_, nodes) = audited(graft.operators.TextAnalysis.bm25TopK(
+        docs, "doc_id", "text", q, k = 5))
+      assert(nodes.exists(_.contains("BroadcastHashJoin")),
+        s"query terms must be the explicit broadcast: $nodes")
+      assert(nodes.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+        s"only the 1-row totals build + attach may nested-loop: $nodes")
+      assert(!nodes.exists(_.contains("Cartesian")), nodes.mkString(","))
+    }
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SparkTestBase
+
+/** bm25TopK against hand-computed fixed-point scores, plus the
+  * duplicate-term collapse rule. */
+class Bm25Spec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a"),
+    (2L, "a c"),
+    (3L, "b b b c")).toDF("doc_id", "text")
+
+  test("scores match the integer rationalization computed by hand") {
+    // N=3, A=9; df(a)=df(c)=2 -> idf_milli = (1000*(6-4+1))//5 = 600
+    // tf_ppm(tf, L) = (1e6*22*tf*9) // (90*tf + 27 + 27*L)
+    val q = Seq((1L, "a"), (1L, "c")).toDF("query_id", "term")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3)
+    def tfPpm(tf: Long, l: Long): Long =
+      (1000000L * 22 * tf * 9) / (10 * tf * 9 + 3 * 9 + 9 * l * 3)
+    val d1 = 600 * tfPpm(2, 3)                 // 'a' twice in len-3
+    val d2 = 600 * (tfPpm(1, 2) + tfPpm(1, 2)) // 'a' + 'c' in len-2
+    val d3 = 600 * tfPpm(1, 4)                 // 'c' once in len-4
+    assert(d2 > d1 && d1 > d3, "fixture should produce a strict ranking")
+    assert(got.toSeq == Seq((2L, d2, 1), (1L, d1, 2), (3L, d3, 3)))
+  }
+
+  test("duplicate (query_id, term) rows collapse to one contribution") {
+    val q1 = Seq((7L, "b")).toDF("query_id", "term")
+    val q2 = Seq((7L, "b"), (7L, "b")).toDF("query_id", "term")
+    val a = TextAnalysis.bm25TopK(docs, "doc_id", "text", q1, k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val b = TextAnalysis.bm25TopK(docs, "doc_id", "text", q2, k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("absent terms contribute nothing; all-absent query returns no rows") {
+    val q = Seq((9L, "zzz")).toDF("query_id", "term")
+    assert(TextAnalysis.bm25TopK(docs, "doc_id", "text", q, k = 10).count() == 0)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.SparkTestBase
+
+/** SemDeDup + product-quantization invariants:
+  *  - one cell ⇒ semDedup IS the global embedding near-dup grouping;
+  *  - multi-cell semDedup REFINES the global grouping (cell scoping can
+  *    only split groups, never merge across cells);
+  *  - PQ codes are in range, training rows reconstruct exactly;
+  *  - ksub == |corpus| ⇒ ADC distance is the exact L2 distance, so pqTopK
+  *    equals the brute-force L2 ranking;
+  *  - probe-all IVF-PQ equals the full compressed-domain scan. */
+class EmbedCurateSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // integral-component vectors (exact double arithmetic), patterns repeating
+  // mod 25 so genuine duplicate cliques exist
+  private val mults = Seq(3, 5, 7, 11)
+  private val mods = Seq(19, 23, 29, 31)
+  private def corpus(n: Int) = {
+    val df = (0 until n).map(_.toLong).toDF("vid")
+    df.select(col("vid"), array(mults.zip(mods).map { case (m, md) =>
+      (pmod(pmod(col("vid"), lit(25L)) * m, lit(md.toLong)) - (md - 1) / 2)
+        .cast("float")
+    }: _*).as("emb"))
+  }
+
+  private def groupsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("nlist=1 semDedup equals the global near-dup grouping") {
+    val c = corpus(120)
+    val one = EmbedCurate.semDedup(c, "vid", "emb", nlist = 1, threshold = 0.8)
+    val global = Dedup.embeddingNearDupGroups(c, "vid", "emb", threshold = 0.8)
+    assert(groupsOf(one) == groupsOf(global))
+    assert(one.select("cell").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("multi-cell semDedup refines the global grouping and stays cell-consistent") {
+    val c = corpus(120)
+    val sd = EmbedCurate.semDedup(c, "vid", "emb", nlist = 4, threshold = 0.8)
+    val global = groupsOf(Dedup.embeddingNearDupGroups(c, "vid", "emb", 0.8))
+    val rows = sd.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every semDedup group lives inside ONE global group and ONE cell
+    val byCanon = rows.groupBy(_._3)
+    byCanon.foreach { case (_, members) =>
+      assert(members.map(m => global(m._1)).distinct.length == 1,
+        "a cell-scoped group crossed a global group")
+      assert(members.map(_._2).distinct.length == 1,
+        "a duplicate group crossed a cell boundary")
+    }
+    // exact duplicates (identical vectors ⇒ identical cell) always collapse
+    val exact = rows.groupBy(r => r._1 % 25).values
+    exact.foreach { ms => assert(ms.map(_._3).distinct.length == 1,
+      "identical vectors must share a canonical id even under cell scoping") }
+  }
+
+  test("pq codes in range; training rows reconstruct exactly") {
+    val c = corpus(64)
+    val enc = EmbedCurate.pqEncode(c, "vid", "emb", m = 2, ksub = 8)
+    val rows = enc.collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 2 && codes.forall(x => x >= 0 && x < 8))
+    }
+    // the 8 smallest ids ARE the codebook — zero reconstruction error
+    val trainErr = enc.filter(col("id") < 8).select(max("recon2")).head.getLong(0)
+    assert(trainErr == 0L)
+    // and repeats of their patterns (vid % 25 equal) also reconstruct exactly
+    val repeatErr = enc.filter(pmod(col("id"), lit(25L)) < 8)
+      .select(max("recon2")).head.getLong(0)
+    assert(repeatErr == 0L)
+  }
+
+  test("ksub == |corpus| makes ADC exact: pqTopK equals brute-force L2 ranking") {
+    val c = corpus(8).cache()
+    val got = EmbedCurate.pqTopK(c, c, "vid", "emb", k = 3, m = 2, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    // brute-force exact L2 on the driver
+    val vecs = c.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum.toLong
+    for (q <- vecs.keys) {
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .map(n => (d2(vecs(q), vecs(n)), n)).sorted.take(3)
+      exact.zipWithIndex.foreach { case ((dist, nid), i) =>
+        assert(got((q, i + 1)) == (nid, dist),
+          s"query $q rank ${i + 1}: got ${got((q, i + 1))}, want ($nid, $dist)")
+      }
+    }
+  }
+
+  test("probe-all IVF-PQ equals the full compressed-domain scan") {
+    val c = corpus(100)
+    val q = c.filter(pmod(col("vid"), lit(10L)) === 0)
+    val full = EmbedCurate.pqTopK(c, q, "vid", "emb", k = 5, m = 2, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3))).toSet
+    val ivf = EmbedCurate.ivfPqTopK(c, q, "vid", "emb", k = 5,
+      nlist = 4, nprobe = 4, m = 2, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3))).toSet
+    assert(ivf == full)
+  }
+}
