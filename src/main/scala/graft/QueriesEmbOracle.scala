@@ -35,11 +35,14 @@ object QueriesEmbOracle {
   /** 16 small-integer components: v_i = (k%1000 * m_i) % M_i - (M_i-1)/2 —
     * zero-mean per dim, mixed moduli so distinct patterns de-correlate; an
     * all-zero vector would need k%1000 ≡ (M_i-1)/(2 m_i) mod M_i for all 16
-    * dims at once (does not happen below lcm of the moduli). */
-  private def vecCol: Column = array(mults.zip(mods).map { case (m, md) =>
-    (pmod(pmod(col("k"), lit(1000L)) * m, lit(md.toLong)) - (md - 1) / 2)
-      .cast("float")
-  }: _*)
+    * dims at once (does not happen below lcm of the moduli). Parameterized
+    * by key column so other fixtures (q_txt_hybrid over doc_id) share it. */
+  private[graft] def vecColFor(key: Column): Column =
+    array(mults.zip(mods).map { case (m, md) =>
+      (pmod(pmod(key, lit(1000L)) * m, lit(md.toLong)) - (md - 1) / 2)
+        .cast("float")
+    }: _*)
+  private def vecCol: Column = vecColFor(col("k"))
 
   /** Fixture corpus capped at the first 20k keys: these entries verify the
     * EXACT brute-force baselines, whose cost is quadratic in the corpus —
@@ -122,18 +125,30 @@ object QueriesEmbOracle {
       val f = base(s, dir)
       EmbedCurate.ivfPqTopK(f, f.filter(pmod(col("vid"), lit(50L)) === 0),
         "vid", "emb", k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8)
+    }),
+
+    // seed-prototype quality filter: good = 4 smallest ids, bad = next 4
+    // (rank-derived so the literal key gaps of o_orderkey don't matter);
+    // prototypes are exact component SUMS, the keep boundary cancels ‖v‖
+    "q_emb_protofilter" -> ((s, dir) => {
+      val f = base(s, dir)
+      val ids = f.select("vid").orderBy("vid").limit(8).collect().map(_.getLong(0))
+      EmbedCurate.prototypeFilter(f, "vid", "emb",
+        ids.take(4).toSeq, ids.drop(4).toSeq)
     }))
 
   // ---- oracle SQL (generated — 16 explicit dims keep DuckDB plan simple) --
 
-  private val vecSqlCols: String = mults.zip(mods).zipWithIndex.map {
-    case ((m, md), i) =>
-      s"CAST((o_orderkey%1000*$m)%$md-${(md - 1) / 2} AS DOUBLE) AS v$i"
-  }.mkString(",\n    ")
+  private[graft] def vecSqlColsFor(key: String): String =
+    mults.zip(mods).zipWithIndex.map {
+      case ((m, md), i) =>
+        s"CAST(($key%1000*$m)%$md-${(md - 1) / 2} AS DOUBLE) AS v$i"
+    }.mkString(",\n    ")
+  private val vecSqlCols: String = vecSqlColsFor("o_orderkey")
 
-  private def dotExpr(a: String, c: String): String =
+  private[graft] def dotExpr(a: String, c: String): String =
     (0 until 16).map(i => s"$a.v$i*$c.v$i").mkString("+")
-  private def normExpr(a: String): String =
+  private[graft] def normExpr(a: String): String =
     "SQRT(" + (0 until 16).map(i => s"$a.v$i*$a.v$i").mkString("+") + ")"
 
   private val topkSql: String =
@@ -299,7 +314,30 @@ object QueriesEmbOracle {
        |SELECT qid, nid, CAST(rnk AS INT) AS rank, CAST(dist2 AS BIGINT) AS dist2
        |FROM rk WHERE rnk <= 5""".stripMargin
 
+  private val protofilterSql: String = {
+    val dotG = (0 until 16).map(i => s"b.v$i*p.g$i").mkString("+")
+    val dotB = (0 until 16).map(i => s"b.v$i*p.b$i").mkString("+")
+    val sg = (0 until 16).map(i => s"p.g$i*p.g$i").mkString("+")
+    val sb = (0 until 16).map(i => s"p.b$i*p.b$i").mkString("+")
+    s"""WITH b AS MATERIALIZED (SELECT o_orderkey AS k,
+       |    $vecSqlCols
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000)),
+       |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY k) AS r, *
+       |  FROM (SELECT * FROM b ORDER BY k LIMIT 8) t),
+       |p AS MATERIALIZED (SELECT
+       |    ${(0 until 16).map(i =>
+             s"SUM(CASE WHEN r <= 4 THEN v$i ELSE 0 END) AS g$i," +
+             s" SUM(CASE WHEN r > 4 THEN v$i ELSE 0 END) AS b$i")
+             .mkString(",\n    ")}
+       |  FROM seeds)
+       |SELECT b.k AS id, CAST($dotG AS BIGINT) AS dot_good,
+       |  CAST($dotB AS BIGINT) AS dot_bad,
+       |  ($dotG) * SQRT($sb) >= ($dotB) * SQRT($sg) AS kept
+       |FROM b CROSS JOIN p""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_emb_protofilter" -> protofilterSql,
     "q_emb_semdedup" -> semdedupSql,
     "q_emb_pqencode" -> pqencodeSql,
     "q_emb_pqadc" -> pqadcSql,

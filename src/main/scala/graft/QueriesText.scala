@@ -317,6 +317,29 @@ object QueriesText {
         "doc_id", "text", q, k = 10)
     }),
 
+    // hybrid retrieval: BM25 lexical leg + embedding-cosine semantic leg
+    // (query vectors = the integral embeddings of docs 0/1/2, which the
+    // oracle rebuilds) fused by fixed-point RRF. The emb leg excludes the
+    // query doc itself (topK's qid != nid) while the BM25 leg may rank it —
+    // the oracle mirrors that asymmetry.
+    "q_txt_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        QueriesEmbOracle.vecColFor(col("doc_id")).as("emb"))
+      val qTerms = Seq((1L, "vector"), (1L, "join"),
+        (2L, "customer"), (2L, "merge"),
+        (3L, "batch"), (3L, "stream")).toDF("query_id", "term")
+      val bm = TextAnalysis.bm25TopK(d, "doc_id", "text", qTerms, k = 20)
+      val qmap = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("query_id", "qdoc")
+      val embRanks = Similarity.topK(
+          d.select(col("doc_id").as("vid"), col("emb")),
+          d.filter(col("doc_id") < 3).select(col("doc_id").as("vid"), col("emb")),
+          "vid", "emb", k = 20)
+        .join(broadcast(qmap), col("qid") === col("qdoc"))
+        .select(col("query_id"), col("nid").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(bm.select("query_id", "doc_id", "rank"), embRanks, k = 10)
+    }),
+
     "q_txt_repetition" -> ((s, dir) =>
       WebText.withRepetitionStats(docs(s, dir).select("doc_id", "text"), "doc_id", "text")
         .select("doc_id", "n_words", "dup_word_frac", "top2_ratio", "dup3_frac")),
@@ -943,6 +966,61 @@ object QueriesText {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
         |  CAST(rnk AS INT) AS rank
         |FROM rk WHERE rnk <= 10""".stripMargin,
+
+    // hybrid = bm25 chain (k=20) + cosine leg over doc_id-derived integral
+    // vectors + fixed-point RRF; multi-referenced CTEs AS MATERIALIZED
+    // (q_emb_ivfpq lesson). Spark `div` == `//` on positive operands.
+    "q_txt_hybrid" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, text,
+         |    ${QueriesEmbOracle.vecSqlColsFor("doc_id")}
+         |  FROM documents),
+         |toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+         |  FROM documents),
+         |tf AS MATERIALIZED (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tfc
+         |  FROM toks WHERE word <> '' GROUP BY doc_id, word),
+         |dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         |dlen AS MATERIALIZED (SELECT doc_id, CAST(SUM(tfc) AS BIGINT) AS len
+         |  FROM tf GROUP BY doc_id),
+         |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         |               (SELECT CAST(SUM(len) AS BIGINT) FROM dlen) AS a_num),
+         |qt(query_id, word) AS (VALUES
+         |  (1,'vector'),(1,'join'),(2,'customer'),(2,'merge'),(3,'batch'),(3,'stream')),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    ((1000*(2*t.n_docs - 2*df + 1)) // (2*df + 1)) *
+         |    ((1000000*22*tfc*a_num) // (10*tfc*a_num + 3*a_num + 9*len*t.n_docs))
+         |      AS contrib
+         |  FROM tf JOIN qt USING (word) JOIN dfq USING (word)
+         |    JOIN dlen USING (doc_id) CROSS JOIN tot t),
+         |ag AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+         |  FROM sc GROUP BY query_id, doc_id),
+         |bmr AS (SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rnk
+         |  FROM ag),
+         |qv AS MATERIALIZED (SELECT * FROM d WHERE doc_id < 3),
+         |es AS (SELECT qv.doc_id AS qdoc, c.doc_id AS nid,
+         |    (${QueriesEmbOracle.dotExpr("qv", "c")})
+         |      /(${QueriesEmbOracle.normExpr("qv")}*${QueriesEmbOracle.normExpr("c")}) AS cos
+         |  FROM qv JOIN d c ON c.doc_id <> qv.doc_id),
+         |er AS (SELECT qdoc, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qdoc ORDER BY cos DESC, nid) AS rnk
+         |  FROM es),
+         |fa AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c
+         |  FROM bmr WHERE rnk <= 20),
+         |fb AS (SELECT qdoc + 1 AS query_id, nid AS doc_id, 1000000 // (60 + rnk) AS c
+         |  FROM er WHERE rnk <= 20),
+         |fu AS (SELECT COALESCE(fa.query_id, fb.query_id) AS query_id,
+         |    COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+         |    COALESCE(fa.c, 0) + COALESCE(fb.c, 0) AS fused
+         |  FROM fa FULL OUTER JOIN fb
+         |    ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id),
+         |rk AS (SELECT query_id, doc_id, fused,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY fused DESC, doc_id) AS rnk
+         |  FROM fu)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(fused AS BIGINT) AS fused, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 10""".stripMargin,
 
     "q_txt_dupspans" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents

@@ -56,26 +56,85 @@ object EmbedCurate {
                trainMod: Long = 1L, maxIter: Int = 64): DataFrame = {
     val centroids = Similarity.trainIvfCentroids(docs, idCol, embCol, nlist,
       iters, trainMod)
-    val assigned = Similarity.withNorm(
+    val assigned = assignCells(docs, idCol, embCol, centroids).localCheckpoint()
+    val edges = cellEdges(assigned, threshold)
+    val comps = Dedup.connectedComponents(edges, maxIter)
+    assigned.select("id", "cell").join(comps, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("comp"), col("id")).as("canonical_id"))
+  }
+
+  /** (id, cell, vd, vnorm) — the coarse-quantizer assignment pass, exposed
+    * for the probe decomposition. */
+  private[graft] def assignCells(docs: DataFrame, idCol: String, embCol: String,
+                                 centroids: Array[Array[Double]]): DataFrame =
+    Similarity.withNorm(
         docs.select(col(idCol).as("id"), col(embCol).as("emb")), "emb")
       .withColumn("cell",
-        Similarity.nearestCellUdf(centroids)(col("vd"), col("vnorm")))
+        Similarity.nearestCellCol(centroids)(col("vd"), col("vnorm")))
       .select(col("id"), col("cell"), col("vd"), col("vnorm"))
-      .localCheckpoint()
+
+  /** cell-scoped near-dup edges from an assigned frame. */
+  private[graft] def cellEdges(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("id").as("a_id"),
       col("vd").as("avd"), col("vnorm").as("an"))
     val b = assigned.select(col("cell"), col("id").as("b_id"),
       col("vd").as("bvd"), col("vnorm").as("bn"))
-    val edges = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos",
         Similarity.dot(col("avd"), col("bvd")) / (col("an") * col("bn")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
-    val comps = Dedup.connectedComponents(edges, maxIter)
-    assigned.select("id", "cell").join(comps, Seq("id"), "left")
-      .select(col("id"), col("cell"),
-        coalesce(col("comp"), col("id")).as("canonical_id"))
+  }
+
+  // ---- Prototype filter: seed-centroid quality classification -------------
+
+  /**
+   * Embedding prototype filter — the seed-based quality classifier of a
+   * FineWeb-Edu-style curation pass without a trained model: label a few
+   * GOOD and BAD seed documents, build one prototype per class, keep a doc
+   * when it sits closer (by cosine) to the good prototype.
+   *
+   * The prototype is the component-wise SUM of the seed vectors, not the
+   * mean — cosine is scale-invariant, so sum and mean give the identical
+   * decision while the sum of integral vectors stays EXACT integer
+   * arithmetic (a mean's division would put engine-rounding inside every
+   * downstream product). The keep rule multiplies the common ‖v‖ out:
+   *   keep ⇔ dot(v,g)·‖b‖ ≥ dot(v,b)·‖g‖
+   * (‖v‖ > 0 cancels; ‖g‖,‖b‖ > 0 enforced) — one multiplication per side
+   * of exact-int × correctly-rounded sqrt, the same expression shape the
+   * oracle evaluates, so the boundary is bit-reproducible.
+   *
+   * Scale shape: seeds collect once (bounded by the seed-id lists), the
+   * scoring pass is zero-shuffle — two codegen'd VecDot's against constant
+   * vectors per row. Output: (id, dot_good, dot_bad BIGINT, kept).
+   */
+  def prototypeFilter(docs: DataFrame, idCol: String, embCol: String,
+                      goodIds: Seq[Long], badIds: Seq[Long]): DataFrame = {
+    require(goodIds.nonEmpty && badIds.nonEmpty)
+    val base = docs.select(col(idCol).as("id"),
+      Similarity.toDouble(col(embCol)).as("vd"))
+    def proto(ids: Seq[Long]): Array[Double] = {
+      val vecs = base.filter(col("id").isin(ids: _*))
+        .select("vd").collect().map(_.getSeq[Double](0).toArray)
+      require(vecs.length == ids.length,
+        s"prototypeFilter: ${ids.length - vecs.length} seed ids missing from the corpus")
+      val s = new Array[Double](vecs.head.length)
+      vecs.foreach(v => { var i = 0; while (i < s.length) { s(i) += v(i); i += 1 } })
+      s
+    }
+    val g = proto(goodIds); val b = proto(badIds)
+    def nrm(p: Array[Double]): Double = math.sqrt(p.map(x => x * x).sum)
+    val (gn, bn) = (nrm(g), nrm(b))
+    require(gn > 0 && bn > 0, "prototypeFilter: zero-norm prototype")
+    val gc = array(g.map(lit): _*); val bc = array(b.map(lit): _*)
+    base
+      .withColumn("dot_good", Similarity.dot(col("vd"), gc).cast("long"))
+      .withColumn("dot_bad", Similarity.dot(col("vd"), bc).cast("long"))
+      .withColumn("kept",
+        col("dot_good").cast("double") * bn >= col("dot_bad").cast("double") * gn)
+      .select("id", "dot_good", "dot_bad", "kept")
   }
 
   // ---- Product quantization: compress + asymmetric-distance search --------
@@ -220,7 +279,7 @@ object EmbedCurate {
     val enc = Similarity.withNorm(
         corpus.select(col(idCol).as("nid"), col(embCol).as("emb")), "emb")
       .withColumn("cell",
-        Similarity.nearestCellUdf(centroids)(col("vd"), col("vnorm")))
+        Similarity.nearestCellCol(centroids)(col("vd"), col("vnorm")))
       .withColumn("codes", encodeUdf(cb)(col("vd")))
       .select("nid", "cell", "codes")
     val q = Similarity.withNorm(

@@ -207,10 +207,15 @@ object Similarity {
                         trainMod: Long = 1L): Array[Array[Double]] = {
     val train0 = if (trainMod <= 1L) corpus
       else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
-    // cache: the init collect + every Lloyd round re-reads the training set
-    // otherwise (iters+1 full corpus scans at the 10^12-row design point)
-    val train = withNorm(train0, embCol)
-      .select(col(idCol).as("id"), col("vd"), col("vnorm")).cache()
+    // cache ONLY when Lloyd rounds will re-read the training set (iters+1
+    // full scans otherwise at the 10^12-row design point); at iters=0 the
+    // single TakeOrdered init is the only read and a cache is pure wasted
+    // materialization (EmbedProbe measured it inside semDedup's profile)
+    val train = {
+      val t = withNorm(train0, embCol)
+        .select(col(idCol).as("id"), col("vd"), col("vnorm"))
+      if (iters > 0) t.cache() else t
+    }
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select("vd").collect().map(_.getSeq[Double](0).toArray)
     // an over-aggressive trainMod on a small corpus samples ZERO rows; with
@@ -220,7 +225,7 @@ object Similarity {
       s"trainIvfCentroids sampled 0 training rows (trainMod=$trainMod too " +
         "large for this corpus) — lower trainMod")
     for (_ <- 0 until iters) {
-      val cellCol = nearestCellUdf(centroids)(col("vd"), col("vnorm"))
+      val cellCol = nearestCellCol(centroids)(col("vd"), col("vnorm"))
       // round the means to 1e-9: double summation is non-associative and a
       // cluster's shuffle-merge order is nondeterministic, so raw avg() would
       // differ at ULP level between runs and flip near-tie cell assignments —
@@ -243,8 +248,22 @@ object Similarity {
     centroids
   }
 
-  /** nearest centroid by cosine (centroid norms precomputed per executor) */
-  private[operators] def nearestCellUdf(centroids: Array[Array[Double]]) = {
+  /** codegen'd argmax-cosine assignment (graft.plans.NearestCell) — the
+    * corpus-sized cell-assignment path. Replaced the boxed-Seq UDF below
+    * after EmbedProbe measured the UDF at ~270 Mflop/s as the dominant
+    * semDedup/IVF stage; the UDF remains as the parity reference
+    * (SimilaritySpec pins expression == udf row for row). */
+  private[graft] def nearestCellCol(centroids: Array[Array[Double]])(
+      vd: Column, vn: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.NearestCell(
+      GraftBridge.expression(vd), GraftBridge.expression(vn), centroids))
+  }
+
+  /** nearest centroid by cosine (centroid norms precomputed per executor) —
+    * private[graft] so the EmbedProbe decomposition can time the assignment
+    * pass in isolation, and the parity reference for nearestCellCol. */
+  private[graft] def nearestCellUdf(centroids: Array[Array[Double]]) = {
     val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
     udf((v: Seq[Double], vn: Double) => {
       var best = 0; var bestCos = Double.MinValue
@@ -294,7 +313,7 @@ object Similarity {
     val centroids = trainIvfCentroids(corpus, idCol, embCol, nlist, iters, trainMod)
     val c = withNorm(corpus, embCol)
       .select(col(idCol).as("nid"), col("vd").as("cvd"), col("vnorm").as("cn"))
-      .withColumn("cell", nearestCellUdf(centroids)(col("cvd"), col("cn")))
+      .withColumn("cell", nearestCellCol(centroids)(col("cvd"), col("cn")))
     val q = withNorm(queries, embCol)
       .select(col(idCol).as("qid"), col("vd").as("qvd"), col("vnorm").as("qn"))
       .withColumn("cell", explode(probeCellsUdf(centroids, nprobe)(col("qvd"), col("qn"))))

@@ -540,4 +540,31 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) of two per-query rankings —
+   * the standard way to combine a lexical leg (BM25) with a semantic leg
+   * (embedding top-k) without comparable score scales: each list contributes
+   * `10⁶ div (rrfK + rank)` for a doc it ranked, fused docs sort by the
+   * summed contribution. Fixed-point BIGINT (`div` == DuckDB `//` on
+   * positive operands) so the fused order is engine-portable.
+   *
+   * Inputs are (query_id, doc_id, rank) frames; a doc missing from one leg
+   * contributes 0 from it (full-outer pairing). Ties break doc_id ASC.
+   * Scale: both legs are already top-k-bounded per query, so the fusion
+   * join and window touch O(queries · k) rows — negligible next to the
+   * legs themselves.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rrfK >= 0)
+    def leg(df: DataFrame, name: String) =
+      df.select(col("query_id"), col("doc_id"),
+        expr(s"1000000 div (${rrfK}L + rank)").as(name))
+    val fused = leg(a, "ca").join(leg(b, "cb"), Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("fused", coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L)))
+    val w = Window.partitionBy("query_id").orderBy(col("fused").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "doc_id", "fused", "rank")
+  }
 }

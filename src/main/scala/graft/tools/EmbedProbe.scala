@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * controlled duplicate rate (~1 in 50 rows repeats a hot pattern) so
   * semDedup has real cliques without the fixed-mod periodicity that made
   * every doc a copy in early WebTextProbe runs.
-  * Usage: runMain graft.tools.EmbedProbe <nVecs> <cores> [trials=2] */
+  * Usage: runMain graft.tools.EmbedProbe <nVecs> <cores> [trials=2] [stages] */
 object EmbedProbe {
   def main(args: Array[String]): Unit = {
     val n = args(0).toLong
     val cores = args(1).toInt
     val trials = if (args.length > 2) args(2).toInt else 2
+    val stageFilter = if (args.length > 3) args(3).split(",").toSet
+      else Set.empty[String]
+    def want(s: String): Boolean = stageFilter.isEmpty || stageFilter(s)
     val spark = SparkSession.builder().master(s"local[$cores]")
       .appName(s"embed-probe-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
@@ -51,21 +54,41 @@ object EmbedProbe {
     // flops, the in-cell pair search is n²/nlist·8 — equal at nlist²≈n/2
     // (the same √N operating-point rule as ivfTopK's scaladoc)
     val nlist = math.max(8, math.sqrt(n / 2.0).toInt)
-    timeMin("semDedup") {
-      graft.operators.EmbedCurate.semDedup(corpus, "vid", "emb",
+    import graft.operators.{Dedup, EmbedCurate, Similarity}
+    if (want("semDedup")) timeMin("semDedup") {
+      EmbedCurate.semDedup(corpus, "vid", "emb",
           nlist = nlist, threshold = 0.95, iters = 0)
         .filter(col("id") =!= col("canonical_id")).count()
     }
-    timeMin("pqEncode") {
-      graft.operators.EmbedCurate.pqEncode(corpus, "vid", "emb", m = 4, ksub = 16)
+    // decomposition of the semDedup profile: the assignment UDF pass, the
+    // in-cell pair search over a pre-materialized assignment, and the
+    // connected-components rounds over pre-materialized edges — CC is
+    // many SMALL jobs (per-round join + convergence count), i.e. mostly
+    // fixed launch latency that no core count compresses
+    lazy val centroids = Similarity.trainIvfCentroids(corpus, "vid", "emb", nlist, 0)
+    lazy val assigned = EmbedCurate.assignCells(corpus, "vid", "emb", centroids)
+      .localCheckpoint()
+    if (want("sd_assign")) timeMin("sd_assign") {
+      EmbedCurate.assignCells(corpus, "vid", "emb", centroids)
+        .groupBy("cell").count().count()
+    }
+    if (want("sd_edges")) timeMin("sd_edges") {
+      EmbedCurate.cellEdges(assigned, 0.95).count()
+    }
+    lazy val edges = EmbedCurate.cellEdges(assigned, 0.95).localCheckpoint()
+    if (want("sd_cc")) timeMin("sd_cc") {
+      Dedup.connectedComponents(edges).count()
+    }
+    if (want("pqEncode")) timeMin("pqEncode") {
+      EmbedCurate.pqEncode(corpus, "vid", "emb", m = 4, ksub = 16)
         .agg(sum(col("recon2"))).collect()(0).getLong(0)
     }
-    timeMin("pqTopK") {
-      graft.operators.EmbedCurate.pqTopK(corpus, queries, "vid", "emb",
+    if (want("pqTopK")) timeMin("pqTopK") {
+      EmbedCurate.pqTopK(corpus, queries, "vid", "emb",
         k = 5, m = 4, ksub = 16).count()
     }
-    timeMin("ivfPqTopK") {
-      graft.operators.EmbedCurate.ivfPqTopK(corpus, queries, "vid", "emb",
+    if (want("ivfPqTopK")) timeMin("ivfPqTopK") {
+      EmbedCurate.ivfPqTopK(corpus, queries, "vid", "emb",
         k = 5, nlist = nlist, nprobe = 4, m = 4, ksub = 16).count()
     }
     spark.stop()

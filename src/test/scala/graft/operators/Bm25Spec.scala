@@ -45,4 +45,16 @@ class Bm25Spec extends AnyFunSuite {
     val q = Seq((9L, "zzz")).toDF("query_id", "term")
     assert(TextAnalysis.bm25TopK(docs, "doc_id", "text", q, k = 10).count() == 0)
   }
+
+  test("rrfFuse sums 10^6 div (60+rank) across legs, full-outer on misses") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(a, b, k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._3)
+    val c1 = 1000000L / 61; val c2 = 1000000L / 62
+    assert(got.toSeq == Seq(
+      (11L, c2 + c1, 1), // ranked by both legs
+      (10L, c1, 2),      // a-only
+      (12L, c2, 3)))     // b-only
+  }
 }

@@ -95,6 +95,33 @@ class EmbedCurateSpec extends AnyFunSuite {
     }
   }
 
+  test("prototypeFilter decides by cosine against exact-sum prototypes") {
+    val c = corpus(100)
+    val goodIds = Seq(0L, 1L, 2L, 3L); val badIds = Seq(4L, 5L, 6L, 7L)
+    val got = EmbedCurate.prototypeFilter(c, "vid", "emb", goodIds, badIds).collect()
+    val vecs = c.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def sumv(ids: Seq[Long]): Seq[Double] = ids.map(vecs).transpose.map(_.sum)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val g = sumv(goodIds); val b = sumv(badIds)
+    val gn = math.sqrt(dot(g, g)); val bn = math.sqrt(dot(b, b))
+    assert(got.length == 100)
+    got.foreach { r =>
+      val v = vecs(r.getLong(0))
+      assert(r.getLong(1) == dot(v, g).toLong && r.getLong(2) == dot(v, b).toLong)
+      assert(r.getBoolean(3) == (dot(v, g) * bn >= dot(v, b) * gn))
+    }
+    assert(got.exists(_.getBoolean(3)) && got.exists(!_.getBoolean(3)),
+      "fixture should split keep vs drop non-trivially")
+  }
+
+  test("prototypeFilter fails loudly on missing seed ids") {
+    val c = corpus(10)
+    intercept[IllegalArgumentException] {
+      EmbedCurate.prototypeFilter(c, "vid", "emb", Seq(0L, 999L), Seq(1L))
+    }
+  }
+
   test("probe-all IVF-PQ equals the full compressed-domain scan") {
     val c = corpus(100)
     val q = c.filter(pmod(col("vid"), lit(10L)) === 0)

@@ -192,4 +192,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("vecdot") ||
       ex.getMessage.contains("ARRAY<DOUBLE>"), ex.getMessage.take(300))
   }
+
+  test("NearestCell expression matches the reference udf row for row") {
+    val centroids = Similarity.trainIvfCentroids(
+      embs, "vec_id", "embedding", nlist = 7, iters = 0)
+    val base = Similarity.withNorm(
+      embs.select(col("vec_id").as("id"), col("embedding").as("emb")), "emb")
+    val both = base.select(col("id"),
+      Similarity.nearestCellCol(centroids)(col("vd"), col("vnorm")).as("e"),
+      Similarity.nearestCellUdf(centroids)(col("vd"), col("vnorm")).as("u"))
+    assert(both.filter(col("e") =!= col("u")).count() == 0,
+      "codegen'd assignment diverged from the reference udf")
+    assert(both.select("e").distinct().count() > 1,
+      "degenerate fixture: every row in one cell proves nothing")
+  }
 }
