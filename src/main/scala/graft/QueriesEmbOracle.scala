@@ -135,6 +135,47 @@ object QueriesEmbOracle {
       val ids = f.select("vid").orderBy("vid").limit(8).collect().map(_.getLong(0))
       EmbedCurate.prototypeFilter(f, "vid", "emb",
         ids.take(4).toSeq, ids.drop(4).toSeq)
+    }),
+
+    // incremental semantic dedup round-trip (the q_web_incrpipe discipline
+    // on the embedding axis): 3 batches (vid%3), quantizer FROZEN on batch
+    // 0's smallest ids, cell-assigned state persisted to parquet and
+    // re-read per batch; per-batch in-entry plan asserts — the decision's
+    // only file scans are the persisted state (the batch is its own
+    // localCheckpoint'ed increment) and no all-pairs node
+    "q_emb_incrsem" -> ((s, dir) => {
+      import graft.operators.SpatialLayout
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incrsem").toString
+      val f = base(s, dir)
+      def batch(b: Long) = f.filter(pmod(col("vid"), lit(3L)) === b)
+      val centroids = Similarity.trainIvfCentroids(batch(0L), "vid", "emb",
+        nlist = 8, iters = 0)
+      var statePath = s"$tmp/state_0"
+      EmbedCurate.assignCells(batch(0L), "vid", "emb", centroids)
+        .write.parquet(statePath)
+      var out = batch(0L).select(col("vid").as("id"),
+        lit(null).cast("long").as("matched_id"),
+        lit(null).cast("double").as("cos"), lit(false).as("is_dup"))
+      for (b <- 1L to 2L) {
+        val state = s.read.parquet(statePath)
+        val dec = EmbedCurate.incrementalSemDedup(batch(b), state,
+          "vid", "emb", centroids, threshold = 0.8)
+        dec.count() // finalize AQE so the audit sees the real stages
+        val scans = SpatialLayout.scanRootPaths(dec)
+        require(scans.nonEmpty && scans.forall(_.contains("/state_")),
+          s"batch $b: the increment must file-scan ONLY the persisted " +
+            s"cell state (never the corpus); scanned: $scans")
+        val nodes = SpatialLayout.planNodeNames(dec)
+        require(!nodes.exists(n =>
+            n.contains("NestedLoop") || n.contains("Cartesian")),
+          s"batch $b: all-pairs node in the increment plan: $nodes")
+        state.unionByName(
+            EmbedCurate.assignCells(batch(b), "vid", "emb", centroids))
+          .write.parquet(s"$tmp/state_$b")
+        statePath = s"$tmp/state_$b"
+        out = out.unionByName(dec).localCheckpoint()
+      }
+      out
     }))
 
   // ---- oracle SQL (generated — 16 explicit dims keep DuckDB plan simple) --
@@ -336,7 +377,35 @@ object QueriesEmbOracle {
        |FROM b CROSS JOIN p""".stripMargin
   }
 
+  /** incremental decisions from first principles: a doc in batch bt is a
+    * dup iff a SAME-CELL doc of a STRICTLY EARLIER batch sits at cos ≥ 0.8
+    * (same-batch pairs are invisible to the increment by design); best
+    * match = max cos, min corpus id — the max(struct(cos, -id)) pick. */
+  private val incrsemSql: String =
+    s"""WITH b AS MATERIALIZED (SELECT o_orderkey AS k, o_orderkey%3 AS bt,
+       |    $vecSqlCols
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000)),
+       |cent AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY k) - 1 AS cid, *
+       |  FROM (SELECT * FROM b WHERE bt = 0 ORDER BY k LIMIT 8) t),
+       |asg AS (SELECT b.k, b.bt, c.cid, ROW_NUMBER() OVER (PARTITION BY b.k
+       |    ORDER BY ${cellCosExpr("b", "c")} DESC, c.cid) AS rnk
+       |  FROM b CROSS JOIN cent c),
+       |cell AS MATERIALIZED (SELECT k, bt, cid FROM asg WHERE rnk = 1),
+       |m AS (SELECT d.k AS id, c.k AS mid,
+       |    (${dotExpr("d", "c")})/(${normExpr("d")}*${normExpr("c")}) AS cos
+       |  FROM b d
+       |  JOIN cell cd ON cd.k = d.k
+       |  JOIN cell cc ON cc.cid = cd.cid AND cc.bt < cd.bt
+       |  JOIN b c ON c.k = cc.k
+       |  WHERE (${dotExpr("d", "c")})/(${normExpr("d")}*${normExpr("c")}) >= 0.8),
+       |best AS (SELECT id, mid, cos, ROW_NUMBER() OVER (PARTITION BY id
+       |    ORDER BY cos DESC, mid ASC) AS rn FROM m)
+       |SELECT b.k AS id, w.mid AS matched_id, ROUND(w.cos, 4) AS cos,
+       |  w.mid IS NOT NULL AS is_dup
+       |FROM b LEFT JOIN (SELECT * FROM best WHERE rn = 1) w ON w.id = b.k""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_emb_incrsem" -> incrsemSql,
     "q_emb_protofilter" -> protofilterSql,
     "q_emb_semdedup" -> semdedupSql,
     "q_emb_pqencode" -> pqencodeSql,

@@ -74,6 +74,44 @@ object EmbedCurate {
         Similarity.nearestCellCol(centroids)(col("vd"), col("vnorm")))
       .select(col("id"), col("cell"), col("vd"), col("vnorm"))
 
+  /**
+   * Incremental semantic dedup — the embedding-space sibling of
+   * [[Dedup.incrementalMinhash]]: mark each NEW document against a
+   * PERSISTED cell-assigned corpus state (the output of [[assignCells]],
+   * the embedding analog of the minhash signature table) without touching
+   * the corpus again. The batch is assigned with the SAME fixed centroids
+   * the store was built with — a frozen quantizer is what makes decisions
+   * batch-split invariant — then cell-equi-joined against the state; exact
+   * cosine ≥ `threshold` marks a dup, best match = max cos with min corpus
+   * id on ties (the incrementalMinhash pick, pinned via max(struct(cos,
+   * -id))). One row per new doc: (id, matched_id, cos, is_dup).
+   *
+   * Scale: state is (id, cell, vd, vnorm) rows bucketable by cell; the
+   * increment costs O(batch + same-cell collisions), never O(corpus). The
+   * assigned batch is localCheckpoint'ed, so the decision plan's only FILE
+   * scans are the state store — the q_emb_incrsem gate entry asserts that
+   * per batch.
+   */
+  def incrementalSemDedup(newDocs: DataFrame, corpusState: DataFrame,
+                          idCol: String, embCol: String,
+                          centroids: Array[Array[Double]],
+                          threshold: Double): DataFrame = {
+    val newAssigned = assignCells(newDocs, idCol, embCol, centroids)
+      .localCheckpoint()
+    val st = corpusState.select(col("id").as("__cid"), col("cell"),
+      col("vd").as("cvd"), col("vnorm").as("cn"))
+    val best = newAssigned.join(st, Seq("cell"))
+      .withColumn("cos",
+        Similarity.dot(col("vd"), col("cvd")) / (col("vnorm") * col("cn")))
+      .filter(col("cos") >= threshold)
+      .groupBy("id")
+      .agg(max(struct(col("cos"), (-col("__cid")).as("__negid"))).as("__b"))
+      .select(col("id"), (-col("__b.__negid")).as("matched_id"),
+        round(col("__b.cos"), 4).as("cos"))
+    newAssigned.select("id").join(best, Seq("id"), "left")
+      .withColumn("is_dup", col("matched_id").isNotNull)
+  }
+
   /** cell-scoped near-dup edges from an assigned frame. */
   private[graft] def cellEdges(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("id").as("a_id"),

@@ -20,12 +20,13 @@ class EmbedCurateSpec extends AnyFunSuite {
   // mod 25 so genuine duplicate cliques exist
   private val mults = Seq(3, 5, 7, 11)
   private val mods = Seq(19, 23, 29, 31)
+  private def vecOf(pat: org.apache.spark.sql.Column) =
+    array(mults.zip(mods).map { case (m, md) =>
+      (pmod(pat * m, lit(md.toLong)) - (md - 1) / 2).cast("float")
+    }: _*)
   private def corpus(n: Int) = {
     val df = (0 until n).map(_.toLong).toDF("vid")
-    df.select(col("vid"), array(mults.zip(mods).map { case (m, md) =>
-      (pmod(pmod(col("vid"), lit(25L)) * m, lit(md.toLong)) - (md - 1) / 2)
-        .cast("float")
-    }: _*).as("emb"))
+    df.select(col("vid"), vecOf(pmod(col("vid"), lit(25L))).as("emb"))
   }
 
   private def groupsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
@@ -93,6 +94,44 @@ class EmbedCurateSpec extends AnyFunSuite {
           s"query $q rank ${i + 1}: got ${got((q, i + 1))}, want ($nid, $dist)")
       }
     }
+  }
+
+  test("incrementalSemDedup marks exactly the earlier-batch same-cell neighbors") {
+    // repeating patterns for vid < 60 (cross-batch copies → dups) plus a
+    // unique-pattern tail (vid ≥ 60 → genuinely novel docs)
+    val c = (0 until 90).map(_.toLong).toDF("vid")
+      .select(col("vid"), vecOf(when(col("vid") < 60,
+        pmod(col("vid"), lit(25L))).otherwise(col("vid") + 1000L)).as("emb"))
+    val b01 = c.filter(pmod(col("vid"), lit(3L)) < 2)
+    val b2 = c.filter(pmod(col("vid"), lit(3L)) === 2)
+    val centroids = Similarity.trainIvfCentroids(
+      c.filter(pmod(col("vid"), lit(3L)) === 0), "vid", "emb", nlist = 4, iters = 0)
+    val state = EmbedCurate.assignCells(b01, "vid", "emb", centroids)
+    val dec = EmbedCurate.incrementalSemDedup(b2, state, "vid", "emb",
+        centroids, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3))).toMap
+    // driver recompute from the assigned cells
+    val cells = EmbedCurate.assignCells(c, "vid", "emb", centroids).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+      .toMap
+    def cos(a: Long, b: Long): Double = {
+      val (_, va, na) = cells(a); val (_, vb, nb) = cells(b)
+      va.zip(vb).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val earlier = cells.keys.filter(k => k % 3 < 2).toSeq
+    var dups = 0
+    for (d <- cells.keys if d % 3 == 2) {
+      val matches = earlier
+        .filter(e => cells(e)._1 == cells(d)._1 && cos(d, e) >= 0.9)
+      val best = if (matches.isEmpty) None
+        else Some(matches.map(e => (-cos(d, e), e)).min._2)
+      assert(dec(d) == (best, best.nonEmpty),
+        s"doc $d: got ${dec(d)}, want ($best, ${best.nonEmpty})")
+      if (best.nonEmpty) dups += 1
+    }
+    assert(dups > 0 && dups < dec.size,
+      "fixture should split dup vs novel non-trivially")
   }
 
   test("prototypeFilter decides by cosine against exact-sum prototypes") {
