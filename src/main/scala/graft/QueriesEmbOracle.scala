@@ -137,6 +137,20 @@ object QueriesEmbOracle {
         ids.take(4).toSeq, ids.drop(4).toSeq)
     }),
 
+    // scalar (int8-per-dim) quantization: per-dim min/max train state, codes
+    // round((v-min)·255/range) — the simple compression point next to PQ
+    "q_emb_sqencode" -> ((s, dir) =>
+      EmbedCurate.sqEncode(base(s, dir), "vid", "emb")
+        .select(col("id"),
+          concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes"))),
+
+    // symmetric code-space top-5 over SQ codes (1 byte/dim linear scan)
+    "q_emb_sqtopk" -> ((s, dir) => {
+      val f = base(s, dir)
+      EmbedCurate.sqTopK(f, f.filter(pmod(col("vid"), lit(50L)) === 0),
+        "vid", "emb", k = 5)
+    }),
+
     // incremental semantic dedup round-trip (the q_web_incrpipe discipline
     // on the embedding axis): 3 batches (vid%3), quantizer FROZEN on batch
     // 0's smallest ids, cell-assigned state persisted to parquet and
@@ -404,7 +418,52 @@ object QueriesEmbOracle {
        |  w.mid IS NOT NULL AS is_dup
        |FROM b LEFT JOIN (SELECT * FROM best WHERE rn = 1) w ON w.id = b.k""".stripMargin
 
+  /** shared SQ scaffold: per-dim min/max stats + per-row int8 codes — the
+    * ROUND((v−mn)·255/rng) expression is the udf's exact shape (one IEEE
+    * divide, half-away-from-zero round on a non-negative operand). */
+  private val sqScaffold: String = {
+    val statCols = (0 until 16)
+      .map(i => s"MIN(v$i) AS mn$i, MAX(v$i) AS mx$i").mkString(",\n    ")
+    val codeCols = (0 until 16).map(i =>
+      s"CASE WHEN mx$i-mn$i=0 THEN 0 " +
+        s"ELSE CAST(ROUND((v$i-mn$i)*255/(mx$i-mn$i)) AS INT) END AS c$i")
+      .mkString(",\n    ")
+    s"""b AS MATERIALIZED (SELECT o_orderkey AS k,
+       |    $vecSqlCols
+       |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20000)),
+       |st AS MATERIALIZED (SELECT
+       |    $statCols
+       |  FROM b),
+       |enc AS MATERIALIZED (SELECT k,
+       |    $codeCols
+       |  FROM b CROSS JOIN st)""".stripMargin
+  }
+
+  private val sqencodeSql: String = {
+    val codesStr = (0 until 16).map(i => s"CAST(c$i AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH $sqScaffold
+       |SELECT k AS id, $codesStr AS codes FROM enc""".stripMargin
+  }
+
+  private val sqtopkSql: String = {
+    val dist = (0 until 16)
+      .map(i => s"(q.c$i-e.c$i)*(q.c$i-e.c$i)").mkString("+")
+    s"""WITH $sqScaffold,
+       |q AS MATERIALIZED (SELECT * FROM enc WHERE k%50=0),
+       |sc AS (SELECT q.k AS qid, e.k AS nid,
+       |    CAST($dist AS BIGINT) AS dist2
+       |  FROM q JOIN enc e ON e.k <> q.k),
+       |rk AS (SELECT qid, nid, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rnk
+       |  FROM sc)
+       |SELECT qid, nid, CAST(rnk AS INT) AS rank, dist2
+       |FROM rk WHERE rnk <= 5""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_emb_sqencode" -> sqencodeSql,
+    "q_emb_sqtopk" -> sqtopkSql,
     "q_emb_incrsem" -> incrsemSql,
     "q_emb_protofilter" -> protofilterSql,
     "q_emb_semdedup" -> semdedupSql,

@@ -126,6 +126,72 @@ object EmbedCurate {
       .select("a_id", "b_id")
   }
 
+  // ---- Scalar quantization: int8-per-dim compression ----------------------
+
+  /** per-dim (min, max) over the corpus — the SQ training state (2·dims
+    * doubles; one posexplode agg, collected once). */
+  def sqStats(corpus: DataFrame, idCol: String, embCol: String): (Array[Double], Array[Double]) = {
+    val st = corpus
+      .select(posexplode(Similarity.toDouble(col(embCol))).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (st.map(_._2), st.map(_._3))
+  }
+
+  /** code_d = round((v_d − min_d)·255 / (max_d − min_d)), 0 for a constant
+    * dim — round is floor(x+0.5) == SQL ROUND (half away from zero) for the
+    * non-negative operand, and the division is the same single IEEE op both
+    * engines evaluate, so codes are bit-reproducible. */
+  private def sqEncodeUdf(mins: Array[Double], maxs: Array[Double]) =
+    udf((v: Seq[Double]) => Array.tabulate(v.length) { d =>
+      val rng = maxs(d) - mins(d)
+      if (rng == 0) 0 else math.round((v(d) - mins(d)) * 255 / rng).toInt
+    })
+
+  /**
+   * Scalar quantization — the SIMPLE compression point next to PQ: one
+   * int8 code per dimension (16 dims → 16 bytes vs 64; PQ's 4 bytes costs
+   * a codebook and coarser cells). Output: (id, codes ARRAY<INT>). Search
+   * over SQ codes is SYMMETRIC (both sides encoded, [[sqTopK]]) — exact
+   * integer distances in code space, unlike PQ's asymmetric lookup.
+   * Training state is 2·dims doubles; the encode pass is zero-shuffle.
+   */
+  def sqEncode(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val (mins, maxs) = sqStats(corpus, idCol, embCol)
+    corpus
+      .select(col(idCol).as("id"), Similarity.toDouble(col(embCol)).as("vd"))
+      .withColumn("codes", sqEncodeUdf(mins, maxs)(col("vd")))
+      .select("id", "codes")
+  }
+
+  private val sqDistUdf = udf((a: Seq[Int], b: Seq[Int]) => {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toLong; s += d * d; i += 1 }
+    s
+  })
+
+  /** symmetric code-space top-k over SQ codes: queries encode with the
+    * corpus stats and broadcast; distance = Σ(code_q − code_c)² exact
+    * BIGINT — the compressed-domain linear scan at 1 byte/dim. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, embCol: String, k: Int): DataFrame = {
+    val (mins, maxs) = sqStats(corpus, idCol, embCol)
+    val enc = corpus
+      .select(col(idCol).as("nid"), Similarity.toDouble(col(embCol)).as("vd"))
+      .withColumn("codes", sqEncodeUdf(mins, maxs)(col("vd")))
+      .select("nid", "codes")
+    val q = queries
+      .select(col(idCol).as("qid"), Similarity.toDouble(col(embCol)).as("qvd"))
+      .withColumn("qcodes", sqEncodeUdf(mins, maxs)(col("qvd")))
+      .select("qid", "qcodes")
+    val scored = enc.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dist2", sqDistUdf(col("qcodes"), col("codes")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("dist2"))
+  }
+
   // ---- Prototype filter: seed-centroid quality classification -------------
 
   /**

@@ -134,6 +134,31 @@ class EmbedCurateSpec extends AnyFunSuite {
       "fixture should split dup vs novel non-trivially")
   }
 
+  test("sq codes span [0,255] per dim; sqTopK equals driver brute-force in code space") {
+    val c = corpus(100)
+    val enc = EmbedCurate.sqEncode(c, "vid", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.values.flatten.forall(x => x >= 0 && x <= 255))
+    for (d <- 0 until enc.values.head.length) {
+      val codes = enc.values.map(_(d))
+      assert(codes.min == 0 && codes.max == 255,
+        s"dim $d: the min/max rows must land on 0/255 exactly")
+    }
+    val got = EmbedCurate.sqTopK(c,
+        c.filter(pmod(col("vid"), lit(20L)) === 0), "vid", "emb", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    for (qid <- enc.keys if qid % 20 == 0) {
+      val exact = enc.keys.filter(_ != qid).toSeq
+        .map(n => (enc(qid).zip(enc(n)).map { case (a, b) =>
+          val dd = (a - b).toLong; dd * dd }.sum, n))
+        .sorted.take(3)
+      exact.zipWithIndex.foreach { case ((dist, nid), i) =>
+        assert(got((qid, i + 1)) == (nid, dist),
+          s"query $qid rank ${i + 1}") }
+    }
+  }
+
   test("prototypeFilter decides by cosine against exact-sum prototypes") {
     val c = corpus(100)
     val goodIds = Seq(0L, 1L, 2L, 3L); val badIds = Seq(4L, 5L, 6L, 7L)
