@@ -29,7 +29,21 @@ object BenchPipeline {
   def config(saltThreshold: Long = Long.MaxValue, saltFactor: Int = 16): MatchConfig =
     MatchConfig(
       matchSpec = spec,
-      cellSize = 1000.0,
+      // r6 (guide §2.3/§1.2): candidate pairs scale with (2d+s)² per build
+      // row (the probe's expanded envelope), so the old s=1000 m cells with
+      // the 250 m max radius ground (1500)²-proportional pairs where
+      // s=d=250 grinds (750)² — exactly 4× fewer candidate pairs for the
+      // same exact refinement (measured 117.1M -> 29.4M). The trade is a
+      // 3×3=9-cell probe cover (was ~2.25 avg), i.e. more exploded rows and
+      // shuffle bytes for fewer refined pairs; measured at 8c/2.5M sites:
+      // s=250 34.3 s, s=500 36.7 s, s=1000 62.3 s — CPU on pairs dominates
+      // the local shuffle, so s=d wins. On a network cluster where shuffle
+      // bytes bind first, s=2d (same bytes as s=1000, 2.25× fewer pairs) is
+      // the operating point — see OPTIMIZATION_r06.md. Correct for any
+      // s >= maxDistance (the 3×3 probe cover needs d <= s); match/
+      // deviation row counts verified bit-identical at the 2.5M bench point
+      // and by every view oracle.
+      cellSize = spec.maxDistance,
       antiLeg = true,
       saltThreshold = saltThreshold,
       saltFactor = saltFactor,
@@ -63,15 +77,77 @@ object BenchPipeline {
     filterOsm(Pages.extractOsmElements(pages)),
     projectUps(Pages.extractUpstreamItems(pages)))
 
+  /** ONE filtered+parsed pass over the pages for BOTH match sides (r6,
+    * guide §1.2 "remove unnecessary passes"): the old cacheInputs path
+    * cached osm and ups separately, and each cache FILL re-ran the full
+    * page synthesis + text build (measured 45.9 s + 46.5 s of the 8-core
+    * pipeline's 263 s total executor time). This pass filters to feature
+    * rows once, parses the shared grammar positions once (E/N are
+    * parts[3]/[4] on both line types), and emits a superset schema both
+    * sides project from — one synthesis instead of two. Field-for-field
+    * the same expressions as extractOsmElements/extractUpstreamItems +
+    * filterOsm/projectUps; BenchFeaturesSpec pins row parity with the
+    * unfused path. */
+  private[graft] def benchFeatures(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.functions.GeoFunctions._
+    val tagMapType = MapType(StringType, StringType, valueContainsNull = true)
+    val p = pages
+      .filter(col("lang") === "sv" &&
+        (col("text").startsWith("OSM ") || col("text").startsWith("UPSTREAM ")))
+      .withColumn("parts", split(col("text"), " ", 6))
+      .withColumn("is_osm", col("parts")(0) === "OSM")
+    val osmTags = from_json(col("parts")(5), tagMapType)
+    val upsTags = map_filter(
+      map(lit("amenity"), lit("bench_poi"),
+          lit("name"), get_json_object(col("parts")(5), "$.name")),
+      (_, v) => v.isNotNull)
+    val upsId = expr("try_cast(parts[1] as long)") * lit(1000000000000L) +
+      expr("try_cast(regexp_extract(parts[2], '(\\\\d+)', 1) as long)")
+    p.filter(when(col("is_osm"), osmTags(lit("amenity")) === "bench_poi")
+        .otherwise(expr("try_cast(parts[1] as long)") === Pages.BenchDatasetId))
+      .select(
+        col("is_osm"),
+        when(col("is_osm"), col("parts")(1)).as("type"),
+        when(col("is_osm"), expr("try_cast(parts[2] as long)"))
+          .otherwise(upsId).as("id"),
+        when(col("is_osm"), osmTags).otherwise(upsTags).as("tags"),
+        expr("try_cast(parts[3] as double)").as("cx"),
+        expr("try_cast(parts[4] as double)").as("cy"))
+      .withColumn("geom",
+        when(col("type") === "a",
+          stEnvelopeWkb(col("cx") - 10, col("cy") - 10, col("cx") + 10, col("cy") + 10))
+        .otherwise(stPoint(col("cx"), col("cy"))))
+      .withColumn("is_point", col("type").isNull || col("type") =!= "a")
+  }
+
+  /** the two match sides projected from a [[benchFeatures]] frame */
+  private[graft] def sidesFromFeatures(feat: DataFrame): (DataFrame, DataFrame) = (
+    feat.filter(col("is_osm"))
+      .select("type", "id", "tags", "geom", "cx", "cy", "is_point"),
+    feat.filter(!col("is_osm")).select(
+      array(col("id")).as("ids"), col("tags"), col("geom").as("geometry"),
+      col("cx"), col("cy"), col("is_point")))
+
   /** @param cacheInputs materialize the extracted sides once — the match DAG
     *   consumes each side three times (leg-1 candidates, anti candidates,
     *   anti left_anti); at production scale these are one Iceberg scan each
     *   (the reference materializes mv_match too), so caching is the honest
-    *   equivalent, not a benchmark trick. */
+    *   equivalent, not a benchmark trick. r6: the cached frame is the fused
+    *   single-pass [[benchFeatures]] — one synthesis feeds both sides. */
   def matchRows(pages: DataFrame, saltThreshold: Long = Long.MaxValue,
                 cacheInputs: Boolean = true): DataFrame = {
-    val (osm0, ups0) = extract(pages)
-    val (osm, ups) = if (cacheInputs) (osm0.cache(), ups0.cache()) else (osm0, ups0)
+    val (osm, ups) =
+      if (cacheInputs) {
+        val feat = benchFeatures(pages).cache()
+        // eager fill: the match DAG's four consumer stages start
+        // CONCURRENTLY (AQE off, one job) and a lazily-filled cache makes
+        // the first readers RACE — each recomputes synthesis for partitions
+        // not yet stored (measured: 59 s + 28 s of duplicated fill work at
+        // 8c). One count() fills every partition exactly once up front.
+        feat.count()
+        sidesFromFeatures(feat)
+      } else extract(pages)
     matchRowsFrom(osm, ups, saltThreshold)
   }
 

@@ -118,29 +118,102 @@ object MatchEngine {
    *   upstream_geom, osm_element_id, osm_element_type, osm_tags, osm_geom,
    *   dist
    */
+  // ---- hoisted condition/score (r6, guide §1.2 "per-task work" + §2.3
+  // "project before the exchange"): matchConditionCol/matchScoreCol evaluate
+  // map_contains_key / split / lower on BOTH tag maps once per candidate
+  // PAIR — at bench density each row participates in ~100s of pairs, so the
+  // same row-local sub-expressions were recomputed that many times. The
+  // hoisted form materializes them as projection columns on each input row
+  // BEFORE the cell join and leaves only null-safe comparisons of
+  // precomputed columns in the pair loop. Null semantics are identical by
+  // construction: the columns are the very same sub-expressions, evaluated
+  // on the same rows, just earlier (oracle-verified across all 20 views).
+
+  private[engine] def withHoistA(df: DataFrame, spec: Tags.MatchSpec): DataFrame = {
+    val t = col("tags")
+    var d = df
+    spec.refKeys.zipWithIndex.foreach { case (k, i) =>
+      d = d.withColumn(s"__ah$i", map_contains_key(t, lit(k)))
+        .withColumn(s"__aa$i", split(t(k), ";"))
+        .withColumn(s"__av$i", t(k))
+    }
+    spec.nameKey.foreach { nk =>
+      d = d.withColumn("__ahn", map_contains_key(t, lit(nk)))
+        .withColumn("__aln", lower(t(nk)))
+        .withColumn("__avn", t(nk))
+    }
+    d
+  }
+
+  private[engine] def withHoistB(df: DataFrame, spec: Tags.MatchSpec, tagsB: Column): DataFrame = {
+    var d = df
+    spec.refKeys.zipWithIndex.foreach { case (k, i) =>
+      d = d.withColumn(s"__ba$i", split(tagsB(k), ";"))
+        .withColumn(s"__bv$i", tagsB(k))
+    }
+    spec.nameKey.foreach { nk =>
+      d = d.withColumn("__bln", lower(tagsB(nk)))
+        .withColumn("__bvn", tagsB(nk))
+    }
+    d
+  }
+
+  /** matchConditionCol over the hoisted columns (same truth table, same
+    * null propagation — see GeoFunctions.matchConditionCol). */
+  private[engine] def condHoisted(spec: Tags.MatchSpec, dist: Column): Column = {
+    val refsAgree = spec.refKeys.indices.map(i =>
+        col(s"b___ah$i") && arrays_overlap(col(s"b___aa$i"), col(s"p___ba$i")))
+      .reduceOption(_ && _).getOrElse(lit(false))
+    val namesAgree = spec.nameKey.map(_ =>
+      col("b___ahn") && (col("b___aln") === col("p___bln"))).getOrElse(lit(false))
+    (refsAgree && dist <= spec.dRef) || (namesAgree && dist <= spec.dName) ||
+      dist <= spec.dOther
+  }
+
+  /** matchScoreCol over the hoisted columns (incl. the 03a overload quirks:
+    * ref2 equality, case-sensitive name-only tier). */
+  private[engine] def scoreHoisted(spec: Tags.MatchSpec, dist: Column): Column = {
+    val refTier: Column = spec.refKeys match {
+      case Seq(_) => col("b___ah0") && arrays_overlap(col("b___aa0"), col("p___ba0"))
+      case Seq(_, _) =>
+        col("b___ah0") && col("b___ah1") &&
+          arrays_overlap(col("b___aa0"), col("p___ba0")) &&
+          (col("b___av1") === col("p___bv1"))
+      case _ => lit(false)
+    }
+    val nameTier: Column = spec.nameKey.map { _ =>
+      if (spec.refKeys.nonEmpty) col("b___ahn") && (col("b___aln") === col("p___bln"))
+      else col("b___avn") === col("p___bvn")
+    }.getOrElse(lit(false))
+    when(refTier, lit(spec.dRef) + dist)
+      .when(nameTier, lit(spec.dName) + dist)
+      .otherwise(lit(spec.dOther) + dist)
+  }
+
   def matchView(osm: DataFrame, ups: DataFrame, cfg: MatchConfig): DataFrame = {
     val spec = cfg.matchSpec
     val upsTagsCol = if (ups.columns.contains("tag_alts")) "tag_alts" else "tags"
 
+    // tags_b as seen by match_condition/match_score — empty map when the
+    // upstream side is an alternatives ARRAY (reference quirk, see MatchConfig)
+    val tagsBRaw: Column =
+      if (cfg.tagsVisibleToMatch && upsTagsCol == "tags") col("tags")
+      else map().cast("map<string,string>")
+
     val candidates = SpatialJoin.dwithinCandidates(
-      build = osm, probe = ups,
+      build = withHoistA(osm, spec), probe = withHoistB(ups, spec, tagsBRaw),
       buildGeom = "geom", probeGeom = "geometry",
       spec = DWithinSpec(spec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
       extraKeys = cfg.extraJoinKeys)
 
-    // tags_b as seen by match_condition/match_score — empty map when the
-    // upstream side is an alternatives ARRAY (reference quirk, see MatchConfig)
-    val tagsB: Column =
-      if (cfg.tagsVisibleToMatch && upsTagsCol == "tags") col("p_tags")
-      else map().cast("map<string,string>")
-
-    // native codegen'd condition/score (semantics-equivalence vs the Scala
-    // reference functions is property-tested in MatchEngineSpec)
+    // native codegen'd condition/score over the hoisted columns (semantics-
+    // equivalence vs the Scala reference functions is property-tested in
+    // MatchEngineSpec; hoisted == unhoisted is pinned in MatchEngineSpec too)
     val matched00 = candidates
       .filter(cfg.extraCandidateFilter
-        .map(matchConditionCol(spec, col("b_tags"), tagsB, col("dist")) && _)
-        .getOrElse(matchConditionCol(spec, col("b_tags"), tagsB, col("dist"))))
-      .withColumn("score", matchScoreCol(spec, col("b_tags"), tagsB, col("dist")))
+        .map(condHoisted(spec, col("dist")) && _)
+        .getOrElse(condHoisted(spec, col("dist"))))
+      .withColumn("score", scoreHoisted(spec, col("dist")))
     // NOTE: when enabled, this cache lives until the session ends (the legs
     // that consume it are returned lazily, so there is no safe unpersist
     // point inside this function) — cacheCandidates is a per-session probe
@@ -236,7 +309,7 @@ object MatchEngine {
       val antiMatched =
         if (cfg.antiMatchSpec.isEmpty && antiKeys == cfg.extraJoinKeys) matched0
         else SpatialJoin.dwithinCandidates(
-            build = osm, probe = ups,
+            build = withHoistA(osm, antiSpec), probe = withHoistB(ups, antiSpec, tagsBRaw),
             buildGeom = "geom", probeGeom = "geometry",
             spec = DWithinSpec(antiSpec.maxDistance, cfg.cellSize, cfg.saltThreshold, cfg.saltFactor),
             extraKeys = antiKeys)
@@ -245,8 +318,8 @@ object MatchEngine {
           // counts as "matched" or the anti population depends on which
           // branch a config happens to take
           .filter(cfg.extraCandidateFilter
-            .map(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist")) && _)
-            .getOrElse(matchConditionCol(antiSpec, col("b_tags"), tagsB, col("dist"))))
+            .map(condHoisted(antiSpec, col("dist")) && _)
+            .getOrElse(condHoisted(antiSpec, col("dist"))))
       val antiCands = antiMatched
         .select(col("b_type").as("type"), col("b_id").as("id"))
         .distinct()

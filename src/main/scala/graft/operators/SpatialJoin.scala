@@ -208,13 +208,42 @@ object SpatialJoin {
     import org.apache.spark.sql.expressions.Window
     val cands = dwithinCandidates(build, probe.filter(col(probeKey).isNotNull),
       buildGeom, probeGeom, DWithinSpec(radius, cellSize))
-      // a non-point build geometry covering several cells surfaces the same
-      // (probe, build) pair once per shared cell; undeduped, the duplicate
-      // occupies extra ranks and crowds a true neighbor out of the top k
-      .dropDuplicates(s"p_$probeKey", s"b_$buildKey")
     val w = Window.partitionBy(col(s"p_$probeKey"))
       .orderBy(col("dist"), col(s"b_$buildKey"))
-    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // a non-point build geometry covering several cells surfaces the same
+    // (probe, build) pair once per shared cell; undeduped, the duplicate
+    // occupies extra ranks and crowds a true neighbor out of the top k.
+    // r6 (guide §2.4): the old dropDuplicates(probe, build) paid a FULL
+    // extra shuffle of the candidate set just to dedup — but duplicates of
+    // a pair carry the SAME (dist, build key), so under this window's order
+    // they sort adjacent and a lag() test inside the rank window's own
+    // partitioning removes them; the follow-up row_number runs in the same
+    // exchange (one candidate shuffle total, was two).
+    withDedupRank(cands, s"p_$probeKey", s"b_$buildKey", w)
+      .filter(col("rank") <= k)
+  }
+
+  /** duplicate-pair-safe rank over `w` (= partitionBy(probeKey)
+    * orderBy(dist, buildKey)) without a separate dedup shuffle: flags rows
+    * whose predecessor in the window is the same (build key, dist) pair —
+    * exactly the multi-cell duplicates, which are adjacent under this order —
+    * filters them, then ranks survivors in a second Window over the SAME
+    * partitioning (no new Exchange; exact same rows as
+    * dropDuplicates(probe, build) + rank, since duplicate pairs are
+    * bit-identical rows). */
+  private def withDedupRank(cands: DataFrame, pK: String, bK: String,
+                            w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // null-safe equality (<=>): matches dropDuplicates' null handling should
+    // a build key ever be null; `dist` is never null in candidates (the
+    // refinement filter already dropped nulls), so row 1 of each partition —
+    // whose lag(dist) is null — can never be flagged
+    cands
+      .withColumn("__dup",
+        (lag(col(bK), 1).over(w) <=> col(bK)) &&
+          (lag(col("dist"), 1).over(w) <=> col("dist")))
+      .filter(!col("__dup")).drop("__dup")
+      .withColumn("rank", row_number().over(w))
   }
 
   /**
@@ -279,10 +308,13 @@ object SpatialJoin {
     var done = false
     while (!done) {
       val last = radius >= maxRadius
-      val ranked = dwithinCandidates(build, unresolved, buildGeom, probeGeom,
-          DWithinSpec(radius, cellSize = radius, saltThreshold, saltFactor))
-        .dropDuplicates(pK, bK) // multi-cell build geoms: one rank per pair
-        .withColumn("rank", row_number().over(rankW))
+      // multi-cell build geoms: one rank per pair — the lag-based dedup runs
+      // inside the rank window's own shuffle (see withDedupRank; was a
+      // separate dropDuplicates exchange per round)
+      val ranked = withDedupRank(
+          dwithinCandidates(build, unresolved, buildGeom, probeGeom,
+            DWithinSpec(radius, cellSize = radius, saltThreshold, saltFactor)),
+          pK, bK, rankW)
         .filter(col("rank") <= k)
       // all candidates have dist <= radius and nothing unseen can be that
       // close, so a full top-k is final; partial top-k must keep expanding

@@ -94,12 +94,16 @@ object Pages {
     val (sx, sy) = sitePos(id, seed, areaFactor)
 
     // ---------- UPSTREAM pages (one per site) ----------
+    // r6: %d format_strings replaced by concat of the long column — Long
+    // rendering is byte-identical ("%d" is Long.toString) and skips the
+    // per-row java.util.Formatter parse (guide §1.2 per-task work)
     val upstream = sites
       .withColumn("x", sx).withColumn("y", sy)
-      .withColumn("attrs", format_string("""{"name":"POI %d","kind":"bench"}""", id))
+      .withColumn("attrs",
+        concat(lit("{\"name\":\"POI "), id, lit("\",\"kind\":\"bench\"}")))
       .withColumn("text", concat_ws(" ",
         lit("UPSTREAM"), lit(BenchDatasetId), concat(lit("s"), id), fmt(col("x")), fmt(col("y")), col("attrs")))
-      .withColumn("url", format_string("https://data.example.sv/bench/item/%d", id))
+      .withColumn("url", concat(lit("https://data.example.sv/bench/item/"), id))
 
     // ---------- OSM pages ----------
     // sites [0, nSites): present with p=0.85; sites [nSites, nSites*1.08): OSM-only
@@ -123,11 +127,11 @@ object Pages {
       .withColumn("oid", oid + lit(1000000000L))
       .withColumn("tags",
         when(hasName,
-          format_string("""{"amenity":"bench_poi","name":"POI %d"}""", oid))
+          concat(lit("{\"amenity\":\"bench_poi\",\"name\":\"POI "), oid, lit("\"}")))
         .otherwise(lit("""{"amenity":"bench_poi"}""")))
       .withColumn("text", concat_ws(" ",
         lit("OSM"), col("otype"), col("oid"), fmt(col("x")), fmt(col("y")), col("tags")))
-      .withColumn("url", format_string("https://osm.example.sv/el/%d", col("oid")))
+      .withColumn("url", concat(lit("https://osm.example.sv/el/"), col("oid")))
 
     // ---------- MUNI pages (tiny fixture set) ----------
     import spark.implicits._
@@ -143,9 +147,10 @@ object Pages {
     // ---------- noise pages (no features; mixed languages) ----------
     val nNoise = (nSites * noiseFraction).toLong max 3L
     val noise = spark.range(nNoise).toDF("site")
-      .withColumn("text", format_string(
-        "Det här är en vanlig webbsida nummer %d utan geodata. The quick brown fox.", col("site")))
-      .withColumn("url", format_string("https://www.example.com/page/%d", col("site")))
+      .withColumn("text", concat(
+        lit("Det här är en vanlig webbsida nummer "), col("site"),
+        lit(" utan geodata. The quick brown fox.")))
+      .withColumn("url", concat(lit("https://www.example.com/page/"), col("site")))
 
     pageShape(upstream, "sv")
       .unionByName(pageShape(osm, "sv"))

@@ -59,4 +59,37 @@ class MatchEngineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("r6 hoisted condition/score (pre-join row projections) == Tags reference") {
+    // the hoisted form moves the row-local sub-expressions (map_contains_key,
+    // split, lower) out of the pair loop into per-side projections — this
+    // pins its truth table (incl. null propagation through the hoisted
+    // columns) to the same golden reference as the per-pair form
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 500).map { i =>
+      (i, randomTags(rnd), randomTags(rnd), rnd.nextDouble() * 1200.0)
+    }
+    for (spec <- specs) {
+      val a = graft.operators.SpatialJoin.prefixAll(
+        MatchEngine.withHoistA(cases.map(c => (c._1, c._2)).toDF("i", "tags"), spec), "b_")
+      val b = graft.operators.SpatialJoin.prefixAll(
+        MatchEngine.withHoistB(
+          cases.map(c => (c._1, c._3, c._4)).toDF("i", "tags", "dist"),
+          spec, col("tags")), "p_")
+      val got = a.join(b, col("b_i") === col("p_i"))
+        .select(col("b_i").as("i"),
+          MatchEngine.condHoisted(spec, col("p_dist")).as("cond"),
+          MatchEngine.scoreHoisted(spec, col("p_dist")).as("score"))
+        .collect().map(r => (r.getInt(0),
+          !r.isNullAt(1) && r.getBoolean(1), r.getDouble(2))).sortBy(_._1)
+      val want = cases.map { case (i, ta, tb, d) =>
+        (i, Tags.matchCondition(spec, ta, tb, d), Tags.matchScore(spec, ta, tb, d))
+      }.sortBy(_._1)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g._2 == w._2, s"hoisted condition mismatch spec=$spec case=${cases(g._1 - 1)}")
+        assert(math.abs(g._3 - w._3) < 1e-9,
+          s"hoisted score mismatch spec=$spec case=${cases(g._1 - 1)}")
+      }
+    }
+  }
 }
