@@ -18,7 +18,19 @@ import graft.core.tags.Tags
 object GeoFunctions {
 
   // ---- geometry scalar UDFs (WKB BinaryType) -------------------------------
-  val stPoint = udf((x: Double, y: Double) => Geom.toWkb(Geom.point(x, y)))
+  /** POINT(x, y) as WKB — r6: native codegen expression (graft.plans.
+    * StPointWkb) instead of a boxed ScalaUDF; byte-identical output (same
+    * Geom.toWkb codec), null-in-null-out and always-nullable like the UDF
+    * it replaces. The SQL-registered `st_point` keeps the UDF form below. */
+  def stPoint(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    // the .cast("double") mirrors ScalaUDF's implicit input cast (a
+    // double->double cast is elided by Catalyst, so the common case is free)
+    GraftBridge.column(graft.plans.StPointWkb(
+      GraftBridge.expression(x.cast("double")),
+      GraftBridge.expression(y.cast("double"))))
+  }
+  private val stPointUdf = udf((x: Double, y: Double) => Geom.toWkb(Geom.point(x, y)))
 
   val stDistance = udf((a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) null
@@ -48,9 +60,17 @@ object GeoFunctions {
     if (a == null) null
     else java.lang.Boolean.valueOf(Geom.fromWkb(a).isInstanceOf[PointG]))
 
-  /** ST_MakeEnvelope: axis-aligned rectangle polygon as WKB. */
-  val stEnvelopeWkb = udf((minX: Double, minY: Double, maxX: Double, maxY: Double) =>
-    Geom.toWkb(Geom.envelopePoly(minX, minY, maxX, maxY)))
+  /** ST_MakeEnvelope: axis-aligned rectangle polygon as WKB — r6: native
+    * codegen expression (graft.plans.StEnvelopePolyWkb), same parity
+    * contract as [[stPoint]]. */
+  def stEnvelopeWkb(minX: Column, minY: Column, maxX: Column, maxY: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.StEnvelopePolyWkb(
+      GraftBridge.expression(minX.cast("double")),
+      GraftBridge.expression(minY.cast("double")),
+      GraftBridge.expression(maxX.cast("double")),
+      GraftBridge.expression(maxY.cast("double"))))
+  }
 
   /** ST_SimplifyPreserveTopology analog (Geom.simplify — DP + collapse guard). */
   val stSimplify = udf((a: Array[Byte], tol: Double) =>
@@ -199,7 +219,7 @@ object GeoFunctions {
 
   /** Register the SQL-name surface (spark.sql usable). */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("st_point", stPoint)
+    spark.udf.register("st_point", stPointUdf)
     spark.udf.register("st_distance", stDistance)
     spark.udf.register("st_dwithin", stDWithin)
     spark.udf.register("st_within", stWithin)

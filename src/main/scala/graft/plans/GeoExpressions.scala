@@ -37,6 +37,16 @@ object GeoKernel {
     val y = math.max(ea.minY, eb.minY - radius)
     Grid.cellOf(x, y, cellSize)
   }
+
+  /** POINT WKB — delegates to the one codec (byte-identical to the stPoint
+    * UDF it replaces; the win is skipping the ScalaUDF boundary, not the
+    * byte building). */
+  def pointWkb(x: Double, y: Double): Array[Byte] =
+    Geom.toWkb(Geom.point(x, y))
+
+  /** axis-aligned envelope polygon WKB — same codec delegation. */
+  def envelopeWkb(minX: Double, minY: Double, maxX: Double, maxY: Double): Array[Byte] =
+    Geom.toWkb(Geom.envelopePoly(minX, minY, maxX, maxY))
 }
 
 /** cells covering `geom`'s envelope expanded by `radius` (ARRAY<LONG>). */
@@ -94,6 +104,57 @@ case class STDistance(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** POINT(x, y) as WKB — native replacement for the boxed stPoint ScalaUDF
+  * (r6, guide §1.2 per-task work: the UDF was the fill pass's last
+  * interpreted boundary, invoked once per synthesized feature row).
+  * `nullable = true` deliberately matches ScalaUDF's always-nullable output
+  * so no declared query's result schema shifts. */
+case class StPointWkb(x: Expression, y: Expression) extends BinaryExpression {
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(xv: Any, yv: Any): Any =
+    GeoKernel.pointWkb(xv.asInstanceOf[Double], yv.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GeoKernel.pointWkb($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(x = newLeft, y = newRight)
+}
+
+/** ST_MakeEnvelope(minX, minY, maxX, maxY) as WKB — native replacement for
+  * the stEnvelopeWkb ScalaUDF (same parity/nullability contract as
+  * [[StPointWkb]]). */
+case class StEnvelopePolyWkb(minX: Expression, minY: Expression,
+                             maxX: Expression, maxY: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = minX
+  override def second: Expression = minY
+  override def third: Expression = maxX
+  override def fourth: Expression = maxY
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernel.envelopeWkb(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.plans.GeoKernel.envelopeWkb($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(minX = newFirst, minY = newSecond, maxX = newThird, maxY = newFourth)
 }
 
 /** the canonical common cell of a candidate pair (see GeoKernel.refCell). */
