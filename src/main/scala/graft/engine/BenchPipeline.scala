@@ -56,7 +56,11 @@ object BenchPipeline {
       // repeat within 8%). The anti leg recomputing its input is the same
       // trade the reference makes by re-reading mv_match from disk.
       cacheCandidates =
-        sys.env.getOrElse("SPARK_GRAFT_CACHE_CANDIDATES", "false").toBoolean)
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_CANDIDATES", "false").toBoolean,
+      // r6 A/B switch: eager narrow localCheckpoint of the refined
+      // candidates (one cell-join execution for both legs, no fill race)
+      checkpointCandidates =
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CANDIDATES", "false").toBoolean)
 
   /** dataset-level filter/projection over EXTRACTED features — shared by the
     * batch pipeline and the incremental streaming path (which reads the same

@@ -72,7 +72,17 @@ object MatchEngine {
         * ONE cell-join execution (Catalyst does not reuse the exchange
         * across the two consumers) — the in-memory analog of the
         * reference's materialized mv_match_*. */
-      cacheCandidates: Boolean = false)
+      cacheCandidates: Boolean = false,
+      /** r6 alternative to cacheCandidates: EAGERLY localCheckpoint the
+        * narrow post-refinement projection (candCols only — no hoist
+        * columns) so the candidate join runs exactly once and both legs
+        * read the materialized blocks. Unlike the lazy cache this cannot
+        * race across the concurrently-started consumer stages (the fill is
+        * a blocking job), and unlike matched0 it stores only the output
+        * columns. The disk-backed analog of the reference's mv_match_*.
+        * Applied only when the anti leg would reuse matched0 anyway (same
+        * spec/keys, no muni guard); other configs fall through unchanged. */
+      checkpointCandidates: Boolean = false)
 
   /**
    * Point-in-polygon municipality stamping (J3) — broadcast a [[MuniIndex]]
@@ -236,7 +246,18 @@ object MatchEngine {
       col("p_ids"), col(s"p_$upsTagsCol"), col("p_geometry"),
       col("b_id"), col("b_type"), col("b_tags"), col("b_geom"),
       col("dist"), col("score")) ++ cfg.carryUps.map(c => col(s"p_$c"))
-    val ranked0 = matched.select(candCols: _*)
+    // see MatchConfig.checkpointCandidates — when the anti leg would
+    // consume matched0 verbatim, one eager narrow materialization serves
+    // both legs (guard-free configs only: matched == matched0 there, so
+    // the projection is leg-identical by construction)
+    val canShareNarrow = cfg.checkpointCandidates &&
+      !cfg.muniGuardWhere && !cfg.muniGuardCondition &&
+      cfg.antiMatchSpec.isEmpty &&
+      cfg.antiExtraJoinKeys.getOrElse(cfg.extraJoinKeys) == cfg.extraJoinKeys
+    val narrowCkpt: Option[DataFrame] =
+      if (canShareNarrow) Some(matched.select(candCols: _*).localCheckpoint(true))
+      else None
+    val ranked0 = narrowCkpt.getOrElse(matched.select(candCols: _*))
     val ranked =
       if (cfg.muniGuardWhere) ranked0
       else ranked0.unionByName(ups.select(Seq(
@@ -307,7 +328,8 @@ object MatchEngine {
       val antiSpec = cfg.antiMatchSpec.getOrElse(spec)
       val antiKeys = cfg.antiExtraJoinKeys.getOrElse(cfg.extraJoinKeys)
       val antiMatched =
-        if (cfg.antiMatchSpec.isEmpty && antiKeys == cfg.extraJoinKeys) matched0
+        if (narrowCkpt.isDefined) narrowCkpt.get
+        else if (cfg.antiMatchSpec.isEmpty && antiKeys == cfg.extraJoinKeys) matched0
         else SpatialJoin.dwithinCandidates(
             build = withHoistA(osm, antiSpec), probe = withHoistB(ups, antiSpec, tagsBRaw),
             buildGeom = "geom", probeGeom = "geometry",
