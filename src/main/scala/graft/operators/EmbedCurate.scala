@@ -142,11 +142,17 @@ object EmbedCurate {
   /** code_d = round((v_d − min_d)·255 / (max_d − min_d)), 0 for a constant
     * dim — round is floor(x+0.5) == SQL ROUND (half away from zero) for the
     * non-negative operand, and the division is the same single IEEE op both
-    * engines evaluate, so codes are bit-reproducible. */
+    * engines evaluate, so codes are bit-reproducible. Codes CLAMP to
+    * [0, 255] (r6, ADVICE r5): a query value outside the corpus-trained
+    * range previously encoded out of int8 space, contradicting the
+    * 1-byte/dim claim and skewing symmetric distances for OOD queries.
+    * In-corpus values (every gate fixture) are inside the range by
+    * construction of sqStats, so no oracle result moves. */
   private def sqEncodeUdf(mins: Array[Double], maxs: Array[Double]) =
     udf((v: Seq[Double]) => Array.tabulate(v.length) { d =>
       val rng = maxs(d) - mins(d)
-      if (rng == 0) 0 else math.round((v(d) - mins(d)) * 255 / rng).toInt
+      if (rng == 0) 0
+      else math.min(255, math.max(0, math.round((v(d) - mins(d)) * 255 / rng).toInt))
     })
 
   /**
@@ -220,8 +226,16 @@ object EmbedCurate {
     val base = docs.select(col(idCol).as("id"),
       Similarity.toDouble(col(embCol)).as("vd"))
     def proto(ids: Seq[Long]): Array[Double] = {
+      // sorted by id before summing (r6, ADVICE r5): collect() order is
+      // partition-order, not deterministic, and double addition is
+      // non-associative — an unordered sum can flip near-boundary
+      // keep/drop decisions between runs for real float embeddings.
+      // Integral fixture vectors sum exactly in any order, so results on
+      // every oracle are unchanged; this pins run-stability for floats.
       val vecs = base.filter(col("id").isin(ids: _*))
-        .select("vd").collect().map(_.getSeq[Double](0).toArray)
+        .select("id", "vd").collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
       require(vecs.length == ids.length,
         s"prototypeFilter: ${ids.length - vecs.length} seed ids missing from the corpus")
       val s = new Array[Double](vecs.head.length)

@@ -531,10 +531,28 @@ object TextAnalysis {
       .join(dfreq, Seq("word"))
       .join(dlen, Seq("doc_id"))
       .crossJoin(broadcast(totals))
+      // loud overflow enforcement (r6, ADVICE r5): the scaladoc bound
+      // tf·A < (2⁶³−1)/(10⁶·22) was documented but unchecked — beyond it
+      // the fixed-point numerator wraps and ranks silently corrupt. The
+      // guard is IN-PLAN (q_agg_hll's raise_error pattern — no extra
+      // action) and division-form so the check itself cannot wrap:
+      // tfc ≤ bound div a_num ⇒ tfc·a_num ≤ bound. The denominator term
+      // 9·len·n_docs gets the analogous bound. Zero effect on any corpus
+      // inside the bound (the otherwise-branch is the identical
+      // expression); a violating corpus now fails loudly naming the fix
+      // (divide A out of the rationalization — ratio-invariant — or shard).
       .withColumn("contrib",
-        expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)") *
-          expr("(1000000 * 22 * tfc * a_num) div " +
-            "(10 * tfc * a_num + 3 * a_num + 9 * len * n_docs)"))
+        when(expr("tfc > 419244183493L div a_num or " +
+                  "len > 1024819115206086200L div n_docs"),
+          expr("raise_error(concat('bm25TopK fixed-point overflow: tf*A or " +
+            "len*N beyond the 2^63 bound (tfc=', cast(tfc as string), " +
+            "', a_num=', cast(a_num as string), ', len=', cast(len as string), " +
+            "', n_docs=', cast(n_docs as string), '); divide a_num out of " +
+            "the rationalization or shard the corpus'))").cast("long"))
+        .otherwise(
+          expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)") *
+            expr("(1000000 * 22 * tfc * a_num) div " +
+              "(10 * tfc * a_num + 3 * a_num + 9 * len * n_docs)")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
     scored.groupBy("query_id", "doc_id").agg(sum("contrib").as("score"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -38,7 +38,10 @@ object EmbedProbe {
           .as("emb"))
       .localCheckpoint() // probe the operators, not the generator
 
-    val queries = corpus.filter(pmod(col("vid"), lit(n / 50L)) === 0)
+    // max(1, ...) guards n < 50 (r6, ADVICE r5): a zero modulus crashed
+    // the probe instead of failing usefully; with 1 every row is a query,
+    // which is the sane degenerate-probe behavior.
+    val queries = corpus.filter(pmod(col("vid"), lit(math.max(1L, n / 50L))) === 0)
 
     def timeMin(name: String)(body: => Long): Unit = {
       val secs = (1 to trials).map { _ =>

@@ -46,6 +46,22 @@ class Bm25Spec extends AnyFunSuite {
     assert(TextAnalysis.bm25TopK(docs, "doc_id", "text", q, k = 10).count() == 0)
   }
 
+  test("r6: a corpus beyond the tf*A fixed-point bound fails loudly, not silently") {
+    // tfc·a_num must stay <= (2^63-1) div (10^6·22) = 419244183493; one doc
+    // of 650k repeats of one word gives tfc = a_num = 650000 -> product
+    // 4.225e11, just over. Before the guard this wrapped BIGINT and
+    // corrupted ranks with no error.
+    val big = Seq((1L, ("w " * 650000).trim)).toDF("doc_id", "text")
+    val q = Seq((1L, "w")).toDF("query_id", "term")
+    val e = intercept[Exception] {
+      TextAnalysis.bm25TopK(big, "doc_id", "text", q, k = 1).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("bm25TopK fixed-point overflow"),
+      s"wanted the loud overflow error, got: ${messages(e).take(300)}")
+  }
+
   test("rrfFuse sums 10^6 div (60+rank) across legs, full-outer on misses") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")

@@ -159,6 +159,35 @@ class EmbedCurateSpec extends AnyFunSuite {
     }
   }
 
+  test("r6: out-of-range query values clamp to [0,255] in sqTopK's query encode") {
+    import spark.implicits._
+    // 1-dim corpus [0, 10] trains rng=10; a query at 20 used to encode 510
+    // (outside int8 space). Clamped to 255 it is code-identical to the max
+    // corpus row, so its nearest neighbor is vid=2 at dist2 = 0.
+    val c = Seq((1L, Seq(0.0f)), (2L, Seq(10.0f))).toDF("vid", "emb")
+    val q = Seq((99L, Seq(20.0f))).toDF("vid", "emb")
+    val got = EmbedCurate.sqTopK(c, q, "vid", "emb", k = 1).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(3)) == (99L, 2L, 0L),
+      s"clamped query must sit on the max corpus code: ${got.mkString}")
+  }
+
+  test("r6: prototype seed sum is id-ordered, independent of seed-list order") {
+    import spark.implicits._
+    // dim0 is non-associative bait (1e16 + 1 - 1e16 = 0 summed left-to-right
+    // in id order; other orders give 1); dim1 keeps the prototype norm > 0.
+    val c = Seq(
+      (1L, Seq(1.0e16f, 1.0f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(-1.0e16f, 1.0f)),
+      (4L, Seq(0.0f, -1.0f)), (5L, Seq(1.0f, -1.0f)),
+      (10L, Seq(2.0f, 5.0f))).toDF("vid", "emb")
+    def run(ids: Seq[Long]) =
+      EmbedCurate.prototypeFilter(c, "vid", "emb", ids, Seq(4L, 5L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    assert(run(Seq(1L, 2L, 3L)) == run(Seq(3L, 1L, 2L)),
+      "seed-list order must not change the prototype")
+  }
+
   test("prototypeFilter decides by cosine against exact-sum prototypes") {
     val c = corpus(100)
     val goodIds = Seq(0L, 1L, 2L, 3L); val badIds = Seq(4L, 5L, 6L, 7L)
